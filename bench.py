@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (collected to the driver via a count over the
+materialized result) so the wall time covers the whole plan, not just
+plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "q01_scan_projection",
+    "q02_filter",
+    "q03_hash_aggregate",
+    "q04_global_aggregate",
+    "q05_distinct_aggregate",
+    "q06_approx_distinct",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from iceberg_rest_server_spark.queries import REGISTRY
+    from iceberg_rest_server_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    names += [n for n in sorted(REGISTRY) if n not in HEADLINE]
+    times: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "sum_query_wall_sec",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""DuckDB-oracle comparison harness — a local mirror of the driver's
+correctness gate (row count + column names + order-insensitive values).
+
+The driver pre-registers the testdata parquet files as DuckDB views named
+``region nation customer supplier part orders lineitem events documents
+embeddings`` and compares each ``queries()`` result against the matching
+``oracle_sql()`` string.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from .tables import TABLE_NAMES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form: columns sorted by name, integer/float dtypes widened,
+    timestamps normalized to ns, rows sorted by all columns."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        dt = df[c].dtype
+        if pd.api.types.is_integer_dtype(dt):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(dt):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[ns]")
+        elif pd.api.types.is_bool_dtype(dt):
+            df[c] = df[c].astype("bool")
+        else:
+            df[c] = df[c].astype("object")
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), na_position="last", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+    diffs: list[str] = field(default_factory=list)
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> CompareResult:
+    if len(spark_pdf) != len(duck_pdf):
+        return CompareResult(name, False, f"row count {len(spark_pdf)} != {len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        return CompareResult(name, False, f"columns {s_cols} != {d_cols}")
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    diffs: list[str] = []
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if pd.api.types.is_float_dtype(a[c].dtype):
+            eq = (av == bv) | (np.isnan(av.astype("float64")) & np.isnan(bv.astype("float64")))
+        else:
+            an = a[c].to_numpy(dtype=object)
+            bn = b[c].to_numpy(dtype=object)
+            both_na = pd.isna(a[c]).to_numpy() & pd.isna(b[c]).to_numpy()
+            eq = both_na | (an == bn)
+        if not eq.all():
+            bad = np.flatnonzero(~eq)[:5]
+            for i in bad:
+                diffs.append(f"col {c} row {i}: spark={av[i]!r} oracle={bv[i]!r}")
+    if diffs:
+        return CompareResult(name, False, f"{len(diffs)}+ cell mismatches", diffs)
+    return CompareResult(name, True, f"{len(a)} rows match")

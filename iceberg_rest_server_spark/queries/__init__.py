@@ -1,0 +1,9 @@
+"""Declared query inventory (SURVEY.md §2F) — importing this package
+registers every query in REGISTRY."""
+
+from __future__ import annotations
+
+from ._registry import REGISTRY, Query, oracle_sql, queries
+from . import core  # noqa: F401  (Q01–Q06)
+
+__all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for the driver environment.
+
+Local mode is `local[$SPARK_GRAFT_CPUS]` (default 32 threads, single JVM),
+but every config here is chosen to also hold on a multi-executor cluster:
+AQE for runtime re-planning (skew joins, partition coalescing), Arrow for
+any Python exchange, UTC session time so timestamp semantics match the
+DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "iceberg_rest_server_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Match shuffle parallelism to local cores; on a real cluster AQE
+        # coalesces this down / splits skew at runtime anyway.
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
