@@ -5,5 +5,6 @@ from __future__ import annotations
 
 from ._registry import REGISTRY, Query, oracle_sql, queries
 from . import core  # noqa: F401  (Q01–Q06)
+from . import joins  # noqa: F401  (Q07–Q14)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]
