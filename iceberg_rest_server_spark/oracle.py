@@ -9,6 +9,7 @@ embeddings`` and compares each ``queries()`` result against the matching
 
 from __future__ import annotations
 
+import datetime
 import os
 from dataclasses import dataclass, field
 
@@ -33,6 +34,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         dt = df[c].dtype
+        if dt == object:
+            # Spark returns DATE columns as datetime.date objects while
+            # DuckDB returns datetime64 — normalize both to datetime64.
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], (datetime.date, datetime.datetime)):
+                df[c] = pd.to_datetime(df[c])
+                dt = df[c].dtype
         if pd.api.types.is_integer_dtype(dt):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(dt):

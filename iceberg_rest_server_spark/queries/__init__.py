@@ -6,5 +6,8 @@ from __future__ import annotations
 from ._registry import REGISTRY, Query, oracle_sql, queries
 from . import core  # noqa: F401  (Q01–Q06)
 from . import joins  # noqa: F401  (Q07–Q14)
+from . import windows  # noqa: F401  (Q15–Q18)
+from . import setops  # noqa: F401  (Q19)
+from . import functions  # noqa: F401  (Q20–Q24)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

@@ -1,0 +1,218 @@
+"""Q20–Q24: scalar function suites (string / date / math / array-map-json /
+conditional-null) — SURVEY.md §2F. All run JVM-side inside whole-stage
+codegen; no Python UDFs in these paths (Q27 re-derives Q20 via UDFs to
+prove parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from ._registry import register
+
+
+@register(
+    "q20_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           lower(p_brand) AS lbrand,
+           substring(p_name, 1, 5) AS prefix5,
+           trim(concat('  ', p_name, '  ')) AS trimmed,
+           concat(p_brand, '-', p_type) AS brand_type,
+           length(p_name) AS name_len,
+           (p_name LIKE '%red%') AS has_red,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           replace(p_name, ' ', '_') AS snake
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="String kernel: upper/lower/substring/trim/concat/length/like/"
+    "regexp_extract/replace over part.",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").like("%red%").alias("has_red"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q21_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           dayofmonth(o_orderdate) AS dom,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           date_trunc('month', o_orderdate) AS order_month,
+           dayofweek(o_orderdate) + 1 AS dow
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Date kernel: year/month/day/datediff/date_add/date_trunc/dayofweek. "
+    "DuckDB dayofweek is 0=Sunday-based vs Spark 1=Sunday, hence the +1.",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q22_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_extendedprice)  AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           ((l_partkey % 7) + 7) % 7 AS pmod7,
+           CAST(power(l_linenumber, 2) AS DOUBLE) AS line_sq,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(greatest(l_tax, l_discount) AS DOUBLE) AS max_rate,
+           CAST(least(l_tax, l_discount) AS DOUBLE) AS min_rate
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Math kernel: round/abs/ceil/floor/pmod/power/sqrt/greatest/least. "
+    "sqrt is IEEE correctly-rounded so cross-engine exact.",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.pmod("l_partkey", F.lit(7)).alias("pmod7"),
+        F.power("l_linenumber", F.lit(2)).alias("line_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q23_array_map_json",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_tokens,
+           string_split(p_name, ' ')[1] AS first_token,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_tokens,
+           p_size AS size_from_map
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="Array kernel over split tokens: size/element_at/array_contains/"
+    "array_join(sort_array) + a map_from_arrays lookup round-trip.",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    tokens = F.split(F.col("p_name"), " ")
+    m = F.map_from_arrays(F.array(F.lit("size")), F.array(F.col("p_size")))
+    return part.select(
+        "p_partkey",
+        F.size(tokens).alias("n_tokens"),
+        F.element_at(tokens, 1).alias("first_token"),
+        F.array_contains(tokens, "red").alias("has_red"),
+        F.array_join(F.sort_array(tokens), ",").alias("sorted_tokens"),
+        F.element_at(m, "size").alias("size_from_map"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q23_explode_json",
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+    GROUP BY token
+    ORDER BY token
+    """,
+    doc="explode(split(...)) + aggregate — the lateral-view word count shape.",
+)
+def q23b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("token")
+    )
+
+
+@register(
+    "q23_get_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="JSON extraction from the events.props string column.",
+)
+def q23c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return events.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_num"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q24_conditional_null",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'OTHER') AS segment_or_other,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           ifnull(nullif(c_mktsegment, c_mktsegment), 'was_null') AS always_default,
+           (c_acctbal IS NOT NULL) AS bal_present
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="Conditional/null kernel: coalesce/nullif/when-otherwise/ifnull.",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.ifnull(F.nullif(F.col("c_mktsegment"), F.col("c_mktsegment")), F.lit("was_null")).alias(
+            "always_default"
+        ),
+        F.col("c_acctbal").isNotNull().alias("bal_present"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,146 @@
+"""Q15–Q18: multi-dimensional aggregates (rollup/cube), window ranking,
+window frames, top-k (SURVEY.md §2F).
+
+Determinism notes: ranking windows order by a unique tiebreaker
+(o_orderkey) wherever the frame or row_number depends on physical order;
+rank/dense_rank are computed over the value alone (well-defined under
+ties). Frame sums go through decimal (see _exact.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from ._exact import dec
+from ._registry import register
+
+
+@register(
+    "q15_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="GROUP BY ROLLUP: hierarchical subtotals + grand total.",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "q15_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="GROUP BY CUBE: all grouping-set combinations.",
+)
+def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "q16_window_ranking",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             row_number()  OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             rank()        OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+             dense_rank()  OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="Top-3 orders per customer: row_number (unique tiebreak), rank, "
+    "dense_rank. One shuffle on o_custkey serves all three.",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w_val = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_rn).alias("rn"),
+            F.rank().over(w_val).alias("rnk"),
+            F.dense_rank().over(w_val).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q17_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum,
+           CAST(lag(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+           CAST(lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Analytic window with ROWS frame (rolling 3-order sum, decimal-exact) "
+    "plus lag/lead over the same sort — one window shuffle total.",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_frame = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w_frame).cast("double").alias("rolling_sum"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "q18_topk",
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey
+    LIMIT 10
+    """,
+    doc="Top-10 customers by spend: aggregate + TakeOrderedAndProject "
+    "(per-partition top-k, no global sort).",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
