@@ -9,5 +9,7 @@ from . import joins  # noqa: F401  (Q07–Q14)
 from . import windows  # noqa: F401  (Q15–Q18)
 from . import setops  # noqa: F401  (Q19)
 from . import functions  # noqa: F401  (Q20–Q24)
+from . import sql_queries  # noqa: F401  (Q25–Q26)
+from . import udfs  # noqa: F401  (Q27–Q28)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]
