@@ -1,0 +1,155 @@
+"""Q29–Q30: streaming windowed aggregation and session windows over a
+replay of the events table.
+
+Replay harness: the events parquet is consumed through the file stream
+source with an availableNow trigger into an in-memory sink, so each
+``queries()`` entry still returns a plain DataFrame the driver can
+collect. The plans carry watermarks exactly as a production stream
+would; with the single-file replay all rows arrive in one micro-batch,
+so results are deterministic and SQL-expressible (oracle-checkable).
+
+events.ts is parquet TIMESTAMP(NANOS): the stream schema reads it as
+int64 and truncates to µs, same as tables.load().
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ._registry_hook import register
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as int64
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a directory; stage one containing a
+    symlink to the (read-only) events parquet."""
+    d = os.path.join(tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir))}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
+    """Drain an availableNow replay into a memory sink; return the result."""
+    name = f"stream_result_{uuid.uuid4().hex}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "q29_stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    doc="Streaming tumbling 1h window + 15 min watermark per event_type, "
+    "replayed availableNow into a memory sink. Single-batch replay ⇒ no "
+    "late rows ⇒ equals the batch group-by (the SQL oracle).",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "15 minutes")
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    result = run_to_table(agg, spark, "complete")
+    return result.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "cnt",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "q30_stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS cnt
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Streaming session window (30 min gap) per user with stateful "
+    "dropDuplicates on event_id, replayed availableNow. Session end is "
+    "last event + gap (half-open merge: a gap of exactly 30 min starts "
+    "a new session), mirrored by the gaps-and-islands oracle.",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "15 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    agg = stream.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    result = run_to_table(agg, spark, "complete")
+    return result.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "cnt",
+    ).orderBy("user_id", "session_start")
