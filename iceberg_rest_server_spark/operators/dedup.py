@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all shuffle-parallel with no driver-side state:
+
+- exact:       dropDuplicates on all/subset columns (one shuffle).
+- exact near-dup (n-gram Jaccard): PPJoin-style *prefix-filtered* inverted
+  index join — identical output to the brute-force O(N²) pair scan, but
+  candidates are generated only from each document's rarest shingles, so
+  hot shingles ("the ") never explode the join. This is the exactness
+  anchor the approximate tiers are verified against.
+- MinHash + LSH: 128 min-hashes banded 32×4; candidate pairs share a
+  band bucket; candidates are then *exactly verified*, so precision is
+  exact and recall is 1-(1-j^4)^32 (≈1-5e-8 at j=0.8).
+- SimHash: 64-bit signatures; pairs within Hamming distance d found by
+  pigeonhole banding (4 chunks of 16 bits — any pair with d≤3 shares a
+  chunk), then exact popcount verify.
+
+All shingling/hashing is JVM-side (F.sequence/F.transform/F.xxhash64);
+SimHash uses one Arrow-batched pandas UDF (bit-level math).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact deduplication — hash shuffle on the chosen columns."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, gram) pairs: distinct character n-grams per document, computed
+    JVM-side (sequence+transform, no Python)."""
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+            f" i -> substring({text_col}, i, {n}))"
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(F.size("grams") > 0)
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All pairs (id1 < id2) with Jaccard(n-gram sets) >= threshold — exact.
+
+    Prefix filter: order each doc's grams globally by (document frequency,
+    gram); a pair reaching `threshold` must share a gram among each side's
+    first |A| - ceil(threshold·|A|) + 1 grams, so only that prefix feeds the
+    inverted-index self-join. Equivalent to the full join, provably.
+    """
+    g = char_shingles(docs, id_col, text_col, n)
+    g.cache()
+    exploded = g.select("id", F.explode("grams").alias("gram"))
+    df_freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "gram")
+    ranked = (
+        exploded.join(df_freq, "gram")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .withColumn("prefix_len", F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .filter(F.col("pos") <= F.col("prefix_len"))
+        .select("id", "gram")
+    )
+    cands = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    g1 = g.select(F.col("id").alias("id1"), F.col("grams").alias("g1"))
+    g2 = g.select(F.col("id").alias("id2"), F.col("grams").alias("g2"))
+    verified = (
+        cands.join(g1, "id1")
+        .join(g2, "id2")
+        .withColumn("inter", F.size(F.array_intersect("g1", "g2")))
+        .withColumn("size1", F.size("g1"))
+        .withColumn("size2", F.size("g2"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("size1") + F.col("size2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "inter", "size1", "size2", "jaccard")
+    )
+    return verified
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-dup pairs via MinHash+LSH candidates, exactly verified.
+
+    Signature: h_i(doc) = min over grams of xxhash64(gram, i). Banding:
+    `bands` buckets of r = num_hashes/bands rows; a candidate pair shares
+    ≥1 band bucket. Verification recomputes exact Jaccard, so the output
+    differs from exact_jaccard_pairs only by LSH recall (1-(1-t^r)^b).
+    """
+    r = num_hashes // bands
+    g = char_shingles(docs, id_col, text_col, n)
+    exploded = g.select("id", F.explode("grams").alias("gram"))
+    sig = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("gram", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_cols).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cands = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    g1 = g.select(F.col("id").alias("id1"), F.col("grams").alias("g1"))
+    g2 = g.select(F.col("id").alias("id2"), F.col("grams").alias("g2"))
+    return (
+        cands.join(g1, "id1")
+        .join(g2, "id2")
+        .withColumn("inter", F.size(F.array_intersect("g1", "g2")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("g1") + F.size("g2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+@F.pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-batched).
+
+    Token hash = first 8 bytes of md5 (stable across runs/engines);
+    signature bit b is the sign of the ±1 vote sum over tokens."""
+    import hashlib
+
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (t or "").split():
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            )
+            bits = (h >> shifts) & np.uint64(1)
+            acc += 2 * bits.astype(np.int64) - 1
+        sig = int(np.bitwise_or.reduce(((acc > 0).astype(np.uint64) << shifts)))
+        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig  # two's-complement
+    return pd.Series(out)
+
+
+def simhash_pairs(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within `max_hamming` bits of SimHash distance.
+
+    Pigeonhole banding: split 64 bits into 4 chunks of 16; any pair with
+    distance ≤ 3 matches exactly on ≥1 chunk → equi-join per chunk, then
+    exact popcount verify. No O(N²) scan."""
+    sig = docs.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("sig"))
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"))
+    cands = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines: token stats,
+quality scoring, language-ID heuristic, document fingerprinting, top
+terms. Everything runs JVM-side (split/regexp/aggregate) — no Python in
+the hot path — and every output is integer/string-exact or a
+deterministic double (integer division), so all are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOKEN_SPLIT = r"\s+"
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+# marker vocabularies for the language-ID heuristic (n-gram/stopword
+# scoring; labels here are synthetic-corpus friendly)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def tokens(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, TOKEN_SPLIT)
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """n_tokens / n_uniq_tokens / n_chars / avg_token_len per document."""
+    t = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.length(text_col).alias("n_chars"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), TOKEN_SPLIT, "")).cast("double")
+            / F.size(t)
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features: length band, punctuation ratio,
+    stopword ratio, uppercase ratio — all integer-derived doubles."""
+    t = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", ""))
+    n_upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda tok: F.array_contains(stop_arr, tok)))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_stop.cast("double") / F.size(t)).alias("stopword_ratio"),
+        (n_upper.cast("double") / n_chars).alias("upper_ratio"),
+        (
+            (n_chars >= 100) & (n_chars <= 20000) & (n_stop > 0)
+        ).alias("passes_quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-token language scoring with deterministic tie-break.
+
+    CJK characters short-circuit to 'zh'; otherwise the language with the
+    highest marker-token count wins (ties resolved in fixed key order).
+    Scores are exposed so the decision is auditable."""
+    t = tokens(text_col)
+    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    marker_arrays = {
+        lang: F.array(*[F.lit(x) for x in markers]) for lang, markers in LANG_MARKERS.items()
+    }
+
+    def _score(arr):
+        return F.size(F.filter(t, lambda tok: F.array_contains(arr, tok)))
+
+    scores = {lang: _score(arr) for lang, arr in marker_arrays.items()}
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    # fixed iteration order ⇒ deterministic argmax (strict > keeps earlier)
+    for lang in LANG_MARKERS:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        cjk.alias("n_cjk"),
+        F.when(cjk > 0, F.lit("zh")).otherwise(best).alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical-form document fingerprint: lowercase, collapse whitespace,
+    md5. Identical across engines (md5 is md5)."""
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), TOKEN_SPLIT, " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(canon).alias("fingerprint"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")).alias(
+            "bag_fingerprint"
+        ),
+    )
+
+
+def top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k terms per document by term frequency (ties: lexicographic)."""
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    counts = exploded.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("id").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("id"), "term", "tf", "rnk")
+    )
+
+
+def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf·idf.
+
+    idf is the *integer pair* (n_docs, df) folded as a deterministic
+    ranking key: rank by (tf × n_docs / df) using exact integer products —
+    no floating-point log, so cross-engine deterministic."""
+    n_docs = df.count()  # scalar, computed once (metadata-scale action)
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    tf = exploded.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_num", F.col("tf") * F.lit(n_docs)
+    )
+    # exact rational comparison: tf1*N/df1 > tf2*N/df2  ⇔  tf1*df2 > tf2*df1
+    # — but a window needs a single sort key, so use the double of an
+    # exact integer ratio at fixed denominator: (tf*N*1000000) div df.
+    scored = scored.withColumn(
+        "score_key", F.expr("(score_num * 1000000) div df")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score_key").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id", "term", "tf", "df", "score_key", "rnk")
+    )

@@ -12,5 +12,6 @@ from . import functions  # noqa: F401  (Q20–Q24)
 from . import sql_queries  # noqa: F401  (Q25–Q26)
 from . import udfs  # noqa: F401  (Q27–Q28)
 from ..streaming import queries as _streaming_queries  # noqa: F401  (Q29–Q30)
+from . import northstar  # noqa: F401  (Q31+ training-data pipeline ops)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

@@ -1,0 +1,359 @@
+"""Q31+ north-star operators registered as inventory queries
+(SURVEY.md §2F Q31–Q33 plus the training-data-pipeline extensions:
+similarity search and multimodal columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..tables import load
+from ._registry import register
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "q31_exact_dedup",
+    oracle="""
+    SELECT count(*) AS n_after, sum(CASE WHEN 1=1 THEN 1 ELSE 0 END) AS n_rows
+    FROM (
+      SELECT DISTINCT * FROM (
+        SELECT * FROM lineitem
+        UNION ALL
+        SELECT * FROM lineitem WHERE l_orderkey % 10 = 0
+      )
+    )
+    """,
+    doc="Exact dedup over a duplicate-injected lineitem (every column in "
+    "the key): one hash shuffle via dropDuplicates.",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dup_injected = li.unionAll(li.filter(F.col("l_orderkey") % 10 == 0))
+    deduped = dedup.exact_dedup(dup_injected)
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_after"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+_GRAMS_CTE = """
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+      FROM documents
+    )
+"""
+
+
+@register(
+    "q32_ngram_jaccard_pairs",
+    oracle=_GRAMS_CTE
+    + """
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           len(list_intersect(a.g, b.g)) AS inter,
+           len(a.g) AS size1, len(b.g) AS size2,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+    ORDER BY id1, id2
+    """,
+    doc="Exact 3-gram Jaccard near-dup pairs (j ≥ 0.8) via PPJoin-style "
+    "prefix-filtered inverted index — identical result to the O(N²) "
+    "scan the oracle runs, but scalable (hot shingles never join).",
+)
+def q32_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).orderBy(
+        "id1", "id2"
+    )
+
+
+@register(
+    "q32_minhash_lsh_pairs",
+    oracle=_GRAMS_CTE
+    + """
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+    ORDER BY id1, id2
+    """,
+    doc="MinHash(128)+LSH(32 bands × 4 rows) candidates, exactly verified. "
+    "Candidate recall at j=0.8 is 1-(1-0.8^4)^32 ≈ 1-5e-8, and "
+    "verification is exact, so the output matches the exact oracle.",
+)
+def q32_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8).orderBy(
+        "id1", "id2"
+    )
+
+
+@register(
+    "q32_simhash_pairs",
+    oracle=None,  # signature-specific; recall asserted in tests instead
+    doc="SimHash(64-bit) near-dup pairs within Hamming distance 3, via "
+    "pigeonhole chunk banding + exact popcount verify (rows-only check; "
+    "tests assert it finds the high-Jaccard injected dups).",
+)
+def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------- text analysis
+
+@register(
+    "q33_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+           len(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_uniq_tokens,
+           length(text) AS n_chars,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(text, '\s+')) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting (whitespace tokenizer): totals, uniques, char "
+    "lengths, avg token length — all JVM-side.",
+)
+def q33_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.token_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "q33_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                t -> list_contains(['the','a','of','to','and','in','is'], t))) AS DOUBLE)
+             / len(regexp_split_to_array(text, '\s+')) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio,
+           (length(text) >= 100 AND length(text) <= 20000
+            AND len(list_filter(regexp_split_to_array(text, '\s+'),
+                                t -> list_contains(['the','a','of','to','and','in','is'], t))) > 0) AS passes_quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Document quality scoring: punctuation/stopword/uppercase ratios + "
+    "a pass/fail gate, integer-derived so cross-engine exact.",
+)
+def q33_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "q33_lang_id",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> list_contains(['the','a','and','of','is'], t))) AS score_en,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> list_contains(['der','die','das','und','ist'], t))) AS score_de,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> list_contains(['le','la','les','et','est'], t))) AS score_fr,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> list_contains(['el','los','las','y','es'], t))) AS score_es,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk
+      FROM documents
+    )
+    SELECT doc_id, score_en, score_de, score_fr, score_es, n_cjk,
+           CASE WHEN n_cjk > 0 THEN 'zh'
+                WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'unknown'
+                WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic: marker-token scoring + CJK short-circuit, "
+    "deterministic first-wins tie-break.",
+)
+def q33_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.lang_id(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "q33_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' ')) AS bag_fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: canonical-form md5 + order-insensitive "
+    "bag-of-words md5.",
+)
+def q33_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "q33_top_terms",
+    oracle=r"""
+    SELECT doc_id AS id, term, tf, rnk FROM (
+      SELECT doc_id, term, count(*) AS tf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, term) AS rnk
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ) WHERE rnk <= 3
+    ORDER BY id, rnk
+    """,
+    doc="Top-3 terms per document by term frequency (explode + window).",
+)
+def q33_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.top_terms(docs, "doc_id", "text", k=3).orderBy("id", "rnk")
+
+
+@register(
+    "q33_tfidf_top_terms",
+    oracle=r"""
+    SELECT doc_id AS id, term, tf, df, score_key, rnk FROM (
+      SELECT doc_id, term, tf, df,
+             (tf * (SELECT count(*) FROM documents) * 1000000) // df AS score_key,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY (tf * (SELECT count(*) FROM documents) * 1000000) // df DESC, term) AS rnk
+      FROM (
+        SELECT doc_id, term, count(*) AS tf,
+               count(*) OVER (PARTITION BY term) AS df
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)
+        GROUP BY doc_id, term
+      )
+    ) WHERE rnk <= 3
+    ORDER BY id, rnk
+    """,
+    doc="tf-idf top terms with an integer ranking key (tf·N·1e6 div df) — "
+    "no floating log, cross-engine deterministic.",
+)
+def q33_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.tf_idf_top_terms(docs, "doc_id", "text", k=3).orderBy("id", "rnk")
+
+
+# ------------------------------------------------------------- similarity
+
+def _cos_sql(x: str, y: str) -> str:
+    return (
+        f"list_dot_product(CAST({x}.embedding AS DOUBLE[]), CAST({y}.embedding AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({x}.embedding AS DOUBLE[]), CAST({x}.embedding AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({y}.embedding AS DOUBLE[]), CAST({y}.embedding AS DOUBLE[]))))"
+    )
+
+
+_COS_SQL = _cos_sql("a", "b")
+
+
+@register(
+    "q35_cosine_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2, round({_COS_SQL}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_COS_SQL}, 6) >= 0.45
+    ORDER BY id1, id2
+    """,
+    doc="Embedding-cosine near-dup pairs (cos ≥ 0.45): exact self-join "
+    "anchor for the LSH scale path. Dot products left-fold in doubles — "
+    "bit-identical to DuckDB list_dot_product (verified).",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45).orderBy(
+        "id1", "id2"
+    )
+
+
+@register(
+    "q36_ann_bruteforce_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_cos_sql('q', 'c')}, 6) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({_cos_sql('q', 'c')}, 6) DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors: broadcast queries, "
+    "scan corpus once, per-query window ranking.",
+)
+def q36_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(queries, emb, "vec_id", "embedding", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "q36_ann_lsh_topk",
+    oracle=None,  # approximate by construction; recall asserted in tests
+    doc="LSH-bucketed ANN top-k (random hyperplanes, 16 tables × 4 planes): "
+    "candidates share any table bucket; exact rescoring inside the "
+    "candidate set. Rows-only check; tests measure recall vs the "
+    "brute-force baseline.",
+)
+def q36_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_lsh(
+        queries, emb, "vec_id", "embedding", dim=64, k=5, planes=4, tables=16
+    ).orderBy("query_id", "rank")
+
+
+# ------------------------------------------------------------- multimodal
+
+@register(
+    "q37_multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           source,
+           octet_length(encode(text)) AS payload_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Multimodal asset modeling: binary payload + typed metadata struct; "
+    "byte lengths checked against the oracle.",
+)
+def q37_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    assets = multimodal.to_assets(docs)
+    return assets.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source").alias("source"),
+        F.length("payload").cast("long").alias("payload_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q37_multimodal_features",
+    oracle=None,  # decode stub is engine-side only (no codec in container)
+    doc="mapInPandas feature extraction over binary payloads (deterministic "
+    "fake embedding standing in for decode+embed — real Arrow plumbing, "
+    "schema and batch shape; rows-only check).",
+)
+def q37_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.to_assets(docs))
+    return feats.orderBy("doc_id")
