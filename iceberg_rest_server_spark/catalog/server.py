@@ -1,0 +1,309 @@
+"""HTTP front for the catalog store: the Iceberg REST catalog protocol
+(reference routes: `crates/iceberg-catalog/src/api/router.rs:40-52`,
+handlers under `src/catalog/`), stdlib-only (http.server).
+
+Routes (prefix = warehouse id, as in the reference's `{prefix}`):
+
+  GET    /catalog/v1/config?warehouse={project}/{name}
+  GET    /catalog/v1/{prefix}/namespaces[?parent=]
+  POST   /catalog/v1/{prefix}/namespaces
+  GET    /catalog/v1/{prefix}/namespaces/{ns}
+  HEAD   /catalog/v1/{prefix}/namespaces/{ns}
+  DELETE /catalog/v1/{prefix}/namespaces/{ns}
+  POST   /catalog/v1/{prefix}/namespaces/{ns}/properties
+  GET    /catalog/v1/{prefix}/namespaces/{ns}/tables
+  POST   /catalog/v1/{prefix}/namespaces/{ns}/tables
+  GET    /catalog/v1/{prefix}/namespaces/{ns}/tables/{tbl}
+  HEAD   /catalog/v1/{prefix}/namespaces/{ns}/tables/{tbl}
+  POST   /catalog/v1/{prefix}/namespaces/{ns}/tables/{tbl}   (commit)
+  DELETE /catalog/v1/{prefix}/namespaces/{ns}/tables/{tbl}
+  POST   /catalog/v1/{prefix}/tables/rename
+  POST   /catalog/v1/{prefix}/transactions/commit             (multi-table)
+  POST   /catalog/v1/{prefix}/namespaces/{ns}/tables/{tbl}/metrics
+  POST   /management/v1/warehouse
+  GET    /management/v1/warehouse?project={id}
+  POST   /management/v1/warehouse/{id}/activate|deactivate|rename
+
+Errors use the reference's envelope
+{"error": {"message", "type", "code"}} (rest/error.rs:22-70).
+Namespace path segments use the 0x1F unit separator
+(api/iceberg/v1/namespace.rs:89-112). register_table returns 501 like
+the reference (catalog/tables.rs:211-225); views return 404/501 stubs
+(catalog/views.rs:21-190).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .metadata import CommitError
+from .store import (
+    UNIT_SEPARATOR,
+    CatalogStore,
+    ConflictError,
+    NotFoundError,
+    ValidationError,
+)
+
+
+def _error(code: int, message: str, etype: str) -> tuple[int, dict]:
+    return code, {"error": {"message": message, "type": etype, "code": code}}
+
+
+def _ns_from_path(segment: str) -> list[str]:
+    return urllib.parse.unquote(segment).split(UNIT_SEPARATOR)
+
+
+class CatalogHandler(BaseHTTPRequestHandler):
+    store: CatalogStore  # injected by make_server
+    server_version = "iceberg-rest-server-spark/0.1"
+
+    def log_message(self, *args) -> None:  # silence request logging
+        pass
+
+    # ------------------------------------------------------------ plumbing
+
+    def _body(self) -> dict:
+        length = int(self.headers.get("Content-Length") or 0)
+        if not length:
+            return {}
+        return json.loads(self.rfile.read(length))
+
+    def _send(self, code: int, payload: dict | None = None) -> None:
+        data = b"" if payload is None else json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        if data and self.command != "HEAD":
+            self.wfile.write(data)
+
+    def _dispatch(self) -> None:
+        parsed = urllib.parse.urlparse(self.path)
+        qs = urllib.parse.parse_qs(parsed.query)
+        parts = [p for p in parsed.path.split("/") if p]
+        try:
+            code, payload = self.route(self.command, parts, qs)
+        except NotFoundError as e:
+            code, payload = _error(404, str(e), "NoSuchObjectException")
+        except ConflictError as e:
+            code, payload = _error(409, str(e), "CommitFailedException")
+        except ValidationError as e:
+            code, payload = _error(400, str(e), "ValidationException")
+        except CommitError as e:
+            status = 409 if e.error_type == "CommitFailedException" else 400
+            if e.error_type == "NoSuchTableException":
+                status = 404
+            code, payload = _error(status, str(e), e.error_type)
+        except Exception as e:  # noqa: BLE001 — error envelope parity
+            code, payload = _error(500, f"{type(e).__name__}: {e}", "InternalServerError")
+        self._send(code, payload)
+
+    do_GET = do_POST = do_DELETE = do_HEAD = _dispatch
+
+    # -------------------------------------------------------------- routes
+
+    def route(self, method: str, parts: list[str], qs: dict) -> tuple[int, dict | None]:
+        if parts[:2] == ["catalog", "v1"]:
+            return self._catalog_route(method, parts[2:], qs)
+        if parts[:2] == ["management", "v1"]:
+            return self._management_route(method, parts[2:], qs)
+        return _error(404, f"unknown path {'/'.join(parts)}", "NoSuchObjectException")
+
+    def _catalog_route(self, method: str, p: list[str], qs: dict) -> tuple[int, dict | None]:
+        store = self.store
+        if p == ["config"]:
+            # catalog/config.rs:35-143 — warehouse arg "{project}/{name}"
+            wh_arg = qs.get("warehouse", [""])[0]
+            if "/" not in wh_arg:
+                return _error(400, "warehouse must be '{project}/{name}'", "ValidationException")
+            project, name = wh_arg.split("/", 1)
+            wh = store.get_warehouse_by_name(project, name)
+            return 200, {
+                "overrides": {"prefix": wh["warehouse_id"]},
+                "defaults": {},
+            }
+        if len(p) >= 2:
+            prefix, rest = p[0], p[1:]
+            if rest == ["namespaces"]:
+                if method == "GET":
+                    parent = qs.get("parent", [None])[0]
+                    parent_ns = _ns_from_path(parent) if parent else None
+                    names = store.list_namespaces(prefix, parent_ns)
+                    return 200, {"namespaces": names}
+                if method == "POST":
+                    body = self._body()
+                    out = store.create_namespace(
+                        prefix, body["namespace"], body.get("properties")
+                    )
+                    return 200, out
+            if len(rest) == 2 and rest[0] == "namespaces":
+                ns = _ns_from_path(rest[1])
+                if method == "GET":
+                    return 200, store.load_namespace(prefix, ns)
+                if method == "HEAD":
+                    if store.namespace_exists(prefix, ns):
+                        return 204, None
+                    return _error(404, f"namespace {ns} not found", "NoSuchNamespaceException")
+                if method == "DELETE":
+                    store.drop_namespace(prefix, ns)
+                    return 204, None
+            if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "properties":
+                body = self._body()
+                out = store.update_namespace_properties(
+                    prefix,
+                    _ns_from_path(rest[1]),
+                    body.get("removals", []),
+                    body.get("updates", {}),
+                )
+                return 200, out
+            if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "tables":
+                ns = _ns_from_path(rest[1])
+                if method == "GET":
+                    names = store.list_tables(prefix, ns)
+                    return 200, {
+                        "identifiers": [{"namespace": ns, "name": n} for n in names],
+                        "next-page-token": None,  # accepted, unimplemented
+                    }
+                if method == "POST":
+                    body = self._body()
+                    out = store.create_table(
+                        prefix,
+                        ns,
+                        body["name"],
+                        body["schema"],
+                        partition_spec=body.get("partition-spec"),
+                        write_order=body.get("write-order"),
+                        properties=body.get("properties"),
+                        stage_create=bool(body.get("stage-create")),
+                        location=body.get("location"),
+                    )
+                    return 200, {
+                        "metadata": out["metadata"],
+                        "metadata-location": out["metadata-location"],
+                    }
+            if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
+                ns, tbl = _ns_from_path(rest[1]), rest[3]
+                if method == "GET":
+                    out = store.load_table(prefix, ns, tbl)
+                    return 200, {
+                        "metadata": out["metadata"],
+                        "metadata-location": out["metadata-location"],
+                        "config": {},
+                    }
+                if method == "HEAD":
+                    if store.table_exists(prefix, ns, tbl):
+                        return 204, None
+                    return _error(404, f"table {tbl} not found", "NoSuchTableException")
+                if method == "DELETE":
+                    store.drop_table(prefix, ns, tbl)
+                    return 204, None
+                if method == "POST":
+                    body = self._body()
+                    results = store.commit_transaction(
+                        prefix,
+                        [
+                            {
+                                "namespace": ns,
+                                "name": tbl,
+                                "requirements": body.get("requirements", []),
+                                "updates": body.get("updates", []),
+                            }
+                        ],
+                    )
+                    return 200, results[0]
+            if (
+                len(rest) == 5
+                and rest[0] == "namespaces"
+                and rest[2] == "tables"
+                and rest[4] == "metrics"
+            ):
+                # accepted and discarded (catalog/metrics.rs:12-20)
+                return 204, None
+            if rest == ["tables", "rename"]:
+                body = self._body()
+                store.rename_table(
+                    prefix,
+                    body["source"]["namespace"],
+                    body["source"]["name"],
+                    body["destination"]["namespace"],
+                    body["destination"]["name"],
+                )
+                return 204, None
+            if rest == ["transactions", "commit"]:
+                body = self._body()
+                changes = [
+                    {
+                        "namespace": t["identifier"]["namespace"],
+                        "name": t["identifier"]["name"],
+                        "requirements": t.get("requirements", []),
+                        "updates": t.get("updates", []),
+                    }
+                    for t in body.get("table-changes", [])
+                ]
+                store.commit_transaction(prefix, changes)
+                return 204, None
+            if rest == ["register"]:
+                # 501 parity (catalog/tables.rs:211-225)
+                return _error(501, "register_table is not implemented", "NotImplemented")
+            if len(rest) >= 3 and rest[0] == "namespaces" and rest[2] == "views":
+                if method == "GET" and len(rest) == 3:
+                    return 200, {"identifiers": []}  # catalog/views.rs:43-46
+                return _error(501, "views are not implemented", "NotImplemented")
+        return _error(404, "no such route", "NoSuchObjectException")
+
+    def _management_route(self, method: str, p: list[str], qs: dict) -> tuple[int, dict | None]:
+        store = self.store
+        if p == ["warehouse"]:
+            if method == "POST":
+                body = self._body()
+                wid = store.create_warehouse(
+                    body["project-id"], body["warehouse-name"], body["base-location"]
+                )
+                return 201, {"warehouse-id": wid}
+            if method == "GET":
+                project = qs.get("project", [""])[0]
+                include_inactive = qs.get("include-inactive", ["false"])[0] == "true"
+                return 200, {"warehouses": store.list_warehouses(project, include_inactive)}
+        if len(p) == 2 and p[0] == "warehouse" and method == "GET":
+            return 200, store.get_warehouse(p[1])
+        if len(p) == 3 and p[0] == "warehouse":
+            wid, action = p[1], p[2]
+            if action == "activate":
+                store.set_warehouse_status(wid, "active")
+                return 204, None
+            if action == "deactivate":
+                store.set_warehouse_status(wid, "inactive")
+                return 204, None
+            if action == "rename":
+                store.rename_warehouse(wid, self._body()["new-name"])
+                return 204, None
+        return _error(404, "no such route", "NoSuchObjectException")
+
+
+def make_server(store: CatalogStore, port: int = 0) -> ThreadingHTTPServer:
+    handler = type("BoundCatalogHandler", (CatalogHandler,), {"store": store})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+class ServerThread:
+    """Run the catalog server on a daemon thread; `with` support."""
+
+    def __init__(self, store: CatalogStore | None = None, port: int = 0):
+        self.store = store or CatalogStore()
+        self.httpd = make_server(self.store, port)
+        self.port = self.httpd.server_address[1]
+        self.base_url = f"http://127.0.0.1:{self.port}"
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def __enter__(self) -> "ServerThread":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

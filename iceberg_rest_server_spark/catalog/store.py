@@ -1,0 +1,463 @@
+"""SQLite-backed catalog metastore with transactional commit semantics.
+
+Schema mirrors the reference's 5 migrations
+(`crates/iceberg-catalog/src/implementations/postgres/migrations/01-05_*.sql`):
+warehouse → namespace (text-array name, case-insensitive, depth ≤ 1) →
+table (metadata JSON; `metadata_location IS NULL` ⇔ staged). Atomic
+multi-table commits run inside one `BEGIN IMMEDIATE` transaction, the
+SQLite analogue of the reference's single Postgres write transaction
+(`postgres/table.rs:771-852`).
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+import threading
+from contextlib import contextmanager
+from typing import Any
+
+from .metadata import (
+    CommitError,
+    MAIN_BRANCH,
+    TableMetadataBuilder,
+    assert_requirement,
+    new_uuid,
+)
+
+MAX_NAMESPACE_DEPTH = 1  # catalog/namespace.rs:19
+RESERVED_NAMESPACES = {"system", "examples"}  # config.rs:15
+UNIT_SEPARATOR = "\x1f"  # api/iceberg/v1/namespace.rs:89-112
+
+
+class NotFoundError(Exception):
+    """404-style error."""
+
+
+class ConflictError(Exception):
+    """409-style error."""
+
+
+class ValidationError(Exception):
+    """400-style error."""
+
+
+def _ns_key(namespace: list[str]) -> str:
+    return UNIT_SEPARATOR.join(s.lower() for s in namespace)
+
+
+class CatalogStore:
+    def __init__(self, path: str = ":memory:"):
+        # one shared connection; a lock serializes writers (local analogue
+        # of the reference's 5-connection write pool, config.rs:99)
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._conn.execute("PRAGMA foreign_keys = ON")
+        self._lock = threading.RLock()
+        self._init_schema()
+
+    def _init_schema(self) -> None:
+        with self._conn:
+            self._conn.executescript(
+                """
+                CREATE TABLE IF NOT EXISTS warehouse (
+                  warehouse_id TEXT PRIMARY KEY,
+                  project_id   TEXT NOT NULL,
+                  name         TEXT NOT NULL,
+                  base_location TEXT NOT NULL,
+                  status       TEXT NOT NULL DEFAULT 'active',
+                  UNIQUE (project_id, name)
+                );
+                CREATE TABLE IF NOT EXISTS namespace (
+                  namespace_id  TEXT PRIMARY KEY,
+                  warehouse_id  TEXT NOT NULL REFERENCES warehouse(warehouse_id),
+                  name_key      TEXT NOT NULL,
+                  name_json     TEXT NOT NULL,
+                  properties    TEXT NOT NULL DEFAULT '{}',
+                  UNIQUE (warehouse_id, name_key)
+                );
+                CREATE TABLE IF NOT EXISTS tbl (
+                  table_id          TEXT PRIMARY KEY,
+                  namespace_id      TEXT NOT NULL REFERENCES namespace(namespace_id),
+                  name              TEXT NOT NULL,
+                  metadata          TEXT NOT NULL,
+                  metadata_location TEXT,          -- NULL ⇔ staged
+                  table_location    TEXT NOT NULL,
+                  UNIQUE (namespace_id, name)
+                );
+                CREATE INDEX IF NOT EXISTS idx_ns_wh ON namespace(warehouse_id);
+                CREATE INDEX IF NOT EXISTS idx_tbl_ns ON tbl(namespace_id);
+                CREATE INDEX IF NOT EXISTS idx_tbl_loc ON tbl(table_location);
+                """
+            )
+
+    @contextmanager
+    def _txn(self):
+        with self._lock:
+            self._conn.execute("BEGIN IMMEDIATE")
+            try:
+                yield self._conn
+            except Exception:
+                self._conn.rollback()
+                raise
+            else:
+                self._conn.commit()
+
+    # -------------------------------------------------------- warehouses
+
+    def create_warehouse(self, project_id: str, name: str, base_location: str) -> str:
+        wid = new_uuid()
+        try:
+            with self._txn() as c:
+                c.execute(
+                    "INSERT INTO warehouse (warehouse_id, project_id, name, base_location)"
+                    " VALUES (?,?,?,?)",
+                    (wid, project_id, name, base_location),
+                )
+        except sqlite3.IntegrityError as e:
+            raise ConflictError(f"warehouse {name!r} already exists in project") from e
+        return wid
+
+    def get_warehouse(self, warehouse_id: str) -> dict:
+        row = self._conn.execute(
+            "SELECT warehouse_id, project_id, name, base_location, status"
+            " FROM warehouse WHERE warehouse_id = ?",
+            (warehouse_id,),
+        ).fetchone()
+        if row is None:
+            raise NotFoundError(f"warehouse {warehouse_id} not found")
+        return dict(
+            zip(("warehouse_id", "project_id", "name", "base_location", "status"), row)
+        )
+
+    def get_warehouse_by_name(self, project_id: str, name: str) -> dict:
+        row = self._conn.execute(
+            "SELECT warehouse_id FROM warehouse"
+            " WHERE project_id = ? AND name = ? AND status = 'active'",
+            (project_id, name),
+        ).fetchone()
+        if row is None:
+            raise NotFoundError(f"warehouse {name!r} not found in project {project_id}")
+        return self.get_warehouse(row[0])
+
+    def list_warehouses(self, project_id: str, include_inactive: bool = False) -> list[dict]:
+        q = "SELECT warehouse_id FROM warehouse WHERE project_id = ?"
+        if not include_inactive:
+            q += " AND status = 'active'"
+        return [self.get_warehouse(r[0]) for r in self._conn.execute(q, (project_id,))]
+
+    def set_warehouse_status(self, warehouse_id: str, status: str) -> None:
+        if status not in ("active", "inactive"):  # service/mod.rs:186-191
+            raise ValidationError(f"invalid status {status!r}")
+        with self._txn() as c:
+            cur = c.execute(
+                "UPDATE warehouse SET status = ? WHERE warehouse_id = ?", (status, warehouse_id)
+            )
+            if cur.rowcount == 0:
+                raise NotFoundError(f"warehouse {warehouse_id} not found")
+
+    def rename_warehouse(self, warehouse_id: str, new_name: str) -> None:
+        try:
+            with self._txn() as c:
+                cur = c.execute(
+                    "UPDATE warehouse SET name = ? WHERE warehouse_id = ?",
+                    (new_name, warehouse_id),
+                )
+                if cur.rowcount == 0:
+                    raise NotFoundError(f"warehouse {warehouse_id} not found")
+        except sqlite3.IntegrityError as e:
+            raise ConflictError(f"warehouse name {new_name!r} taken") from e
+
+    # -------------------------------------------------------- namespaces
+
+    def _namespace_row(self, warehouse_id: str, namespace: list[str]):
+        return self._conn.execute(
+            "SELECT namespace_id, name_json, properties FROM namespace"
+            " WHERE warehouse_id = ? AND name_key = ?",
+            (warehouse_id, _ns_key(namespace)),
+        ).fetchone()
+
+    def create_namespace(
+        self, warehouse_id: str, namespace: list[str], properties: dict | None = None
+    ) -> dict:
+        if not namespace or any(not part for part in namespace):
+            raise ValidationError("namespace parts must be non-empty")
+        if len(namespace) > MAX_NAMESPACE_DEPTH:
+            # NamespaceDepthExceeded (catalog/namespace.rs:278-302)
+            raise ValidationError(
+                f"namespace depth {len(namespace)} exceeds max {MAX_NAMESPACE_DEPTH}"
+            )
+        if namespace[0].lower() in RESERVED_NAMESPACES:
+            raise ValidationError(f"namespace {namespace[0]!r} is reserved")
+        properties = dict(properties or {})
+        if "location" in properties:
+            # catalog-managed property (catalog/namespace.rs:16,252-276)
+            raise ValidationError("namespace 'location' property is catalog-managed")
+        self.get_warehouse(warehouse_id)
+        nid = new_uuid()
+        try:
+            with self._txn() as c:
+                c.execute(
+                    "INSERT INTO namespace (namespace_id, warehouse_id, name_key, name_json,"
+                    " properties) VALUES (?,?,?,?,?)",
+                    (
+                        nid,
+                        warehouse_id,
+                        _ns_key(namespace),
+                        json.dumps(namespace),
+                        json.dumps(properties),
+                    ),
+                )
+        except sqlite3.IntegrityError as e:
+            raise ConflictError(f"namespace {namespace} already exists") from e
+        return {"namespace": namespace, "properties": properties}
+
+    def list_namespaces(self, warehouse_id: str, parent: list[str] | None = None) -> list[list[str]]:
+        rows = self._conn.execute(
+            "SELECT name_json FROM namespace WHERE warehouse_id = ?", (warehouse_id,)
+        ).fetchall()
+        names = [json.loads(r[0]) for r in rows]
+        if parent:
+            names = [
+                n
+                for n in names
+                if len(n) == len(parent) + 1
+                and [p.lower() for p in n[: len(parent)]] == [p.lower() for p in parent]
+            ]
+        return sorted(names)
+
+    def load_namespace(self, warehouse_id: str, namespace: list[str]) -> dict:
+        row = self._namespace_row(warehouse_id, namespace)
+        if row is None:
+            raise NotFoundError(f"namespace {namespace} not found")
+        return {"namespace": json.loads(row[1]), "properties": json.loads(row[2])}
+
+    def namespace_exists(self, warehouse_id: str, namespace: list[str]) -> bool:
+        return self._namespace_row(warehouse_id, namespace) is not None
+
+    def drop_namespace(self, warehouse_id: str, namespace: list[str]) -> None:
+        if namespace and namespace[0].lower() in RESERVED_NAMESPACES:
+            raise ValidationError(f"namespace {namespace[0]!r} is reserved")
+        row = self._namespace_row(warehouse_id, namespace)
+        if row is None:
+            raise NotFoundError(f"namespace {namespace} not found")
+        n_tables = self._conn.execute(
+            "SELECT count(*) FROM tbl WHERE namespace_id = ?", (row[0],)
+        ).fetchone()[0]
+        if n_tables:
+            # FK violation → NamespaceNotEmpty (postgres/namespace.rs:273-283)
+            raise ConflictError(f"namespace {namespace} is not empty")
+        with self._txn() as c:
+            c.execute("DELETE FROM namespace WHERE namespace_id = ?", (row[0],))
+
+    def update_namespace_properties(
+        self, warehouse_id: str, namespace: list[str], removals: list[str], updates: dict
+    ) -> dict:
+        if "location" in updates:
+            raise ValidationError("namespace 'location' property is catalog-managed")
+        row = self._namespace_row(warehouse_id, namespace)
+        if row is None:
+            raise NotFoundError(f"namespace {namespace} not found")
+        props = json.loads(row[2])
+        missing = [k for k in removals if k not in props]
+        removed = [k for k in removals if k in props]
+        for k in removed:
+            props.pop(k)
+        props.update(updates)
+        with self._txn() as c:
+            c.execute(
+                "UPDATE namespace SET properties = ? WHERE namespace_id = ?",
+                (json.dumps(props), row[0]),
+            )
+        return {"updated": sorted(updates), "removed": removed, "missing": missing}
+
+    # ------------------------------------------------------------ tables
+
+    @staticmethod
+    def _validate_table_properties(properties: dict) -> None:
+        bad = [k for k in properties if k != k.lower()]
+        if bad:
+            # property keys must be lowercase (catalog/tables.rs:1015-1037)
+            raise ValidationError(f"table property keys must be lowercase: {bad}")
+
+    def create_table(
+        self,
+        warehouse_id: str,
+        namespace: list[str],
+        name: str,
+        schema: dict,
+        partition_spec: dict | None = None,
+        write_order: dict | None = None,
+        properties: dict | None = None,
+        stage_create: bool = False,
+        location: str | None = None,
+    ) -> dict:
+        if location is not None:
+            # client-provided location rejected (catalog/tables.rs:84,965-975)
+            raise ValidationError("client-provided table location is not supported")
+        self._validate_table_properties(properties or {})
+        wh = self.get_warehouse(warehouse_id)
+        if wh["status"] != "active":
+            raise ConflictError(f"warehouse {warehouse_id} is not active")
+        ns_row = self._namespace_row(warehouse_id, namespace)
+        if ns_row is None:
+            raise NotFoundError(f"namespace {namespace} not found")
+        table_id = new_uuid()
+        table_location = f"{wh['base_location'].rstrip('/')}/{ns_row[0]}/{table_id}"
+        builder = TableMetadataBuilder()
+        builder.apply({"action": "set-location", "location": table_location})
+        builder.apply({"action": "add-schema", "schema": schema})
+        builder.apply({"action": "set-current-schema", "schema-id": -1})
+        if partition_spec is not None:
+            builder.apply({"action": "add-spec", "spec": partition_spec})
+            builder.apply({"action": "set-default-spec", "spec-id": -1})
+        if write_order is not None:
+            builder.apply({"action": "add-sort-order", "sort-order": write_order})
+            builder.apply({"action": "set-default-sort-order", "sort-order-id": -1})
+        if properties:
+            builder.apply({"action": "set-properties", "updates": properties})
+        metadata = builder.build()
+        metadata_location = (
+            None if stage_create else f"{table_location}/metadata/{new_uuid()}.metadata.json"
+        )
+        with self._lock, self._conn:
+            existing = self._conn.execute(
+                "SELECT table_id, metadata_location FROM tbl"
+                " WHERE namespace_id = ? AND name = ?",
+                (ns_row[0], name),
+            ).fetchone()
+            if existing is not None:
+                if existing[1] is not None:
+                    raise ConflictError(f"table {name!r} already exists")
+                # staged row may be overwritten by a new create
+                # (postgres/table.rs:237-239, 855-860)
+                self._conn.execute("DELETE FROM tbl WHERE table_id = ?", (existing[0],))
+            self._conn.execute(
+                "INSERT INTO tbl (table_id, namespace_id, name, metadata, metadata_location,"
+                " table_location) VALUES (?,?,?,?,?,?)",
+                (
+                    table_id,
+                    ns_row[0],
+                    name,
+                    json.dumps(metadata),
+                    metadata_location,
+                    table_location,
+                ),
+            )
+        return {
+            "table_id": table_id,
+            "metadata": metadata,
+            "metadata-location": metadata_location,
+        }
+
+    def _table_row(self, warehouse_id: str, namespace: list[str], name: str):
+        ns_row = self._namespace_row(warehouse_id, namespace)
+        if ns_row is None:
+            return None
+        return self._conn.execute(
+            "SELECT table_id, metadata, metadata_location, namespace_id FROM tbl"
+            " WHERE namespace_id = ? AND name = ?",
+            (ns_row[0], name),
+        ).fetchone()
+
+    def list_tables(self, warehouse_id: str, namespace: list[str]) -> list[str]:
+        ns_row = self._namespace_row(warehouse_id, namespace)
+        if ns_row is None:
+            raise NotFoundError(f"namespace {namespace} not found")
+        rows = self._conn.execute(
+            # staged tables are invisible to list (postgres/table.rs:330)
+            "SELECT name FROM tbl WHERE namespace_id = ? AND metadata_location IS NOT NULL",
+            (ns_row[0],),
+        ).fetchall()
+        return sorted(r[0] for r in rows)
+
+    def load_table(self, warehouse_id: str, namespace: list[str], name: str) -> dict:
+        row = self._table_row(warehouse_id, namespace, name)
+        if row is None or row[2] is None:
+            # staged tables 404 on load (postgres/table.rs:285)
+            raise NotFoundError(f"table {namespace}.{name} not found")
+        return {
+            "table_id": row[0],
+            "metadata": json.loads(row[1]),
+            "metadata-location": row[2],
+        }
+
+    def table_exists(self, warehouse_id: str, namespace: list[str], name: str) -> bool:
+        row = self._table_row(warehouse_id, namespace, name)
+        return row is not None and row[2] is not None
+
+    def drop_table(self, warehouse_id: str, namespace: list[str], name: str) -> None:
+        row = self._table_row(warehouse_id, namespace, name)
+        if row is None:
+            raise NotFoundError(f"table {namespace}.{name} not found")
+        with self._txn() as c:
+            c.execute("DELETE FROM tbl WHERE table_id = ?", (row[0],))
+
+    def rename_table(
+        self,
+        warehouse_id: str,
+        src_ns: list[str],
+        src_name: str,
+        dst_ns: list[str],
+        dst_name: str,
+    ) -> None:
+        row = self._table_row(warehouse_id, src_ns, src_name)
+        if row is None:
+            raise NotFoundError(f"table {src_ns}.{src_name} not found")
+        dst_ns_row = self._namespace_row(warehouse_id, dst_ns)
+        if dst_ns_row is None:
+            raise NotFoundError(f"namespace {dst_ns} not found")
+        try:
+            with self._txn() as c:
+                c.execute(
+                    "UPDATE tbl SET namespace_id = ?, name = ? WHERE table_id = ?",
+                    (dst_ns_row[0], dst_name, row[0]),
+                )
+        except sqlite3.IntegrityError as e:
+            raise ConflictError(f"table {dst_ns}.{dst_name} already exists") from e
+
+    # ------------------------------------------------------------ commit
+
+    def commit_transaction(self, warehouse_id: str, changes: list[dict]) -> list[dict]:
+        """Atomic multi-table commit (catalog/tables.rs:746-962;
+        postgres/table.rs:771-852): assert ALL requirements against
+        current metadata, then apply ALL update lists, then swap every
+        row inside one transaction."""
+        results = []
+        with self._txn() as c:
+            staged = []
+            for change in changes:
+                ns, name = change["namespace"], change["name"]
+                ns_row = self._namespace_row(warehouse_id, ns)
+                row = self._table_row(warehouse_id, ns, name)
+                current = None
+                if row is not None and row[2] is not None:
+                    current = json.loads(row[1])
+                elif row is not None and row[2] is None and not any(
+                    r.get("type") == "assert-create" for r in change.get("requirements", [])
+                ):
+                    # committing onto a staged table finalizes it
+                    current = json.loads(row[1])
+                for req in change.get("requirements", []):
+                    assert_requirement(req, current)
+                if current is None and row is not None:
+                    current = json.loads(row[1])
+                if current is None:
+                    raise NotFoundError(f"table {ns}.{name} not found")
+                builder = TableMetadataBuilder(current)
+                for update in change.get("updates", []):
+                    builder.apply(update)
+                new_metadata = builder.build()
+                new_location = (
+                    f"{new_metadata['location']}/metadata/{new_uuid()}.metadata.json"
+                )
+                staged.append((row[0], new_metadata, new_location, ns_row[0] if ns_row else None))
+            for table_id, new_metadata, new_location, _ in staged:
+                cur = c.execute(
+                    "UPDATE tbl SET metadata = ?, metadata_location = ? WHERE table_id = ?",
+                    (json.dumps(new_metadata), new_location, table_id),
+                )
+                if cur.rowcount != 1:
+                    # rowcount verified (postgres/table.rs:842-849)
+                    raise ConflictError("concurrent modification detected")
+                results.append({"metadata": new_metadata, "metadata-location": new_location})
+        return results

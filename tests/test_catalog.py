@@ -1,0 +1,385 @@
+"""Catalog-plane parity tests — direct ports of the *behavior contracts*
+in the reference's unit/integration tests (not of the code):
+
+- table_metadata.rs:908-1409 (metadata invariants)
+- rest/table.rs:92-248 (requirements)
+- postgres/table.rs:854-1493 (stage-create overwrite matrix, rename,
+  staged invisibility, multi-table commit)
+- catalog/namespace.rs (reserved namespaces, depth, property guards)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_rest_server_spark.catalog import (
+    CatalogStore,
+    CommitError,
+    ConflictError,
+    NotFoundError,
+    TableMetadataBuilder,
+    ValidationError,
+    assert_requirement,
+)
+from iceberg_rest_server_spark.catalog.client import CatalogHTTPError, RestCatalogClient
+from iceberg_rest_server_spark.catalog.server import ServerThread
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "name", "required": False, "type": "string"},
+    ],
+}
+
+
+def _builder_with_schema() -> TableMetadataBuilder:
+    b = TableMetadataBuilder()
+    b.apply({"action": "set-location", "location": "file:///tmp/t"})
+    b.apply({"action": "add-schema", "schema": dict(SCHEMA)})
+    b.apply({"action": "set-current-schema", "schema-id": -1})
+    return b
+
+
+# ------------------------------------------------------- metadata builder
+
+def test_uuid_reassignment_rejected():
+    b = _builder_with_schema()
+    with pytest.raises(CommitError):
+        b.apply({"action": "assign-uuid", "uuid": "11111111-1111-1111-1111-111111111111"})
+
+
+def test_format_version_downgrade_rejected():
+    b = _builder_with_schema()
+    with pytest.raises(CommitError):
+        b.apply({"action": "upgrade-format-version", "format-version": 1})
+
+
+def test_schema_structural_dedup_and_id_increment():
+    b = _builder_with_schema()
+    b.apply({"action": "add-schema", "schema": dict(SCHEMA)})  # identical → dedup
+    assert len(b.m["schemas"]) == 1
+    wider = {
+        "type": "struct",
+        "fields": SCHEMA["fields"] + [{"id": 3, "name": "x", "required": False, "type": "int"}],
+    }
+    b.apply({"action": "add-schema", "schema": wider, "last-column-id": 3})
+    assert [s["schema-id"] for s in b.m["schemas"]] == [0, 1]
+    assert b.m["last-column-id"] == 3
+
+
+def test_last_column_id_regression_rejected():
+    b = _builder_with_schema()
+    b.m["last-column-id"] = 5
+    with pytest.raises(CommitError):
+        b.apply({"action": "add-schema", "schema": dict(SCHEMA), "last-column-id": 2})
+
+
+def test_partition_field_ids_allocated_from_1000():
+    b = _builder_with_schema()
+    b.apply(
+        {
+            "action": "add-spec",
+            "spec": {"fields": [{"source-id": 1, "name": "id_bucket", "transform": "bucket[16]"}]},
+        }
+    )
+    b.apply({"action": "set-default-spec", "spec-id": -1})
+    spec = b.spec_by_id(b.m["default-spec-id"])
+    assert spec["fields"][0]["field-id"] == 1000  # table_metadata.rs:83
+    b.apply(
+        {
+            "action": "add-spec",
+            "spec": {"fields": [{"source-id": 2, "name": "name_ident", "transform": "identity"}]},
+        }
+    )
+    assert b.m["partition-specs"][-1]["fields"][0]["field-id"] == 1001
+
+
+def test_partition_duplicate_name_and_redundant_pair_rejected():
+    b = _builder_with_schema()
+    with pytest.raises(CommitError):
+        b.apply(
+            {
+                "action": "add-spec",
+                "spec": {
+                    "fields": [
+                        {"source-id": 1, "name": "p", "transform": "identity"},
+                        {"source-id": 2, "name": "p", "transform": "identity"},
+                    ]
+                },
+            }
+        )
+    with pytest.raises(CommitError):
+        b.apply(
+            {
+                "action": "add-spec",
+                "spec": {
+                    "fields": [
+                        {"source-id": 1, "name": "a", "transform": "identity"},
+                        {"source-id": 1, "name": "b", "transform": "identity"},
+                    ]
+                },
+            }
+        )
+
+
+def test_reserved_properties_rejected():
+    b = _builder_with_schema()
+    with pytest.raises(CommitError):
+        b.apply({"action": "set-properties", "updates": {"format-version": "3"}})
+
+
+def test_snapshot_sequence_strictly_increasing():
+    b = _builder_with_schema()
+    b.build()
+    b.apply({"action": "add-snapshot", "snapshot": {"snapshot-id": 1, "sequence-number": 1}})
+    with pytest.raises(CommitError):
+        b.apply({"action": "add-snapshot", "snapshot": {"snapshot-id": 2, "sequence-number": 1}})
+
+
+def test_snapshot_before_schema_rejected():
+    b = TableMetadataBuilder()
+    with pytest.raises(CommitError):
+        b.apply({"action": "add-snapshot", "snapshot": {"snapshot-id": 1}})
+
+
+def test_main_ref_drives_current_snapshot_and_log():
+    b = _builder_with_schema()
+    b.build()
+    b.apply({"action": "add-snapshot", "snapshot": {"snapshot-id": 7, "sequence-number": 1}})
+    b.apply({"action": "set-snapshot-ref", "ref-name": "main", "snapshot-id": 7})
+    assert b.m["current-snapshot-id"] == 7
+    assert [e["snapshot-id"] for e in b.m["snapshot-log"]] == [7]
+    b.apply({"action": "remove-snapshot-ref", "ref-name": "main"})
+    assert b.m["current-snapshot-id"] is None
+    assert b.m["snapshot-log"] == []
+
+
+def test_remove_snapshots_drops_dangling_refs():
+    b = _builder_with_schema()
+    b.build()
+    b.apply({"action": "add-snapshot", "snapshot": {"snapshot-id": 1, "sequence-number": 1}})
+    b.apply({"action": "set-snapshot-ref", "ref-name": "tag1", "snapshot-id": 1, "type": "tag"})
+    b.apply({"action": "remove-snapshots", "snapshot-ids": [1]})
+    assert b.m["refs"] == {}
+
+
+def test_location_immutable_post_create():
+    b = _builder_with_schema()
+    with pytest.raises(CommitError):
+        b.apply({"action": "set-location", "location": "file:///elsewhere"})
+
+
+def test_build_injects_default_spec_and_order():
+    b = _builder_with_schema()
+    m = b.build()
+    assert m["default-spec-id"] == 0 and m["partition-specs"][0]["fields"] == []
+    assert m["default-sort-order-id"] == 0 and m["sort-orders"][0]["fields"] == []
+
+
+# ---------------------------------------------------------- requirements
+
+def test_requirements_matrix():
+    b = _builder_with_schema()
+    m = b.build()
+    assert_requirement({"type": "assert-create"}, None)
+    with pytest.raises(CommitError):
+        assert_requirement({"type": "assert-create"}, m)
+    assert_requirement({"type": "assert-table-uuid", "uuid": m["table-uuid"]}, m)
+    with pytest.raises(CommitError):
+        assert_requirement({"type": "assert-table-uuid", "uuid": "nope"}, m)
+    assert_requirement({"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None}, m)
+    b.apply({"action": "add-snapshot", "snapshot": {"snapshot-id": 5, "sequence-number": 1}})
+    b.apply({"action": "set-snapshot-ref", "ref-name": "main", "snapshot-id": 5})
+    assert_requirement({"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 5}, b.m)
+    with pytest.raises(CommitError):
+        assert_requirement(
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 4}, b.m
+        )
+    with pytest.raises(CommitError):  # ref must not exist
+        assert_requirement(
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None}, b.m
+        )
+
+
+# ----------------------------------------------------------------- store
+
+@pytest.fixture()
+def store():
+    s = CatalogStore()
+    wid = s.create_warehouse("p1", "wh", "file:///tmp/wh")
+    s.create_namespace(wid, ["ns1"])
+    return s, wid
+
+
+def test_reserved_namespace_rejected(store):
+    s, wid = store
+    with pytest.raises(ValidationError):
+        s.create_namespace(wid, ["system"])
+    with pytest.raises(ValidationError):
+        s.drop_namespace(wid, ["examples"])
+
+
+def test_namespace_depth_limit(store):
+    s, wid = store
+    with pytest.raises(ValidationError):
+        s.create_namespace(wid, ["a", "b"])  # MAX_NAMESPACE_DEPTH = 1
+
+
+def test_namespace_location_property_rejected(store):
+    s, wid = store
+    with pytest.raises(ValidationError):
+        s.create_namespace(wid, ["ns2"], {"location": "file:///x"})
+    with pytest.raises(ValidationError):
+        s.update_namespace_properties(wid, ["ns1"], [], {"location": "file:///x"})
+
+
+def test_namespace_case_insensitive_conflict(store):
+    s, wid = store
+    with pytest.raises(ConflictError):
+        s.create_namespace(wid, ["NS1"])  # case-insensitive collation
+
+
+def test_drop_nonempty_namespace_conflicts(store):
+    s, wid = store
+    s.create_table(wid, ["ns1"], "t", SCHEMA)
+    with pytest.raises(ConflictError):
+        s.drop_namespace(wid, ["ns1"])
+
+
+def test_table_property_keys_must_be_lowercase(store):
+    s, wid = store
+    with pytest.raises(ValidationError):
+        s.create_table(wid, ["ns1"], "t", SCHEMA, properties={"MyKey": "v"})
+
+
+def test_client_location_rejected(store):
+    s, wid = store
+    with pytest.raises(ValidationError):
+        s.create_table(wid, ["ns1"], "t", SCHEMA, location="file:///custom")
+
+
+def test_staged_table_invisible_and_overwritable(store):
+    """Stage-create contract (postgres/table.rs:855-860)."""
+    s, wid = store
+    s.create_table(wid, ["ns1"], "t", SCHEMA, stage_create=True)
+    assert s.list_tables(wid, ["ns1"]) == []          # staged filtered from list
+    with pytest.raises(NotFoundError):
+        s.load_table(wid, ["ns1"], "t")               # staged 404 on load
+    assert not s.table_exists(wid, ["ns1"], "t")
+    # a second stage-create over a staged row is allowed…
+    s.create_table(wid, ["ns1"], "t", SCHEMA, stage_create=True)
+    # …and a real create over a staged row is allowed
+    s.create_table(wid, ["ns1"], "t", SCHEMA)
+    assert s.list_tables(wid, ["ns1"]) == ["t"]
+    # but creating over a committed table conflicts
+    with pytest.raises(ConflictError):
+        s.create_table(wid, ["ns1"], "t", SCHEMA)
+
+
+def test_rename_within_and_across_namespaces(store):
+    s, wid = store
+    s.create_namespace(wid, ["ns2"])
+    s.create_table(wid, ["ns1"], "t", SCHEMA)
+    s.rename_table(wid, ["ns1"], "t", ["ns1"], "t2")
+    assert s.list_tables(wid, ["ns1"]) == ["t2"]
+    s.rename_table(wid, ["ns1"], "t2", ["ns2"], "t3")
+    assert s.list_tables(wid, ["ns2"]) == ["t3"]
+    assert s.list_tables(wid, ["ns1"]) == []
+
+
+def test_inactive_warehouse_blocks_create(store):
+    s, wid = store
+    s.set_warehouse_status(wid, "inactive")
+    with pytest.raises(NotFoundError):
+        s.get_warehouse_by_name("p1", "wh")  # active-only lookup
+    with pytest.raises(ConflictError):
+        s.create_table(wid, ["ns1"], "t", SCHEMA)
+
+
+def test_multi_table_commit_atomic(store):
+    """One failing requirement aborts every change (catalog/tables.rs:746-962)."""
+    s, wid = store
+    s.create_table(wid, ["ns1"], "a", SCHEMA)
+    s.create_table(wid, ["ns1"], "b", SCHEMA)
+    ok = {"action": "set-properties", "updates": {"k": "v"}}
+    with pytest.raises(CommitError):
+        s.commit_transaction(
+            wid,
+            [
+                {"namespace": ["ns1"], "name": "a", "requirements": [], "updates": [ok]},
+                {
+                    "namespace": ["ns1"],
+                    "name": "b",
+                    "requirements": [{"type": "assert-table-uuid", "uuid": "wrong"}],
+                    "updates": [ok],
+                },
+            ],
+        )
+    # table a must be untouched
+    assert s.load_table(wid, ["ns1"], "a")["metadata"]["properties"] == {}
+    # and a valid commit applies to both
+    s.commit_transaction(
+        wid,
+        [
+            {"namespace": ["ns1"], "name": "a", "requirements": [], "updates": [ok]},
+            {"namespace": ["ns1"], "name": "b", "requirements": [], "updates": [ok]},
+        ],
+    )
+    assert s.load_table(wid, ["ns1"], "b")["metadata"]["properties"] == {"k": "v"}
+
+
+# ------------------------------------------------------------------ HTTP
+
+def test_rest_roundtrip_and_error_codes():
+    with ServerThread() as server:
+        c = RestCatalogClient(server.base_url)
+        c.create_warehouse("p1", "wh", "file:///tmp/wh-rest")
+        c.configure("p1", "wh")
+        c.create_namespace(["ns"], {"owner": "me"})
+        assert c.list_namespaces() == [["ns"]]
+        assert c.load_namespace(["ns"])["properties"] == {"owner": "me"}
+        out = c.update_namespace_properties(["ns"], removals=["owner"], updates={"x": "1"})
+        assert out["removed"] == ["owner"] and out["updated"] == ["x"]
+
+        c.create_table(["ns"], "t", SCHEMA)
+        assert c.list_tables(["ns"]) == ["t"]
+        loaded = c.load_table(["ns"], "t")
+        assert loaded["metadata"]["current-schema-id"] == 0
+
+        # 404 on missing table, with error envelope
+        with pytest.raises(CatalogHTTPError) as e:
+            c.load_table(["ns"], "missing")
+        assert e.value.code == 404
+
+        # 409 on duplicate create
+        with pytest.raises(CatalogHTTPError) as e:
+            c.create_table(["ns"], "t", SCHEMA)
+        assert e.value.code == 409
+
+        # 400 on bad property key
+        with pytest.raises(CatalogHTTPError) as e:
+            c.create_table(["ns"], "t2", SCHEMA, properties={"BadKey": "v"})
+        assert e.value.code == 400
+
+        # commit with failing CAS → 409
+        with pytest.raises(CatalogHTTPError) as e:
+            c.commit_table(
+                ["ns"], "t",
+                [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 123}],
+                [{"action": "set-properties", "updates": {"k": "v"}}],
+            )
+        assert e.value.code == 409
+
+        # register_table → 501 parity
+        with pytest.raises(CatalogHTTPError) as e:
+            c._request("POST", f"/catalog/v1/{c.prefix}/register", {"name": "x"})
+        assert e.value.code == 501
+
+        # metrics accepted and discarded
+        c.report_metrics(["ns"], "t", {"report-type": "scan-report"})
+
+        c.rename_table(["ns"], "t", ["ns"], "t2")
+        assert c.list_tables(["ns"]) == ["t2"]
+        c.drop_table(["ns"], "t2")
+        c.drop_namespace(["ns"])
