@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 HEADLINE = [
@@ -44,6 +45,7 @@ def main() -> None:
         df = q.fn(spark, sf_dir)
         df.collect()
         times[name] = round(time.perf_counter() - t0, 4)
+        print(f"[bench] {name}: {times[name]:.2f}s", file=sys.stderr, flush=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

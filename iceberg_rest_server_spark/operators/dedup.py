@@ -35,15 +35,24 @@ def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
 
 
 def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, gram) pairs: distinct character n-grams per document, computed
-    JVM-side (sequence+transform, no Python)."""
+    """(id, grams) rows: distinct character n-grams per document, computed
+    JVM-side (sequence+transform, no Python).
+
+    Repartitions on the id first: document corpora often arrive as few
+    large files, and shingling cost must scale with cores, not input
+    splits — at 100 TB the upstream layout is never trusted for
+    parallelism."""
     grams = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
             f" i -> substring({text_col}, i, {n}))"
         )
     )
-    return df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(F.size("grams") > 0)
+    return (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("id"), grams.alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
 
 
 def exact_jaccard_pairs(
@@ -56,8 +65,7 @@ def exact_jaccard_pairs(
     first |A| - ceil(threshold·|A|) + 1 grams, so only that prefix feeds the
     inverted-index self-join. Equivalent to the full join, provably.
     """
-    g = char_shingles(docs, id_col, text_col, n)
-    g.cache()
+    g = char_shingles(docs, id_col, text_col, n).persist()
     exploded = g.select("id", F.explode("grams").alias("gram"))
     df_freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "gram")
@@ -67,12 +75,28 @@ def exact_jaccard_pairs(
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
         .withColumn("prefix_len", F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
         .filter(F.col("pos") <= F.col("prefix_len"))
-        .select("id", "gram")
+        .select("id", "gram", "pos", "sz")
+        .persist()
     )
+    # PPJoin filters: size compatibility (j≥t bounds |A|/|B| within t) and
+    # the positional upper bound on achievable overlap — both prune
+    # candidates without affecting exactness.
+    alpha = threshold / (1.0 + threshold)  # inter ≥ α·(|A|+|B|) ⇔ j ≥ t
     cands = (
         ranked.alias("a")
         .join(ranked.alias("b"), "gram")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz"))
+            & (
+                1
+                + F.least(
+                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+                )
+                >= F.ceil(F.lit(alpha) * (F.col("a.sz") + F.col("b.sz")))
+            )
+        )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
@@ -111,10 +135,28 @@ def minhash_lsh_pairs(
     differs from exact_jaccard_pairs only by LSH recall (1-(1-t^r)^b).
     """
     r = num_hashes // bands
-    g = char_shingles(docs, id_col, text_col, n)
-    exploded = g.select("id", F.explode("grams").alias("gram"))
+    # hashed gram sets: intersect/minhash on int64s, not strings — the
+    # string payload never leaves the first projection. Persisted because
+    # the set feeds both the signature pipeline and final verification
+    # (otherwise Spark re-shingles the corpus once per consumer).
+    g = (
+        char_shingles(docs, id_col, text_col, n)
+        .select(
+            "id",
+            F.array_distinct(F.transform("grams", lambda x: F.xxhash64(x))).alias("hgrams"),
+        )
+        .persist()
+    )
+    exploded = g.select("id", F.explode("hgrams").alias("h"))
+    # Permutation i = xxhash64(gram_hash, i): independent (full avalanche
+    # per seed) but cheap — hashes an int64, not the gram string.
+    # (Kirsch-Mitzenmacher affine derivation was measurably worse here:
+    # correlated permutations cost banding recall.)
     sig = exploded.groupBy("id").agg(
-        *[F.min(F.xxhash64("gram", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     band_cols = F.array(
         *[
@@ -125,8 +167,10 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("id", F.explode(band_cols).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    buckets = (
+        sig.select("id", F.explode(band_cols).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist()
     )
     cands = (
         buckets.alias("a")
@@ -135,8 +179,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    g1 = g.select(F.col("id").alias("id1"), F.col("grams").alias("g1"))
-    g2 = g.select(F.col("id").alias("id2"), F.col("grams").alias("g2"))
+    g1 = g.select(F.col("id").alias("id1"), F.col("hgrams").alias("g1"))
+    g2 = g.select(F.col("id").alias("id2"), F.col("hgrams").alias("g2"))
     return (
         cands.join(g1, "id1")
         .join(g2, "id2")
@@ -182,7 +226,9 @@ def simhash_pairs(
     Pigeonhole banding: split 64 bits into 4 chunks of 16; any pair with
     distance ≤ 3 matches exactly on ≥1 chunk → equi-join per chunk, then
     exact popcount verify. No O(N²) scan."""
-    sig = docs.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("sig"))
+    sig = docs.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("sig")
+    )
     chunks = sig.select(
         "id",
         "sig",

@@ -32,7 +32,7 @@ def to_assets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     struct. (With real data the payload would be image/audio bytes; here
     it's the utf-8 encoding of the text — the plumbing is identical.)"""
     payload = F.encode(F.col(text_col), "utf-8")
-    return docs.select(
+    return docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         payload.alias("payload"),
         F.struct(

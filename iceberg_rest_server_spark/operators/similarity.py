@@ -40,6 +40,24 @@ def norm(a: Column) -> Column:
     )
 
 
+def dot_d(a: Column, b: Column) -> Column:
+    """Dot product over already-double arrays (same left-fold order as
+    `dot`, so bit-identical — just without per-element casts)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _prepped(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
+    """Per-vector precomputation: double-cast array + norm, done once per
+    vector instead of once per pair (float→double casts are exact, and
+    the norm is the same fold as computing it inside the pair, so pair
+    cosines stay bit-identical while pair cost drops to one fold)."""
+    return df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias(id_alias),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_alias),
+        norm(F.col(vec_col)).alias(f"{vec_alias}_nrm"),
+    )
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, k: int = 5
 ) -> DataFrame:
@@ -50,14 +68,15 @@ def cosine_topk_bruteforce(
     once per query batch. Ranking keys are (rounded cosine desc, id) so
     ties break deterministically.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = _prepped(queries, id_col, vec_col, "query_id", "qvec")
+    c = _prepped(corpus, id_col, vec_col, "neighbor_id", "cvec")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
             F.round(
-                dot(F.col("qvec"), F.col("cvec")) / (norm(F.col("qvec")) * norm(F.col("cvec"))),
+                dot_d(F.col("qvec"), F.col("cvec"))
+                / (F.col("qvec_nrm") * F.col("cvec_nrm")),
                 6,
             ),
         )
@@ -103,7 +122,7 @@ def hyperplane_signatures(
         buckets = bits @ weights  # (batch, tables)
         return pd.Series(list(buckets))
 
-    with_sig = df.select(
+    with_sig = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sigs(F.col(vec_col)).alias("sigs")
     )
     return with_sig.select(
@@ -160,13 +179,15 @@ def cosine_neardup_pairs(
     The scale path replaces the full self-join with hyperplane bucketing;
     here exactness anchors the oracle check (and the LSH variant's recall
     measurement in tests)."""
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    a = _prepped(df, id_col, vec_col, "id1", "v1")
+    b = _prepped(df, id_col, vec_col, "id2", "v2")
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .withColumn(
             "cosine",
-            F.round(dot(F.col("v1"), F.col("v2")) / (norm(F.col("v1")) * norm(F.col("v2"))), 6),
+            F.round(
+                dot_d(F.col("v1"), F.col("v2")) / (F.col("v1_nrm") * F.col("v2_nrm")), 6
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
