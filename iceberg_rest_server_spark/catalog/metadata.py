@@ -200,6 +200,13 @@ class TableMetadataBuilder:
         (partition_binder.rs:41-227)."""
         schema = self.schema_by_id(self.m["current-schema-id"]) or {"fields": []}
         by_id = {f["id"]: f for f in schema["fields"]}
+        # a field with the same (source, transform, name) keeps its id
+        # across spec versions; only genuinely new fields get fresh ids
+        known_ids = {
+            (f["source-id"], f["transform"], f["name"]): f["field-id"]
+            for s in self.m["partition-specs"]
+            for f in s["fields"]
+        }
         names = set()
         seen_source_transform = set()
         bound_fields = []
@@ -226,8 +233,12 @@ class TableMetadataBuilder:
             seen_source_transform.add(key)
             bound = dict(field)
             if "field-id" not in bound:
-                bound["field-id"] = next_id
-                next_id += 1
+                existing_id = known_ids.get((src, field["transform"], name))
+                if existing_id is not None:
+                    bound["field-id"] = existing_id
+                else:
+                    bound["field-id"] = next_id
+                    next_id += 1
             bound_fields.append(bound)
         return {**spec, "fields": bound_fields}
 

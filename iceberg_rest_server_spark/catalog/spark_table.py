@@ -264,6 +264,74 @@ class SparkCatalogTable:
             ],
         )
 
+    def add_column(self, name: str, iceberg_type: str, required: bool = False) -> None:
+        """ALTER TABLE ADD COLUMN parity (test_spark.py:228-233):
+        AddSchema (current fields + new field, fresh id) + SetCurrentSchema."""
+        m = self._load()
+        schema = next(
+            s for s in m["schemas"] if s["schema-id"] == m["current-schema-id"]
+        )
+        new_field_id = m["last-column-id"] + 1
+        new_schema = {
+            "type": "struct",
+            "fields": schema["fields"]
+            + [{"id": new_field_id, "name": name, "required": required, "type": iceberg_type}],
+        }
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            [{"type": "assert-current-schema-id", "current-schema-id": m["current-schema-id"]}],
+            [
+                {"action": "add-schema", "schema": new_schema, "last-column-id": new_field_id},
+                {"action": "set-current-schema", "schema-id": -1},
+            ],
+        )
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN parity: new schema without the field."""
+        m = self._load()
+        schema = next(
+            s for s in m["schemas"] if s["schema-id"] == m["current-schema-id"]
+        )
+        new_schema = {
+            "type": "struct",
+            "fields": [f for f in schema["fields"] if f["name"] != name],
+        }
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            [{"type": "assert-current-schema-id", "current-schema-id": m["current-schema-id"]}],
+            [
+                {"action": "add-schema", "schema": new_schema},
+                {"action": "set-current-schema", "schema-id": -1},
+            ],
+        )
+
+    def add_partition_field(self, source_name: str, transform: str, field_name: str) -> None:
+        """ALTER TABLE ADD PARTITION FIELD parity (test_spark.py:244):
+        AddSpec (current fields + new) + SetDefaultSpec; field ids ≥1000."""
+        m = self._load()
+        schema = next(
+            s for s in m["schemas"] if s["schema-id"] == m["current-schema-id"]
+        )
+        source = next(f for f in schema["fields"] if f["name"] == source_name)
+        current_spec = next(
+            s for s in m["partition-specs"] if s["spec-id"] == m["default-spec-id"]
+        )
+        fields = [
+            {k: f[k] for k in ("source-id", "transform", "name")}
+            for f in current_spec["fields"]
+        ] + [{"source-id": source["id"], "transform": transform, "name": field_name}]
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            [{"type": "assert-default-spec-id", "default-spec-id": m["default-spec-id"]}],
+            [
+                {"action": "add-spec", "spec": {"fields": fields}},
+                {"action": "set-default-spec", "spec-id": -1},
+            ],
+        )
+
     def set_properties(self, properties: dict[str, str]) -> None:
         self.client.commit_table(
             self.namespace, self.name, [], [{"action": "set-properties", "updates": properties}]

@@ -17,6 +17,7 @@ import threading
 from contextlib import contextmanager
 from typing import Any
 
+from .io import metadata_file_path, write_metadata_file
 from .metadata import (
     CommitError,
     MAIN_BRANCH,
@@ -316,9 +317,14 @@ class CatalogStore:
         if properties:
             builder.apply({"action": "set-properties", "updates": properties})
         metadata = builder.build()
-        metadata_location = (
-            None if stage_create else f"{table_location}/metadata/{new_uuid()}.metadata.json"
-        )
+        if stage_create:
+            metadata_location = None
+        else:
+            # metadata file written BEFORE the metastore commit — a crash
+            # here leaks an orphan file, never a broken catalog entry
+            # (catalog/tables.rs:150-188 ordering)
+            metadata_location = metadata_file_path(table_location, new_uuid())
+            write_metadata_file(metadata_location, metadata)
         with self._lock, self._conn:
             existing = self._conn.execute(
                 "SELECT table_id, metadata_location FROM tbl"
@@ -447,9 +453,9 @@ class CatalogStore:
                 for update in change.get("updates", []):
                     builder.apply(update)
                 new_metadata = builder.build()
-                new_location = (
-                    f"{new_metadata['location']}/metadata/{new_uuid()}.metadata.json"
-                )
+                new_location = metadata_file_path(new_metadata["location"], new_uuid())
+                # file write precedes the row swap (reference ordering)
+                write_metadata_file(new_location, new_metadata)
                 staged.append((row[0], new_metadata, new_location, ns_row[0] if ns_row else None))
             for table_id, new_metadata, new_location, _ in staged:
                 cur = c.execute(

@@ -1,0 +1,100 @@
+"""Spark ⇄ catalog integration: schema/partition evolution mid-data and
+metadata-file IO — mirrors the reference's test_spark.py evolution cases
+(test_spark.py:192-264) against our REST server + snapshot table layer."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_rest_server_spark.catalog.client import RestCatalogClient
+from iceberg_rest_server_spark.catalog.io import read_metadata_file
+from iceberg_rest_server_spark.catalog.server import ServerThread
+from iceberg_rest_server_spark.catalog.spark_table import (
+    SparkCatalogTable,
+    iceberg_schema_from_spark,
+)
+
+
+@pytest.fixture()
+def table_env(spark):
+    with ServerThread() as server, tempfile.TemporaryDirectory() as wh:
+        client = RestCatalogClient(server.base_url)
+        client.create_warehouse("p", "wh", wh)
+        client.configure("p", "wh")
+        client.create_namespace(["ns"])
+        df = spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        client.create_table(["ns"], "t", iceberg_schema_from_spark(df.schema))
+        yield spark, client, SparkCatalogTable(spark, client, ["ns"], "t"), df
+
+
+def test_metadata_file_written_gzip(table_env):
+    spark, client, table, df = table_env
+    table.append(df)
+    loaded = client.load_table(["ns"], "t")
+    on_disk = read_metadata_file(loaded["metadata-location"])
+    assert on_disk["table-uuid"] == loaded["metadata"]["table-uuid"]
+    assert on_disk["current-snapshot-id"] == loaded["metadata"]["current-snapshot-id"]
+
+
+def test_schema_evolution_mid_data(table_env):
+    spark, client, table, df = table_env
+    table.append(df)
+    table.add_column("extra", "double")
+    # new writes carry the new column; old files backfill nulls on read
+    df2 = spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        (F.col("id") + 0.5).alias("extra"),
+    )
+    table.append(df2)
+    out = table.read()
+    assert set(out.columns) == {"k", "v", "extra"}
+    assert out.count() == 8
+    assert out.filter(F.col("extra").isNull()).count() == 5
+    m = table.metadata()
+    assert len(m["schemas"]) == 2 and m["last-column-id"] == 3
+
+    table.drop_column("extra")
+    out2 = table.read()
+    assert set(out2.columns) == {"k", "v"}
+    assert out2.count() == 8
+    # last-column-id never regresses after a column drop
+    assert table.metadata()["last-column-id"] == 3
+
+
+def test_partition_evolution_field_ids(table_env):
+    spark, client, table, df = table_env
+    table.append(df)
+    table.add_partition_field("k", "bucket[4]", "k_bucket")
+    m = table.metadata()
+    spec = next(s for s in m["partition-specs"] if s["spec-id"] == m["default-spec-id"])
+    assert [f["field-id"] for f in spec["fields"]] == [1000]
+    table.add_partition_field("v", "identity", "v_ident")
+    m = table.metadata()
+    spec = next(s for s in m["partition-specs"] if s["spec-id"] == m["default-spec-id"])
+    assert [f["field-id"] for f in spec["fields"]] == [1000, 1001]
+    # data still readable across partition evolution
+    assert table.read().count() == 5
+
+
+def test_concurrent_commit_cas_conflict(table_env):
+    """Two writers race on the same branch head: the loser's CAS fails."""
+    from iceberg_rest_server_spark.catalog.client import CatalogHTTPError
+
+    spark, client, table, df = table_env
+    table.append(df)
+    head = table.metadata()["refs"]["main"]["snapshot-id"]
+    # writer B commits first
+    table.append(df)
+    # writer A replays a commit against the stale head
+    with pytest.raises(CatalogHTTPError) as e:
+        client.commit_table(
+            ["ns"], "t",
+            [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": head}],
+            [{"action": "set-properties", "updates": {"stale": "1"}}],
+        )
+    assert e.value.code == 409
