@@ -1,0 +1,69 @@
+"""Watermark semantics under a controlled multi-batch replay: a row
+arriving after the watermark has passed its window is dropped
+deterministically (SURVEY.md §2F Q29 'late rows dropped')."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+SCHEMA = StructType(
+    [StructField("ts", TimestampType()), StructField("k", StringType())]
+)
+
+
+def _write_batch(spark, rows, path):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_late_rows_dropped_after_watermark(spark, tmp_path):
+    import datetime as dt
+
+    h0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    h2 = dt.datetime(2024, 1, 1, 2, 30, 0)
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    # batch 0: one row in window 00:00 and one in 02:00 — pushes the
+    # watermark to 02:30 - 15min = 02:15, far past window 00:00's end.
+    # (Spark applies a batch's watermark starting from the NEXT batch, so
+    # the late row goes in its own later file.)
+    _write_batch(spark, [(h0, "a"), (h2, "b")], os.path.join(src, "b0"))
+    time.sleep(1.1)  # file stream source orders batches by mtime
+    # batch 1: timely row for window 02:00 (counted)
+    _write_batch(spark, [(h2 + dt.timedelta(minutes=5), "ok")], os.path.join(src, "b1"))
+    time.sleep(1.1)
+    # batch 2: LATE row for window 00:00 — watermark is 02:15 by now,
+    # window 00's end (01:00) is far behind it → dropped
+    _write_batch(spark, [(h0 + dt.timedelta(minutes=5), "late")], os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+        .withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = "late_test_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name).select(
+        F.col("window.start").alias("w"), "cnt"
+    )
+    # update mode emits one row per window per batch that changed it —
+    # take the final (max) count per window
+    final = {
+        r.w.hour: r.cnt
+        for r in result.groupBy("w").agg(F.max("cnt").alias("cnt")).collect()
+    }
+    assert final[0] == 1, f"late row for window 00 must be dropped: {final}"
+    assert final[2] == 2, f"timely row for window 02 must be counted: {final}"
