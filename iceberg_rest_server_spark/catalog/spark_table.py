@@ -201,6 +201,47 @@ class SparkCatalogTable:
         new_files = self._write_files(df, metadata)
         return self._commit_snapshot(metadata, new_files, "overwrite", branch)
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: bool = True,
+        when_not_matched_insert: bool = True,
+        branch: str = MAIN_BRANCH,
+    ) -> int:
+        """MERGE INTO parity (test_spark.py:72-74: matched→update row,
+        not-matched→insert), composed from DataFrame ops + one snapshot
+        overwrite:
+
+          result =  target ⟕ source (anti on keys)   -- untouched rows
+                  ∪ source∩target                    -- matched, updated
+                  ∪ source∖target                    -- not matched, inserted
+
+        The key join shuffles both sides once; the commit is a single
+        CAS-guarded overwrite snapshot, so MERGE keeps the same atomic
+        visibility as the reference's AddSnapshot+SetSnapshotRef flow."""
+        target = self.read(ref=branch if branch in self._load()["refs"] else None)
+        cols = target.columns
+        untouched = target.join(source, on, "left_anti")
+        matched = (
+            source.join(target.select(on), on, "left_semi") if when_matched_update
+            else target.join(source, on, "left_semi")
+        )
+        pieces = [untouched.select(cols), matched.select(cols)]
+        if when_not_matched_insert:
+            pieces.append(source.join(target.select(on), on, "left_anti").select(cols))
+        merged = pieces[0]
+        for p in pieces[1:]:
+            merged = merged.unionByName(p)
+        return self.overwrite(merged, branch)
+
+    def delete_where(self, condition, branch: str = MAIN_BRANCH) -> int:
+        """Row-level DELETE: rewrite without matching rows (copy-on-write)."""
+        remaining = self.read(ref=branch if branch in self._load()["refs"] else None).filter(
+            ~condition
+        )
+        return self.overwrite(remaining, branch)
+
     def compact(self, target_partitions: int = 1, branch: str = MAIN_BRANCH) -> int:
         """CALL system.rewrite_data_files parity (test_spark.py:347-357):
         read-all + coalesce + overwrite with replace semantics."""

@@ -17,6 +17,7 @@ import threading
 from contextlib import contextmanager
 from typing import Any
 
+from .events import publish_event
 from .io import metadata_file_path, write_metadata_file
 from .metadata import (
     CommitError,
@@ -349,6 +350,11 @@ class CatalogStore:
                     table_location,
                 ),
             )
+        if not stage_create:
+            # fire-and-forget after commit (catalog/tables.rs:190-205)
+            publish_event(
+                wh["base_location"], "createTable", table_id, namespace, name, metadata_location
+            )
         return {
             "table_id": table_id,
             "metadata": metadata,
@@ -429,6 +435,8 @@ class CatalogStore:
         current metadata, then apply ALL update lists, then swap every
         row inside one transaction."""
         results = []
+        events = []
+        wh = self.get_warehouse(warehouse_id)
         with self._txn() as c:
             staged = []
             for change in changes:
@@ -457,6 +465,7 @@ class CatalogStore:
                 # file write precedes the row swap (reference ordering)
                 write_metadata_file(new_location, new_metadata)
                 staged.append((row[0], new_metadata, new_location, ns_row[0] if ns_row else None))
+                events.append((row[0], ns, name, new_location))
             for table_id, new_metadata, new_location, _ in staged:
                 cur = c.execute(
                     "UPDATE tbl SET metadata = ?, metadata_location = ? WHERE table_id = ?",
@@ -466,4 +475,7 @@ class CatalogStore:
                     # rowcount verified (postgres/table.rs:842-849)
                     raise ConflictError("concurrent modification detected")
                 results.append({"metadata": new_metadata, "metadata-location": new_location})
+        for table_id, ns, name, new_location in events:
+            # after the transaction commits (catalog/tables.rs:488-507)
+            publish_event(wh["base_location"], "updateTable", table_id, ns, name, new_location)
         return results

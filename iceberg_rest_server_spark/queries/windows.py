@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..tables import load
+from ..tables import load, register_views
 from ._exact import dec
 from ._registry import register
 
@@ -54,6 +54,58 @@ def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+_Q15_GS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register(
+    "q15_grouping_sets",
+    oracle=_Q15_GS_SQL,
+    doc="Explicit GROUPING SETS (disjoint single-dimension sets + grand total).",
+)
+def q15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q15_GS_SQL)
+
+
+@register(
+    "q15_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([
+        TIMESTAMP '1970-01-01'
+          + ((epoch_us(ts) // 1800000000) * 1800) * INTERVAL 1 SECOND,
+        TIMESTAMP '1970-01-01'
+          + ((epoch_us(ts) // 1800000000) * 1800 - 1800) * INTERVAL 1 SECOND
+      ]) AS ws, value
+      FROM events
+    )
+    GROUP BY ws
+    ORDER BY ws
+    """,
+    doc="Sliding (hopping) window: 1 h windows every 30 min over events — "
+    "each event lands in exactly two windows; the oracle expands the "
+    "two hop-aligned window starts per event.",
+)
+def q15_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "cnt", "total_value")
+        .orderBy("window_start")
     )
 
 
