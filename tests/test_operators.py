@@ -40,6 +40,27 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.5, f"ANN LSH recall {recall}"
 
 
+def test_blocked_gemm_equals_bruteforce(spark, sf_dir):
+    """The blocked-GEMM cosine pair scan must be bit-identical to the
+    brute-force self-join (same pairs AND same cosine values)."""
+    from iceberg_rest_server_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blocked,
+    )
+    from iceberg_rest_server_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    blocked = {
+        (r.id1, r.id2): r.cosine
+        for r in cosine_neardup_pairs_blocked(emb, "vec_id", "embedding", 0.45).collect()
+    }
+    brute = {
+        (r.id1, r.id2): r.cosine
+        for r in cosine_neardup_pairs(emb, "vec_id", "embedding", 0.45).collect()
+    }
+    assert blocked == brute and len(blocked) > 0
+
+
 def test_asof_join_no_pair_explosion(spark, sf_dir):
     """The as-of plan must not contain a cartesian/range join."""
     df = REGISTRY["q14_asof_join"].fn(spark, sf_dir)
