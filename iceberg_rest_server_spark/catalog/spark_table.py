@@ -21,6 +21,7 @@ import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .client import RestCatalogClient
@@ -135,8 +136,38 @@ class SparkCatalogTable:
 
     # -------------------------------------------------------------- write
 
+    def _apply_write_order(self, df: DataFrame, metadata: dict) -> DataFrame:
+        """WRITE ORDERED BY parity (SURVEY §1.2 sort orders → Spark
+        `sortWithinPartitions` on write): rows inside each data file are
+        laid out per the table's default sort order, enabling min/max
+        file skipping without a global sort's extra shuffle."""
+        order = next(
+            (
+                o
+                for o in metadata.get("sort-orders", [])
+                if o["order-id"] == metadata.get("default-sort-order-id")
+            ),
+            None,
+        )
+        if not order or not order.get("fields"):
+            return df
+        schema = next(
+            s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
+        )
+        by_id = {f["id"]: f["name"] for f in schema["fields"]}
+        cols = []
+        for f in order["fields"]:
+            name = by_id.get(f["source-id"])
+            if name is None or name not in df.columns:
+                continue
+            c = F.col(name)
+            c = c.desc() if f.get("direction") == "desc" else c.asc()
+            cols.append(c)
+        return df.sortWithinPartitions(*cols) if cols else df
+
     def _write_files(self, df: DataFrame, metadata: dict) -> list[str]:
         data_dir = os.path.join(self._local(metadata["location"]), "data", uuid.uuid4().hex)
+        df = self._apply_write_order(df, metadata)
         df.write.mode("overwrite").parquet(data_dir)
         return sorted(
             os.path.join(root, f)
@@ -370,6 +401,33 @@ class SparkCatalogTable:
             [
                 {"action": "add-spec", "spec": {"fields": fields}},
                 {"action": "set-default-spec", "spec-id": -1},
+            ],
+        )
+
+    def set_write_order(self, fields: list[tuple[str, str]]) -> None:
+        """ALTER TABLE ... WRITE ORDERED BY parity: fields is a list of
+        (column_name, 'asc'|'desc'); AddSortOrder + SetDefaultSortOrder."""
+        m = self._load()
+        schema = next(
+            s for s in m["schemas"] if s["schema-id"] == m["current-schema-id"]
+        )
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        order_fields = [
+            {
+                "source-id": by_name[name],
+                "transform": "identity",
+                "direction": direction,
+                "null-order": "nulls-first" if direction == "asc" else "nulls-last",
+            }
+            for name, direction in fields
+        ]
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            [],
+            [
+                {"action": "add-sort-order", "sort-order": {"fields": order_fields}},
+                {"action": "set-default-sort-order", "sort-order-id": -1},
             ],
         )
 

@@ -81,6 +81,25 @@ def test_partition_evolution_field_ids(table_env):
     assert table.read().count() == 5
 
 
+def test_write_order_applied_on_append(table_env):
+    """WRITE ORDERED BY: rows inside each data file follow the default
+    sort order after set_write_order."""
+    import pyarrow.parquet as pq
+
+    spark, client, table, df = table_env
+    table.set_write_order([("v", "desc")])
+    table.append(df.coalesce(1))
+    m = table.metadata()
+    order = next(
+        o for o in m["sort-orders"] if o["order-id"] == m["default-sort-order-id"]
+    )
+    assert order["fields"][0]["direction"] == "desc"
+    snap = table._resolve_snapshot(m)
+    files = table._snapshot_files(m, snap)
+    vals = pq.read_table(files[0]).column("v").to_pylist()
+    assert vals == sorted(vals, reverse=True)
+
+
 def test_concurrent_commit_cas_conflict(table_env):
     """Two writers race on the same branch head: the loser's CAS fails."""
     from iceberg_rest_server_spark.catalog.client import CatalogHTTPError
