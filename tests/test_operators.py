@@ -69,6 +69,22 @@ def test_asof_join_no_pair_explosion(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_broadcast_join_strategy_chosen(spark, sf_dir):
+    """Dimension joins must plan as BroadcastHashJoin (no shuffle of the
+    fact side), and the fact-fact join must not broadcast the fact."""
+    plan8 = REGISTRY["q08_broadcast_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan8
+    plan9 = REGISTRY["q09_multiway_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan9
+    assert "CartesianProduct" not in plan9
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """Top-k must plan as TakeOrderedAndProject, not a global sort."""
+    plan = REGISTRY["q18_topk"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = REGISTRY["q02_filter"].fn(spark, sf_dir)
     # formatted explain: the simple plan string truncates PushedFilters
