@@ -179,6 +179,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
+    # size-compatibility prune before fetching gram arrays: j ≥ t bounds
+    # |A|/|B| within [t, 1/t], and the size join is two cheap int columns
+    # vs. the wide array join — most low-j LSH candidates die here.
+    sizes = g.select("id", F.size("hgrams").alias("sz"))
+    cands = (
+        cands.join(sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2")), "id2")
+        .filter(
+            (F.col("sz1") >= threshold * F.col("sz2"))
+            & (F.col("sz2") >= threshold * F.col("sz1"))
+        )
+        .select("id1", "id2")
+    )
     g1 = g.select(F.col("id").alias("id1"), F.col("hgrams").alias("g1"))
     g2 = g.select(F.col("id").alias("id2"), F.col("hgrams").alias("g2"))
     return (

@@ -322,6 +322,70 @@ def q36_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@register(
+    "q40_curation_pipeline",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> list_contains(['the','a','of','to','and','in','is'], t))) AS n_stop,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM scored
+      WHERE n_chars >= 100 AND n_chars <= 20000 AND n_stop > 0 AND n_cjk = 0
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+      FROM kept
+    ), dup_victims AS (
+      SELECT DISTINCT b.doc_id
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+    )
+    SELECT k.doc_id, k.n_tokens, k.fingerprint
+    FROM kept k
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM dup_victims)
+    ORDER BY k.doc_id
+    """,
+    doc="End-to-end curation pipeline: quality gate (length + stopwords) → "
+    "CJK filter → exact near-dup removal (keep the lowest doc_id of each "
+    "j≥0.8 group) → curated docs with token counts + fingerprints. "
+    "Composes quality_score, lang_id, exact_jaccard_pairs, fingerprint "
+    "and token_stats into one declarative plan — the 100 TB shape of a "
+    "training-data prep job.",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    quality = text.quality_score(docs, "doc_id", "text").select("doc_id", "passes_quality")
+    langs = text.lang_id(docs, "doc_id", "text").select("doc_id", "n_cjk")
+    kept_ids = (
+        quality.join(langs, "doc_id")
+        .filter(F.col("passes_quality") & (F.col("n_cjk") == 0))
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    victims = (
+        dedup.exact_jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.8)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    stats = text.token_stats(kept, "doc_id", "text").select("doc_id", "n_tokens")
+    fps = text.fingerprint(kept, "doc_id", "text").select("doc_id", "fingerprint")
+    return (
+        kept.join(victims, "doc_id", "left_anti")
+        .join(stats, "doc_id")
+        .join(fps, "doc_id")
+        .select("doc_id", "n_tokens", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 @register(
