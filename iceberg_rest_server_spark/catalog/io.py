@@ -26,7 +26,14 @@ def _local(path: str) -> str:
 
 
 def write_metadata_file(path: str, metadata: dict) -> str:
-    """Write gzip'd metadata JSON; returns the path written."""
+    """Write gzip'd metadata JSON; returns the path written.
+
+    s3:// paths are tracked but not written — this container has no S3
+    client (boto3/fsspec); the metastore row stays authoritative, and the
+    write slot is where an S3 PUT (via the remote signer) goes in a real
+    deployment."""
+    if path.startswith(("s3://", "s3a://")):
+        return path
     p = _local(path)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     with gzip.open(p, "wt", encoding="utf-8") as fh:

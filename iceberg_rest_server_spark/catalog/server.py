@@ -41,6 +41,7 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .metadata import CommitError
+from .s3_signer import SigningError, permission_for_method, sign_s3_request
 from .store import (
     UNIT_SEPARATOR,
     CatalogStore,
@@ -52,6 +53,12 @@ from .store import (
 
 def _error(code: int, message: str, etype: str) -> tuple[int, dict]:
     return code, {"error": {"message": message, "type": etype, "code": code}}
+
+
+def _amz_now() -> str:
+    import time as _time
+
+    return _time.strftime("%Y%m%dT%H%M%SZ", _time.gmtime())
 
 
 def _ns_from_path(segment: str) -> list[str]:
@@ -224,6 +231,40 @@ class CatalogHandler(BaseHTTPRequestHandler):
             ):
                 # accepted and discarded (catalog/metrics.rs:12-20)
                 return 204, None
+            if (
+                len(rest) == 8
+                and rest[0] == "namespaces"
+                and rest[2] == "tables"
+                and rest[4:] == ["v1", "aws", "s3", "sign"]
+            ):
+                # POST .../tables/{tbl}/v1/aws/s3/sign (s3_signer.rs:38-173)
+                ns, tbl = _ns_from_path(rest[1]), rest[3]
+                body = self._body()
+                table = store.load_table(prefix, ns, tbl)
+                wh = store.get_warehouse(prefix)
+                profile = wh.get("storage_profile")
+                if not profile:
+                    return _error(400, "warehouse has no storage profile", "ValidationException")
+                if body.get("region") and body["region"] != profile.get("region"):
+                    # region must match the profile (s3_signer.rs:309-320)
+                    return _error(400, f"region {body.get('region')!r} does not match profile",
+                                  "ValidationException")
+                try:
+                    permission_for_method(body["method"])
+                    signed = sign_s3_request(
+                        method=body["method"],
+                        uri=body["uri"],
+                        headers=body.get("headers", {}),
+                        table_location=table["metadata"]["location"],
+                        region=profile["region"],
+                        access_key=profile["access-key-id"],
+                        secret_key=profile["secret-access-key"],
+                        amz_date=body.get("amz-date") or _amz_now(),
+                        endpoint_host=profile.get("endpoint-host"),
+                    )
+                except SigningError as e:
+                    return _error(403, str(e), "SignAccessDenied")
+                return 200, {"uri": body["uri"], "headers": signed}
             if rest == ["tables", "rename"]:
                 body = self._body()
                 store.rename_table(
@@ -273,6 +314,9 @@ class CatalogHandler(BaseHTTPRequestHandler):
             return 200, store.get_warehouse(p[1])
         if len(p) == 3 and p[0] == "warehouse":
             wid, action = p[1], p[2]
+            if action == "storage-profile":
+                store.set_storage_profile(wid, self._body())
+                return 204, None
             if action == "activate":
                 store.set_warehouse_status(wid, "active")
                 return 204, None

@@ -67,6 +67,7 @@ class CatalogStore:
                   name         TEXT NOT NULL,
                   base_location TEXT NOT NULL,
                   status       TEXT NOT NULL DEFAULT 'active',
+                  storage_profile TEXT,            -- JSON: region/endpoint/credentials
                   UNIQUE (project_id, name)
                 );
                 CREATE TABLE IF NOT EXISTS namespace (
@@ -121,15 +122,34 @@ class CatalogStore:
 
     def get_warehouse(self, warehouse_id: str) -> dict:
         row = self._conn.execute(
-            "SELECT warehouse_id, project_id, name, base_location, status"
+            "SELECT warehouse_id, project_id, name, base_location, status, storage_profile"
             " FROM warehouse WHERE warehouse_id = ?",
             (warehouse_id,),
         ).fetchone()
         if row is None:
             raise NotFoundError(f"warehouse {warehouse_id} not found")
-        return dict(
-            zip(("warehouse_id", "project_id", "name", "base_location", "status"), row)
+        out = dict(
+            zip(
+                ("warehouse_id", "project_id", "name", "base_location", "status", "storage_profile"),
+                row,
+            )
         )
+        out["storage_profile"] = json.loads(out["storage_profile"]) if out["storage_profile"] else None
+        return out
+
+    def set_storage_profile(self, warehouse_id: str, profile: dict) -> None:
+        """Attach/update the S3 storage profile. bucket/region/key_prefix
+        are immutable once set (storage/s3.rs:184-220)."""
+        current = self.get_warehouse(warehouse_id).get("storage_profile")
+        if current:
+            for key in ("bucket", "region", "key-prefix"):
+                if key in current and current.get(key) != profile.get(key):
+                    raise ValidationError(f"storage profile {key!r} is immutable")
+        with self._txn() as c:
+            c.execute(
+                "UPDATE warehouse SET storage_profile = ? WHERE warehouse_id = ?",
+                (json.dumps(profile), warehouse_id),
+            )
 
     def get_warehouse_by_name(self, project_id: str, name: str) -> dict:
         row = self._conn.execute(
