@@ -140,8 +140,12 @@ class CatalogHandler(BaseHTTPRequestHandler):
                 if method == "GET":
                     parent = qs.get("parent", [None])[0]
                     parent_ns = _ns_from_path(parent) if parent else None
-                    names = store.list_namespaces(prefix, parent_ns)
-                    return 200, {"namespaces": names}
+                    page_token = qs.get("pageToken", [None])[0]
+                    page_size = qs.get("pageSize", [None])[0]
+                    names, next_token = store.list_namespaces(
+                        prefix, parent_ns, page_token, int(page_size) if page_size else None
+                    )
+                    return 200, {"namespaces": names, "next-page-token": next_token}
                 if method == "POST":
                     body = self._body()
                     out = store.create_namespace(
@@ -171,10 +175,14 @@ class CatalogHandler(BaseHTTPRequestHandler):
             if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "tables":
                 ns = _ns_from_path(rest[1])
                 if method == "GET":
-                    names = store.list_tables(prefix, ns)
+                    page_token = qs.get("pageToken", [None])[0]
+                    page_size = qs.get("pageSize", [None])[0]
+                    names, next_token = store.list_tables(
+                        prefix, ns, page_token, int(page_size) if page_size else None
+                    )
                     return 200, {
                         "identifiers": [{"namespace": ns, "name": n} for n in names],
-                        "next-page-token": None,  # accepted, unimplemented
+                        "next-page-token": next_token,
                     }
                 if method == "POST":
                     body = self._body()

@@ -233,7 +233,26 @@ class CatalogStore:
             raise ConflictError(f"namespace {namespace} already exists") from e
         return {"namespace": namespace, "properties": properties}
 
-    def list_namespaces(self, warehouse_id: str, parent: list[str] | None = None) -> list[list[str]]:
+    @staticmethod
+    def _paginate(items: list, page_token: str | None, page_size: int | None):
+        """Offset-token pagination. The reference accepts tokens but never
+        pages (catalog/tables.rs:64-67); we implement it for real — the
+        protocol shape is identical, next-page-token is simply non-null
+        when a page fills."""
+        offset = int(page_token) if page_token else 0
+        if page_size is None or page_size <= 0:
+            return items[offset:], None
+        page = items[offset : offset + page_size]
+        next_token = str(offset + page_size) if offset + page_size < len(items) else None
+        return page, next_token
+
+    def list_namespaces(
+        self,
+        warehouse_id: str,
+        parent: list[str] | None = None,
+        page_token: str | None = None,
+        page_size: int | None = None,
+    ) -> tuple[list[list[str]], str | None]:
         rows = self._conn.execute(
             "SELECT name_json FROM namespace WHERE warehouse_id = ?", (warehouse_id,)
         ).fetchall()
@@ -245,7 +264,7 @@ class CatalogStore:
                 if len(n) == len(parent) + 1
                 and [p.lower() for p in n[: len(parent)]] == [p.lower() for p in parent]
             ]
-        return sorted(names)
+        return self._paginate(sorted(names), page_token, page_size)
 
     def load_namespace(self, warehouse_id: str, namespace: list[str]) -> dict:
         row = self._namespace_row(warehouse_id, namespace)
@@ -391,7 +410,13 @@ class CatalogStore:
             (ns_row[0], name),
         ).fetchone()
 
-    def list_tables(self, warehouse_id: str, namespace: list[str]) -> list[str]:
+    def list_tables(
+        self,
+        warehouse_id: str,
+        namespace: list[str],
+        page_token: str | None = None,
+        page_size: int | None = None,
+    ) -> tuple[list[str], str | None]:
         ns_row = self._namespace_row(warehouse_id, namespace)
         if ns_row is None:
             raise NotFoundError(f"namespace {namespace} not found")
@@ -400,7 +425,7 @@ class CatalogStore:
             "SELECT name FROM tbl WHERE namespace_id = ? AND metadata_location IS NOT NULL",
             (ns_row[0],),
         ).fetchall()
-        return sorted(r[0] for r in rows)
+        return self._paginate(sorted(r[0] for r in rows), page_token, page_size)
 
     def load_table(self, warehouse_id: str, namespace: list[str], name: str) -> dict:
         row = self._table_row(warehouse_id, namespace, name)

@@ -263,7 +263,7 @@ def test_staged_table_invisible_and_overwritable(store):
     """Stage-create contract (postgres/table.rs:855-860)."""
     s, wid = store
     s.create_table(wid, ["ns1"], "t", SCHEMA, stage_create=True)
-    assert s.list_tables(wid, ["ns1"]) == []          # staged filtered from list
+    assert s.list_tables(wid, ["ns1"])[0] == []          # staged filtered from list
     with pytest.raises(NotFoundError):
         s.load_table(wid, ["ns1"], "t")               # staged 404 on load
     assert not s.table_exists(wid, ["ns1"], "t")
@@ -271,7 +271,7 @@ def test_staged_table_invisible_and_overwritable(store):
     s.create_table(wid, ["ns1"], "t", SCHEMA, stage_create=True)
     # …and a real create over a staged row is allowed
     s.create_table(wid, ["ns1"], "t", SCHEMA)
-    assert s.list_tables(wid, ["ns1"]) == ["t"]
+    assert s.list_tables(wid, ["ns1"])[0] == ["t"]
     # but creating over a committed table conflicts
     with pytest.raises(ConflictError):
         s.create_table(wid, ["ns1"], "t", SCHEMA)
@@ -282,10 +282,10 @@ def test_rename_within_and_across_namespaces(store):
     s.create_namespace(wid, ["ns2"])
     s.create_table(wid, ["ns1"], "t", SCHEMA)
     s.rename_table(wid, ["ns1"], "t", ["ns1"], "t2")
-    assert s.list_tables(wid, ["ns1"]) == ["t2"]
+    assert s.list_tables(wid, ["ns1"])[0] == ["t2"]
     s.rename_table(wid, ["ns1"], "t2", ["ns2"], "t3")
-    assert s.list_tables(wid, ["ns2"]) == ["t3"]
-    assert s.list_tables(wid, ["ns1"]) == []
+    assert s.list_tables(wid, ["ns2"])[0] == ["t3"]
+    assert s.list_tables(wid, ["ns1"])[0] == []
 
 
 def test_inactive_warehouse_blocks_create(store):
@@ -381,5 +381,21 @@ def test_rest_roundtrip_and_error_codes():
 
         c.rename_table(["ns"], "t", ["ns"], "t2")
         assert c.list_tables(["ns"]) == ["t2"]
+
+        # pagination: real tokens (the reference accepts but never pages)
+        for i in range(5):
+            c.create_table(["ns"], f"p{i}", SCHEMA)
+        page1 = c._request("GET", f"/catalog/v1/{c.prefix}/namespaces/ns/tables?pageSize=3")
+        assert len(page1["identifiers"]) == 3 and page1["next-page-token"] is not None
+        page2 = c._request(
+            "GET",
+            f"/catalog/v1/{c.prefix}/namespaces/ns/tables?pageSize=3&pageToken={page1['next-page-token']}",
+        )
+        assert len(page2["identifiers"]) == 3 and page2["next-page-token"] is None
+        names = [i["name"] for i in page1["identifiers"] + page2["identifiers"]]
+        assert names == sorted(names) and len(names) == 6
+
+        for i in range(5):
+            c.drop_table(["ns"], f"p{i}")
         c.drop_table(["ns"], "t2")
         c.drop_namespace(["ns"])
