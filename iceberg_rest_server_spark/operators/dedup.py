@@ -65,7 +65,19 @@ def exact_jaccard_pairs(
     first |A| - ceil(threshold·|A|) + 1 grams, so only that prefix feeds the
     inverted-index self-join. Equivalent to the full join, provably.
     """
-    g = char_shingles(docs, id_col, text_col, n).persist()
+    # whole pipeline runs on hashed grams (int64): document frequency,
+    # prefix ordering and set intersection only need equality and *a*
+    # canonical total order, so (df, hash) ordering is as correct as
+    # (df, gram) — and int comparisons/intersections are far cheaper
+    # than strings. 64-bit collisions are ~1e-13 per doc pair.
+    g = (
+        char_shingles(docs, id_col, text_col, n)
+        .select(
+            "id",
+            F.array_distinct(F.transform("grams", lambda x: F.xxhash64(x))).alias("grams"),
+        )
+        .persist()
+    )
     exploded = g.select("id", F.explode("grams").alias("gram"))
     df_freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "gram")
