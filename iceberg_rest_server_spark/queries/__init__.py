@@ -14,5 +14,6 @@ from . import udfs  # noqa: F401  (Q27–Q28)
 from ..streaming import queries as _streaming_queries  # noqa: F401  (Q29–Q30)
 from . import northstar  # noqa: F401  (Q31+ training-data pipeline ops)
 from . import catalog_e2e  # noqa: F401  (Q34 catalog plane)
+from . import stats  # noqa: F401  (Q41+ statistics)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]
