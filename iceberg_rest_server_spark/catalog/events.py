@@ -50,7 +50,14 @@ def publish_event(
 ) -> None:
     """Append one event as its own small JSON file (the file stream
     source triggers on new files). Failures are swallowed — the commit
-    must never block on event delivery (event_publisher.rs:13-53)."""
+    must never block on event delivery (event_publisher.rs:13-53).
+
+    Non-local base locations (s3:// etc.) are skipped entirely — same
+    guard as io.write_metadata_file: this container has no object-store
+    client, and os.makedirs on "s3://..." would create a literal local
+    "s3:/" directory tree relative to CWD."""
+    if not base_location.startswith(("file://", "/")):
+        return
     try:
         d = _events_dir(base_location)
         os.makedirs(d, exist_ok=True)

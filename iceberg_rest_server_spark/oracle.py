@@ -56,6 +56,36 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def oracle_type_issues(rel: "duckdb.DuckDBPyRelation", spark_pdf: pd.DataFrame) -> list[str]:
+    """Dtype-level strictness mirroring the driver's value-hash.
+
+    The driver hashes raw column values *with their types*, so a DuckDB
+    HUGEINT (``sum()`` of integers) or DECIMAL next to a Spark BIGINT/DOUBLE
+    hash-mismatches even when every value is equal — this is exactly how
+    q26/q31 failed in round 1 while the (int64-widening) local mirror passed.
+    Inspect the DuckDB relation types *before* ``.df()`` flattens them.
+    """
+    issues: list[str] = []
+    spark_dtypes = {c: str(spark_pdf[c].dtype) for c in spark_pdf.columns}
+    for name, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if "HUGEINT" in ts:
+            issues.append(
+                f"{name}: DuckDB {ts} (Spark has no int128 — CAST the oracle to BIGINT)"
+            )
+        elif ts.startswith("DECIMAL") and spark_dtypes.get(name, "") in (
+            "float64",
+            "float32",
+            "int64",
+            "int32",
+        ):
+            issues.append(
+                f"{name}: DuckDB {ts} vs Spark {spark_dtypes.get(name)} — "
+                "CAST the oracle (or the Spark column) so types agree"
+            )
+    return issues
+
+
 @dataclass
 class CompareResult:
     name: str

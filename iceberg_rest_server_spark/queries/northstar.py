@@ -17,7 +17,7 @@ from ._registry import register
 @register(
     "q31_exact_dedup",
     oracle="""
-    SELECT count(*) AS n_after, sum(CASE WHEN 1=1 THEN 1 ELSE 0 END) AS n_rows
+    SELECT count(*) AS n_after, count(*) AS n_rows
     FROM (
       SELECT DISTINCT * FROM (
         SELECT * FROM lineitem

@@ -50,7 +50,7 @@ WITH cust_spend AS (
 SELECT n.n_name,
        count(*) AS n_cust,
        CAST(sum(CAST(cs.total AS DECIMAL(18,2))) AS DOUBLE) AS nation_spend,
-       sum(cs.n_orders) AS nation_orders
+       CAST(sum(cs.n_orders) AS BIGINT) AS nation_orders
 FROM cust_spend cs
 JOIN customer c ON c.c_custkey = cs.o_custkey
 JOIN nation n   ON n.n_nationkey = c.c_nationkey
