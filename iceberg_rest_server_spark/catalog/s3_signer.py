@@ -89,6 +89,16 @@ def validate_uri_for_table(
             f"bucket {req.bucket!r} does not match table bucket {table_bucket!r}"
         )
     req_key = urllib.parse.unquote(req.key)
+    # Reject dot segments outright (s3_signer.rs relies on url::Url's
+    # WHATWG normalization resolving them *before* the prefix check; we
+    # must not sign a key that a normalizing backend would resolve to a
+    # path outside the table prefix). '%2e%2e' arrives here already
+    # unquoted, so this covers the encoded forms too. Empty interior
+    # segments ('a//b') are rejected for the same reason — normalizers
+    # collapse them.
+    segments = req_key.split("/")
+    if any(s in (".", "..") for s in segments) or "" in segments[:-1]:
+        raise SigningError(f"key {req_key!r} contains dot or empty path segments")
     if not (req_key == table_key or req_key.startswith(table_key.rstrip("/") + "/")):
         raise SigningError(
             f"key {req_key!r} escapes table location {table_key!r}"
@@ -113,6 +123,22 @@ def _hmac(key: bytes, msg: str) -> bytes:
     return hmac.new(key, msg.encode(), hashlib.sha256).digest()
 
 
+def _canonical_s3_path(path: str) -> str:
+    """Canonical URI for service=s3: decode each path segment, then
+    encode exactly once with the SigV4 unreserved set (A-Za-z0-9-._~).
+
+    Mirrors the reference's partially_decode_uri (s3_signer.rs): a path
+    that arrives already percent-encoded ('ts_day%3D2024-01-01') must
+    not be double-encoded ('%'→'%25'), and a literal '=' must be encoded
+    exactly once — both forms canonicalize to the same bytes S3 computes
+    when it verifies the signature. S3 paths are never dot-normalized.
+    """
+    return "/".join(
+        urllib.parse.quote(urllib.parse.unquote(seg), safe="")
+        for seg in (path or "/").split("/")
+    )
+
+
 def sign_v4(
     method: str,
     uri: str,
@@ -128,7 +154,10 @@ def sign_v4(
     """AWS Signature Version 4 (public spec). Returns the headers to add
     (Authorization, x-amz-date, x-amz-content-sha256[, token])."""
     parsed = urllib.parse.urlparse(uri)
-    canonical_uri = urllib.parse.quote(parsed.path or "/", safe="/")
+    if service == "s3":
+        canonical_uri = _canonical_s3_path(parsed.path)
+    else:
+        canonical_uri = urllib.parse.quote(parsed.path or "/", safe="/")
     query_pairs = urllib.parse.parse_qsl(parsed.query, keep_blank_values=True)
     canonical_query = "&".join(
         f"{urllib.parse.quote(k, safe='-_.~')}={urllib.parse.quote(v, safe='-_.~')}"

@@ -267,9 +267,14 @@ class SparkCatalogTable:
         return self.overwrite(merged, branch)
 
     def delete_where(self, condition, branch: str = MAIN_BRANCH) -> int:
-        """Row-level DELETE: rewrite without matching rows (copy-on-write)."""
+        """Row-level DELETE: rewrite without matching rows (copy-on-write).
+
+        SQL DELETE removes only rows where the condition is TRUE; under
+        Spark's three-valued logic `~condition` is NULL (not kept) for
+        rows where the predicate is NULL, so keep NOT-TRUE explicitly via
+        coalesce(condition, false)."""
         remaining = self.read(ref=branch if branch in self._load()["refs"] else None).filter(
-            ~condition
+            ~F.coalesce(condition, F.lit(False))
         )
         return self.overwrite(remaining, branch)
 
@@ -286,12 +291,20 @@ class SparkCatalogTable:
     ) -> DataFrame:
         metadata = self._load()
         snap = self._resolve_snapshot(metadata, snapshot_id, ref)
+        # Time-travel reads (explicit snapshot id, or a tag) resolve the
+        # schema from the *snapshot's* schema-id (Iceberg spec; the
+        # reference tracks schema-id per snapshot) — else after ADD/DROP
+        # COLUMN a `VERSION AS OF` read would apply the current schema to
+        # old files. Branch reads keep the table's current schema, like
+        # Iceberg: branches are write targets, and the DML paths
+        # (merge/delete/compact) read the branch head before rewriting.
+        schema_id = metadata["current-schema-id"]
+        ref_type = (metadata["refs"].get(ref) or {}).get("type") if ref else None
+        time_travel = snapshot_id is not None or ref_type == "tag"
+        if time_travel and snap is not None and snap.get("schema-id") is not None:
+            schema_id = snap["schema-id"]
         schema = spark_schema_from_iceberg(
-            next(
-                s
-                for s in metadata["schemas"]
-                if s["schema-id"] == metadata["current-schema-id"]
-            )
+            next(s for s in metadata["schemas"] if s["schema-id"] == schema_id)
         )
         if snap is None:
             return self.spark.createDataFrame([], schema)

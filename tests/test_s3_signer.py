@@ -70,6 +70,19 @@ TABLE_LOC = "s3://bucket-a/prefix/ns-id/tbl-id"
         ("https://bucket-a.s3.us-east-1.amazonaws.com/prefix/ns-id", False),
         # prefix-string trickery: tbl-id-suffix is NOT inside tbl-id/
         ("https://bucket-a.s3.us-east-1.amazonaws.com/prefix/ns-id/tbl-id-evil/f.parquet", False),
+        # dot-segment traversal: resolves outside the table prefix on any
+        # normalizing backend (s3_signer.rs gets this via url::Url WHATWG
+        # normalization; we must reject)
+        ("https://bucket-a.s3.us-east-1.amazonaws.com/prefix/ns-id/tbl-id/../../../secret/key", False),
+        # percent-encoded dot segments
+        ("https://bucket-a.s3.us-east-1.amazonaws.com/prefix/ns-id/tbl-id/%2e%2e/%2e%2e/secret", False),
+        ("https://bucket-a.s3.us-east-1.amazonaws.com/prefix/ns-id/tbl-id/%2E%2E/escape", False),
+        # single-dot segment
+        ("https://bucket-a.s3.us-east-1.amazonaws.com/prefix/ns-id/tbl-id/./f.parquet", False),
+        # empty interior segment (collapses under normalization)
+        ("https://bucket-a.s3.us-east-1.amazonaws.com/prefix/ns-id/tbl-id//f.parquet", False),
+        # a *literal* dot-containing filename is fine (only whole segments rejected)
+        ("https://bucket-a.s3.us-east-1.amazonaws.com/prefix/ns-id/tbl-id/f..parquet", True),
     ],
 )
 def test_uri_validation_matrix(uri, ok):
@@ -78,6 +91,68 @@ def test_uri_validation_matrix(uri, ok):
     else:
         with pytest.raises(SigningError):
             validate_uri_for_table(uri, TABLE_LOC)
+
+
+def test_canonical_path_single_encoding():
+    """The canonical URI must encode each segment exactly once: a
+    pre-encoded path ('%3D') and its literal form ('=') are the same S3
+    key, so they must produce the SAME signature — and '%' must never be
+    double-encoded to '%25' (reference: partially_decode_uri)."""
+    kwargs = dict(
+        method="GET",
+        headers={},
+        region="us-east-1",
+        service="s3",
+        access_key="AKIDEXAMPLE",
+        secret_key="secret",
+        amz_date="20240101T000000Z",
+    )
+    literal = sign_v4(
+        uri="https://b.s3.us-east-1.amazonaws.com/t/ts_day=2024-01-01/f.parquet", **kwargs
+    )
+    encoded = sign_v4(
+        uri="https://b.s3.us-east-1.amazonaws.com/t/ts_day%3D2024-01-01/f.parquet", **kwargs
+    )
+    assert literal["Authorization"] == encoded["Authorization"]
+
+
+def test_canonical_path_matches_hand_computed():
+    """Hand-build the canonical request for a special-char key and check
+    sign_v4 produces the identical signature (no hidden normalization)."""
+    import hashlib as _hl
+    import hmac as _hm
+
+    path = "/t/ts_day%3D2024-01-01/f.parquet"  # encoded exactly once
+    amz_date, region, secret = "20240101T000000Z", "us-east-1", "secret"
+    canonical_request = "\n".join(
+        [
+            "GET",
+            path,
+            "",
+            f"host:b.s3.us-east-1.amazonaws.com\nx-amz-content-sha256:UNSIGNED-PAYLOAD\nx-amz-date:{amz_date}\n",
+            "host;x-amz-content-sha256;x-amz-date",
+            "UNSIGNED-PAYLOAD",
+        ]
+    )
+    scope = f"{amz_date[:8]}/{region}/s3/aws4_request"
+    sts = "\n".join(
+        ["AWS4-HMAC-SHA256", amz_date, scope, _hl.sha256(canonical_request.encode()).hexdigest()]
+    )
+    k = f"AWS4{secret}".encode()
+    for part in (amz_date[:8], region, "s3", "aws4_request"):
+        k = _hm.new(k, part.encode(), _hl.sha256).digest()
+    expected = _hm.new(k, sts.encode(), _hl.sha256).hexdigest()
+    out = sign_v4(
+        method="GET",
+        uri="https://b.s3.us-east-1.amazonaws.com/t/ts_day=2024-01-01/f.parquet",
+        headers={},
+        region=region,
+        service="s3",
+        access_key="AKIDEXAMPLE",
+        secret_key=secret,
+        amz_date=amz_date,
+    )
+    assert out["Authorization"].endswith(f"Signature={expected}")
 
 
 def test_sign_s3_request_end_to_end():
