@@ -156,6 +156,31 @@ class RestCatalogClient:
             "POST", f"{self._p()}/transactions/commit", {"table-changes": table_changes}
         )
 
+    def sign_s3(
+        self,
+        method: str,
+        uri: str,
+        headers: dict | None = None,
+        namespace: list[str] | None = None,
+        name: str | None = None,
+        region: str | None = None,
+        amz_date: str | None = None,
+    ) -> dict:
+        """POST the sign request. With namespace/name, uses the
+        table-scoped route; otherwise the prefix-only route (the one
+        Spark's S3V4RestSigner actually calls — the table is resolved
+        from the URI by location prefix)."""
+        body: dict[str, Any] = {"method": method, "uri": uri, "headers": headers or {}}
+        if region:
+            body["region"] = region
+        if amz_date:
+            body["amz-date"] = amz_date
+        if namespace is not None and name is not None:
+            path = f"{self._p()}/namespaces/{self._ns(namespace)}/tables/{name}/v1/aws/s3/sign"
+        else:
+            path = f"{self._p()}/v1/aws/s3/sign"
+        return self._request("POST", path, body)
+
     def report_metrics(self, namespace: list[str], name: str, report: dict) -> None:
         self._request(
             "POST",

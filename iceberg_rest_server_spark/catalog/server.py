@@ -41,7 +41,12 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .metadata import CommitError
-from .s3_signer import SigningError, permission_for_method, sign_s3_request
+from .s3_signer import (
+    SigningError,
+    parse_s3_uri,
+    permission_for_method,
+    sign_s3_request,
+)
 from .store import (
     UNIT_SEPARATOR,
     CatalogStore,
@@ -112,6 +117,67 @@ class CatalogHandler(BaseHTTPRequestHandler):
 
     do_GET = do_POST = do_DELETE = do_HEAD = _dispatch
 
+    # ------------------------------------------------------------- signing
+
+    def _table_config(self, prefix: str) -> dict:
+        """Per-table config vended on load_table (storage/s3.rs:313-377
+        generate_table_config): region keys, endpoint, path-style flag,
+        and remote-signing enablement — what a RESTCatalog client needs
+        to route its IO through the signer."""
+        wh = self.store.get_warehouse(prefix)
+        profile = wh.get("storage_profile")
+        if not profile:
+            return {}
+        region = profile.get("region", "")
+        config = {
+            "s3.region": region,
+            "region": region,
+            "client.region": region,
+            "s3.remote-signing-enabled": "true",
+        }
+        if profile.get("path-style-access"):
+            config["s3.path-style-access"] = "true"
+        if profile.get("endpoint"):
+            config["s3.endpoint"] = profile["endpoint"]
+        return config
+
+    def _sign_route(
+        self, prefix: str, body: dict, table_location: str
+    ) -> tuple[int, dict | None]:
+        """Shared sign flow for the table-scoped and prefix-only routes:
+        profile + region checks, then URI validation + SigV4."""
+        wh = self.store.get_warehouse(prefix)
+        profile = wh.get("storage_profile")
+        if not profile:
+            return _error(400, "warehouse has no storage profile", "ValidationException")
+        if body.get("region") and body["region"] != profile.get("region"):
+            # region must match the profile (s3_signer.rs:309-320)
+            return _error(
+                400,
+                f"region {body.get('region')!r} does not match profile",
+                "ValidationException",
+            )
+        creds = self.store.get_storage_credentials(prefix)
+        if not creds.get("access-key-id") or not creds.get("secret-access-key"):
+            # MissingStorageCredential (storage/s3.rs:264-275)
+            return _error(400, "storage credentials missing", "MissingStorageCredential")
+        try:
+            permission_for_method(body["method"])
+            signed = sign_s3_request(
+                method=body["method"],
+                uri=body["uri"],
+                headers=body.get("headers", {}),
+                table_location=table_location,
+                region=profile["region"],
+                access_key=creds["access-key-id"],
+                secret_key=creds["secret-access-key"],
+                amz_date=body.get("amz-date") or _amz_now(),
+                endpoint_host=profile.get("endpoint-host"),
+            )
+        except SigningError as e:
+            return _error(403, str(e), "SignAccessDenied")
+        return 200, {"uri": body["uri"], "headers": signed}
+
     # -------------------------------------------------------------- routes
 
     def route(self, method: str, parts: list[str], qs: dict) -> tuple[int, dict | None]:
@@ -130,10 +196,16 @@ class CatalogHandler(BaseHTTPRequestHandler):
                 return _error(400, "warehouse must be '{project}/{name}'", "ValidationException")
             project, name = wh_arg.split("/", 1)
             wh = store.get_warehouse_by_name(project, name)
-            return 200, {
-                "overrides": {"prefix": wh["warehouse_id"]},
-                "defaults": {},
-            }
+            overrides = {"prefix": wh["warehouse_id"]}
+            if wh.get("storage_profile"):
+                # warehouse-scoped signer base; the client appends
+                # v1/aws/s3/sign (storage/s3.rs:278-288,
+                # config.rs s3_signer_uri_for_warehouse)
+                host = self.headers.get("Host") or "127.0.0.1"
+                overrides["s3.signer.uri"] = (
+                    f"http://{host}/catalog/v1/{wh['warehouse_id']}"
+                )
+            return 200, {"overrides": overrides, "defaults": {}}
         if len(p) >= 2:
             prefix, rest = p[0], p[1:]
             if rest == ["namespaces"]:
@@ -208,7 +280,7 @@ class CatalogHandler(BaseHTTPRequestHandler):
                     return 200, {
                         "metadata": out["metadata"],
                         "metadata-location": out["metadata-location"],
-                        "config": {},
+                        "config": self._table_config(prefix),
                     }
                 if method == "HEAD":
                     if store.table_exists(prefix, ns, tbl):
@@ -247,32 +319,31 @@ class CatalogHandler(BaseHTTPRequestHandler):
             ):
                 # POST .../tables/{tbl}/v1/aws/s3/sign (s3_signer.rs:38-173)
                 ns, tbl = _ns_from_path(rest[1]), rest[3]
-                body = self._body()
                 table = store.load_table(prefix, ns, tbl)
+                return self._sign_route(prefix, self._body(), table["metadata"]["location"])
+            if rest == ["v1", "aws", "s3", "sign"] and method == "POST":
+                # prefix-only sign route — the one Spark actually calls
+                # when s3.signer.uri is warehouse-scoped: resolve the
+                # table from the request URI by location prefix
+                # (catalog/s3_signer.rs:55-90)
+                body = self._body()
                 wh = store.get_warehouse(prefix)
                 profile = wh.get("storage_profile")
                 if not profile:
                     return _error(400, "warehouse has no storage profile", "ValidationException")
-                if body.get("region") and body["region"] != profile.get("region"):
-                    # region must match the profile (s3_signer.rs:309-320)
-                    return _error(400, f"region {body.get('region')!r} does not match profile",
-                                  "ValidationException")
                 try:
-                    permission_for_method(body["method"])
-                    signed = sign_s3_request(
-                        method=body["method"],
-                        uri=body["uri"],
-                        headers=body.get("headers", {}),
-                        table_location=table["metadata"]["location"],
-                        region=profile["region"],
-                        access_key=profile["access-key-id"],
-                        secret_key=profile["secret-access-key"],
-                        amz_date=body.get("amz-date") or _amz_now(),
-                        endpoint_host=profile.get("endpoint-host"),
+                    s3loc = parse_s3_uri(body["uri"], profile.get("endpoint-host"))
+                    key = urllib.parse.unquote(s3loc.key)
+                    table = store.resolve_table_by_location(
+                        prefix, f"s3://{s3loc.bucket}/{key}"
                     )
                 except SigningError as e:
                     return _error(403, str(e), "SignAccessDenied")
-                return 200, {"uri": body["uri"], "headers": signed}
+                except NotFoundError as e:
+                    # reference maps location-resolution failure to 401
+                    # InvalidLocation (catalog/s3_signer.rs:70-80)
+                    return _error(401, str(e), "InvalidLocation")
+                return self._sign_route(prefix, body, table["metadata"]["location"])
             if rest == ["tables", "rename"]:
                 body = self._body()
                 store.rename_table(

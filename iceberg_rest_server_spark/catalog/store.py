@@ -12,6 +12,7 @@ SQLite analogue of the reference's single Postgres write transaction
 from __future__ import annotations
 
 import json
+import os
 import sqlite3
 import threading
 from contextlib import contextmanager
@@ -19,6 +20,7 @@ from typing import Any
 
 from .events import publish_event
 from .io import metadata_file_path, write_metadata_file
+from .secrets import SecretCipher
 from .metadata import (
     CommitError,
     MAIN_BRANCH,
@@ -49,12 +51,13 @@ def _ns_key(namespace: list[str]) -> str:
 
 
 class CatalogStore:
-    def __init__(self, path: str = ":memory:"):
+    def __init__(self, path: str = ":memory:", encryption_key: str | None = None):
         # one shared connection; a lock serializes writers (local analogue
         # of the reference's 5-connection write pool, config.rs:99)
         self._conn = sqlite3.connect(path, check_same_thread=False)
         self._conn.execute("PRAGMA foreign_keys = ON")
         self._lock = threading.RLock()
+        self._cipher = SecretCipher(encryption_key)
         self._init_schema()
 
     def _init_schema(self) -> None:
@@ -87,6 +90,10 @@ class CatalogStore:
                   table_location    TEXT NOT NULL,
                   UNIQUE (namespace_id, name)
                 );
+                CREATE TABLE IF NOT EXISTS secret (
+                  secret_id TEXT PRIMARY KEY,
+                  encrypted TEXT NOT NULL     -- enc:v1:... token (secrets.py)
+                );
                 CREATE INDEX IF NOT EXISTS idx_ns_wh ON namespace(warehouse_id);
                 CREATE INDEX IF NOT EXISTS idx_tbl_ns ON tbl(namespace_id);
                 CREATE INDEX IF NOT EXISTS idx_tbl_loc ON tbl(table_location);
@@ -107,7 +114,43 @@ class CatalogStore:
 
     # -------------------------------------------------------- warehouses
 
+    @staticmethod
+    def _validate_base_location(base_location: str) -> None:
+        """Storage validation on create (storage/s3.rs:96-174,438-487:
+        the reference validates a profile with a test write + read +
+        delete). Local locations get the same write-test; s3:// locations
+        are shape-checked (no object-store client in this container —
+        the write-test slot is where a signed PUT/GET/DELETE goes)."""
+        if base_location.startswith(("s3://", "s3a://")):
+            parsed = base_location.split("://", 1)[1]
+            bucket = parsed.split("/", 1)[0]
+            if not bucket:
+                raise ValidationError(f"s3 base location has no bucket: {base_location!r}")
+            return
+        if base_location.startswith("file://") or base_location.startswith("/"):
+            local = base_location[len("file://"):] if base_location.startswith("file://") else base_location
+            probe = os.path.join(local, f".catalog-write-test-{new_uuid()}")
+            try:
+                os.makedirs(local, exist_ok=True)
+                with open(probe, "w") as fh:
+                    fh.write("test")
+                with open(probe) as fh:
+                    if fh.read() != "test":
+                        raise OSError("read-back mismatch")
+            except OSError as e:
+                raise ValidationError(
+                    f"base location {base_location!r} failed write test: {e}"
+                ) from e
+            finally:
+                try:
+                    os.remove(probe)
+                except OSError:
+                    pass
+            return
+        raise ValidationError(f"unsupported base location scheme: {base_location!r}")
+
     def create_warehouse(self, project_id: str, name: str, base_location: str) -> str:
+        self._validate_base_location(base_location)
         wid = new_uuid()
         try:
             with self._txn() as c:
@@ -137,19 +180,57 @@ class CatalogStore:
         out["storage_profile"] = json.loads(out["storage_profile"]) if out["storage_profile"] else None
         return out
 
+    # credential keys never stored in plaintext (postgres/secrets.rs:99-103)
+    CREDENTIAL_KEYS = ("access-key-id", "secret-access-key", "session-token")
+
     def set_storage_profile(self, warehouse_id: str, profile: dict) -> None:
         """Attach/update the S3 storage profile. bucket/region/key_prefix
-        are immutable once set (storage/s3.rs:184-220)."""
+        are immutable once set (storage/s3.rs:184-220). Credentials are
+        split out of the profile and stored pgp_sym_encrypt-style in the
+        secret table (postgres/secrets.rs:99-103); the warehouse row
+        keeps only a storage-secret-id pointer."""
+        if not profile.get("region"):
+            raise ValidationError("storage profile requires 'region'")
+        if not profile.get("bucket"):
+            raise ValidationError("storage profile requires 'bucket'")
         current = self.get_warehouse(warehouse_id).get("storage_profile")
         if current:
             for key in ("bucket", "region", "key-prefix"):
                 if key in current and current.get(key) != profile.get(key):
                     raise ValidationError(f"storage profile {key!r} is immutable")
+        profile = dict(profile)
+        creds = {k: profile.pop(k) for k in self.CREDENTIAL_KEYS if k in profile}
         with self._txn() as c:
+            if creds:
+                secret_id = new_uuid()
+                c.execute(
+                    "INSERT INTO secret (secret_id, encrypted) VALUES (?,?)",
+                    (secret_id, self._cipher.encrypt(creds)),
+                )
+                old = (current or {}).get("storage-secret-id")
+                if old:
+                    c.execute("DELETE FROM secret WHERE secret_id = ?", (old,))
+                profile["storage-secret-id"] = secret_id
+            elif current and current.get("storage-secret-id"):
+                profile["storage-secret-id"] = current["storage-secret-id"]
             c.execute(
                 "UPDATE warehouse SET storage_profile = ? WHERE warehouse_id = ?",
                 (json.dumps(profile), warehouse_id),
             )
+
+    def get_storage_credentials(self, warehouse_id: str) -> dict:
+        """Decrypt the warehouse's storage credentials for server-side
+        use (the signer) — never returned over the management API."""
+        profile = self.get_warehouse(warehouse_id).get("storage_profile") or {}
+        secret_id = profile.get("storage-secret-id")
+        if not secret_id:
+            return {}
+        row = self._conn.execute(
+            "SELECT encrypted FROM secret WHERE secret_id = ?", (secret_id,)
+        ).fetchone()
+        if row is None:
+            raise NotFoundError(f"secret {secret_id} not found")
+        return self._cipher.decrypt(row[0])
 
     def get_warehouse_by_name(self, project_id: str, name: str) -> dict:
         row = self._conn.execute(
@@ -437,6 +518,40 @@ class CatalogStore:
             "metadata": json.loads(row[1]),
             "metadata-location": row[2],
         }
+
+    def resolve_table_by_location(
+        self, warehouse_id: str, location: str, include_staged: bool = True
+    ) -> dict:
+        """Reverse lookup: the table whose location is a path-prefix of
+        ``location`` (postgres/table.rs:430-506: ``$2 LIKE table_location
+        || '%'`` on an active warehouse; served by idx_tbl_loc). The
+        boundary is re-checked in Python so a request under
+        ``.../tbl-id-evil/`` never resolves to table ``tbl-id``; staged
+        tables are included, matching the signer's include_staged=true
+        (catalog/s3_signer.rs:55-56)."""
+        rows = self._conn.execute(
+            "SELECT t.table_id, t.metadata, t.metadata_location, t.table_location"
+            " FROM tbl t"
+            " JOIN namespace n ON n.namespace_id = t.namespace_id"
+            " JOIN warehouse w ON w.warehouse_id = n.warehouse_id"
+            " WHERE n.warehouse_id = ? AND ? LIKE t.table_location || '%'"
+            " AND w.status = 'active'",
+            (warehouse_id, location),
+        ).fetchall()
+        for row in rows:
+            tl = row[3].rstrip("/")
+            if location == tl or location.startswith(tl + "/"):
+                if not include_staged and row[2] is None:
+                    raise NotFoundError("table is staged and not yet created")
+                return {
+                    "table_id": row[0],
+                    "metadata": json.loads(row[1]),
+                    "metadata-location": row[2],
+                    "table-location": row[3],
+                }
+        # 'shorter path fails': a location above the table prefix (or in no
+        # table at all) resolves nothing (postgres/table.rs tests)
+        raise NotFoundError(f"no table found for location {location!r}")
 
     def table_exists(self, warehouse_id: str, namespace: list[str], name: str) -> bool:
         row = self._table_row(warehouse_id, namespace, name)
