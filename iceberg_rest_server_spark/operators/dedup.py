@@ -8,9 +8,9 @@ Four tiers, all shuffle-parallel with no driver-side state:
   candidates are generated only from each document's rarest shingles, so
   hot shingles ("the ") never explode the join. This is the exactness
   anchor the approximate tiers are verified against.
-- MinHash + LSH: 128 min-hashes banded 32×4; candidate pairs share a
+- MinHash + LSH: 64 min-hashes banded 16×4; candidate pairs share a
   band bucket; candidates are then *exactly verified*, so precision is
-  exact and recall is 1-(1-j^4)^32 (≈1-5e-8 at j=0.8).
+  exact and recall is 1-(1-j^4)^16 (≈1-2e-4 at j=0.8, ≈1-4e-8 at j=0.9).
 - SimHash: 64-bit signatures; pairs within Hamming distance d found by
   pigeonhole banding (4 chunks of 16 bits — any pair with d≤3 shares a
   chunk), then exact popcount verify.
@@ -136,8 +136,8 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    num_hashes: int = 128,
-    bands: int = 32,
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """Near-dup pairs via MinHash+LSH candidates, exactly verified.
 
@@ -145,6 +145,11 @@ def minhash_lsh_pairs(
     `bands` buckets of r = num_hashes/bands rows; a candidate pair shares
     ≥1 band bucket. Verification recomputes exact Jaccard, so the output
     differs from exact_jaccard_pairs only by LSH recall (1-(1-t^r)^b).
+
+    Defaults 64 hashes / 16×4 bands (VERDICT r1 #8): the signature
+    aggregate — num_hashes xxhash64 evaluations per (doc, gram) row — is
+    the dominant cost, and halving it keeps miss probability ≈2e-4 at
+    j=0.8 (≈4e-8 at j=0.9) while cutting the hot stage roughly in half.
     """
     r = num_hashes // bands
     # hashed gram sets: intersect/minhash on int64s, not strings — the
@@ -159,29 +164,37 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    exploded = g.select("id", F.explode("hgrams").alias("h"))
-    # Permutation i = xxhash64(gram_hash, i): independent (full avalanche
-    # per seed) but cheap — hashes an int64, not the gram string.
-    # (Kirsch-Mitzenmacher affine derivation was measurably worse here:
-    # correlated permutations cost banding recall.)
-    sig = exploded.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
+
+    # All num_hashes permutations + band buckets in ONE Arrow pass
+    # (VERDICT r1 #8): permutation i = splitmix64(gram_hash ^ seed_i) —
+    # full avalanche per seed (Kirsch-Mitzenmacher affine derivation was
+    # measurably worse: correlated permutations cost banding recall), and
+    # the whole (grams × hashes) min-matrix is one numpy broadcast per
+    # doc. Replaces explode → num_hashes×xxhash64 → groupBy(id) min-agg:
+    # no shuffle at all — signatures are computed within the partition.
+    @F.pandas_udf("array<long>")
+    def band_buckets(hgrams: pd.Series) -> pd.Series:
+        def mix(z: np.ndarray) -> np.ndarray:
+            z = z + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+        seeds = mix(np.arange(1, num_hashes + 1, dtype=np.uint64))
+        out = []
+        for arr in hgrams:
+            grams = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            mins = mix(grams[:, None] ^ seeds[None, :]).min(axis=0)  # (num_hashes,)
+            per_band = mins.reshape(bands, r)
+            acc = np.arange(bands, dtype=np.uint64)
+            for j in range(r):  # fold the r mins of each band into one bucket key
+                acc = mix(acc ^ per_band[:, j])
+            out.append(acc.astype(np.int64))
+        return pd.Series(out)
+
     buckets = (
-        sig.select("id", F.explode(band_cols).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        g.select("id", band_buckets("hgrams").alias("bb"))
+        .select("id", F.posexplode("bb").alias("band", "bucket"))
         .persist()
     )
     cands = (
