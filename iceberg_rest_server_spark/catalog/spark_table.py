@@ -166,9 +166,26 @@ class SparkCatalogTable:
         return df.sortWithinPartitions(*cols) if cols else df
 
     def _write_files(self, df: DataFrame, metadata: dict) -> list[str]:
+        """Data files use *field-id* column names (``f<id>``), mapping the
+        table's display names at the read/write boundary — Iceberg's
+        field-id addressing (SURVEY §1.2). This is what makes special
+        characters in column names work (parquet rejects ``' ;{}()='``
+        etc., test_spark.py:169-178) and gives drop/re-add-column the
+        correct semantics: a re-added name gets a fresh id, so old data
+        is not resurrected."""
         data_dir = os.path.join(self._local(metadata["location"]), "data", uuid.uuid4().hex)
         df = self._apply_write_order(df, metadata)
-        df.write.mode("overwrite").parquet(data_dir)
+        schema = next(
+            s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
+        )
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        safe = df.select(
+            *[
+                df[name].alias(f"f{by_name[name]}") if name in by_name else df[name]
+                for name in df.columns
+            ]
+        )
+        safe.write.mode("overwrite").parquet(data_dir)
         return sorted(
             os.path.join(root, f)
             for root, _, files in os.walk(data_dir)
@@ -303,15 +320,28 @@ class SparkCatalogTable:
         time_travel = snapshot_id is not None or ref_type == "tag"
         if time_travel and snap is not None and snap.get("schema-id") is not None:
             schema_id = snap["schema-id"]
-        schema = spark_schema_from_iceberg(
-            next(s for s in metadata["schemas"] if s["schema-id"] == schema_id)
-        )
+        ice_schema = next(s for s in metadata["schemas"] if s["schema-id"] == schema_id)
+        schema = spark_schema_from_iceberg(ice_schema)
         if snap is None:
             return self.spark.createDataFrame([], schema)
         files = self._snapshot_files(metadata, snap)
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        # files carry field-id column names (f<id>, see _write_files);
+        # read with the id-keyed schema, then restore display names —
+        # ids absent from a file backfill as null (schema evolution)
+        id_schema = T.StructType(
+            [
+                T.StructField(
+                    f"f{f['id']}", _ICEBERG_TO_SPARK[f["type"]], not f.get("required", False)
+                )
+                for f in ice_schema["fields"]
+            ]
+        )
+        raw = self.spark.read.schema(id_schema).parquet(*files)
+        return raw.select(
+            *[raw[f"f{f['id']}"].alias(f["name"]) for f in ice_schema["fields"]]
+        )
 
     # ----------------------------------------------------------- refs/ddl
 

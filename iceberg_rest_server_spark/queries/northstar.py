@@ -323,6 +323,22 @@ def q36_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q38_ann_ivf_topk",
+    oracle=None,  # approximate by construction; recall asserted in tests
+    doc="IVF ANN top-k: spherical k-means coarse quantizer (trained on a "
+    "bounded driver-side sample, FAISS-style), Arrow-batched list "
+    "assignment, nprobe-list candidate equi-join, exact cosine rescore. "
+    "Rows-only check; tests measure recall vs brute force.",
+)
+def q38_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_ivf(
+        queries, emb, "vec_id", "embedding", k=5, nlist=16, nprobe=6
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "q40_curation_pipeline",
     oracle=r"""
     WITH scored AS (

@@ -110,6 +110,53 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q39_stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator via applyInPandasWithState: "
+    "per-user running (count, max) kept in explicit GroupState across "
+    "micro-batches — the arbitrary-state API the built-in windowed aggs "
+    "can't express (e.g. per-key ML feature state). availableNow replay "
+    "⇒ one batch ⇒ final state equals the batch GROUP BY oracle. At "
+    "scale, state is per-key, RocksDB-backed, shuffle-partitioned.",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_events_stream(spark, sf_dir)
+
+    def update_totals(key, pdfs, state: "GroupState"):
+        import pandas as pd  # executor-side
+
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n long, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = run_to_table(out, spark, "update")
+    # one batch ⇒ one emitted row per user (the final totals)
+    return result.orderBy("user_id")
+
+
+@register(
     "q30_stream_session_window",
     oracle="""
     WITH flagged AS (

@@ -96,8 +96,55 @@ def test_write_order_applied_on_append(table_env):
     assert order["fields"][0]["direction"] == "desc"
     snap = table._resolve_snapshot(m)
     files = table._snapshot_files(m, snap)
-    vals = pq.read_table(files[0]).column("v").to_pylist()
+    # data files carry field-id names: v is field 2 (see _write_files)
+    vals = pq.read_table(files[0]).column("f2").to_pylist()
     assert vals == sorted(vals, reverse=True)
+
+
+@pytest.mark.parametrize(
+    "colname",
+    [
+        "my floats",               # test_spark.py:167-172
+        "m/y fl !? -_ä oats",      # test_spark.py:176-178
+    ],
+)
+def test_partition_special_chars_in_column_name(spark, colname):
+    """Reference matrix test_spark.py:169-178: partition columns with
+    spaces/special characters work end-to-end (create partitioned table,
+    insert, read back). Enabled by field-id file column names — plain
+    parquet rejects these characters in field names."""
+    import tempfile as _tf
+
+    with ServerThread() as server, _tf.TemporaryDirectory() as wh:
+        client = RestCatalogClient(server.base_url)
+        client.create_warehouse("p", "wh", wh)
+        client.configure("p", "wh")
+        client.create_namespace(["ns"])
+        df = spark.createDataFrame(
+            [(1, 1.2, "foo"), (2, 2.2, "bar")], ["my_ints", colname, "strings"]
+        )
+        client.create_table(["ns"], "t", iceberg_schema_from_spark(df.schema))
+        table = SparkCatalogTable(spark, client, ["ns"], "t")
+        table.add_partition_field(colname, "identity", colname)
+        table.append(df)
+        out = table.read().orderBy("my_ints").collect()
+        assert [r["my_ints"] for r in out] == [1, 2]
+        assert [r[colname] for r in out] == [1.2, 2.2]
+        assert [r["strings"] for r in out] == ["foo", "bar"]
+        m = table.metadata()
+        spec = next(s for s in m["partition-specs"] if s["spec-id"] == m["default-spec-id"])
+        assert spec["fields"][0]["name"] == colname
+
+
+def test_dropped_column_not_resurrected_on_readd(table_env):
+    """Iceberg field-id semantics: DROP COLUMN then ADD COLUMN with the
+    same name yields a fresh field id — old values must NOT reappear."""
+    spark, client, table, df = table_env
+    table.append(df)  # k, v populated
+    table.drop_column("v")
+    table.add_column("v", "long")
+    out = table.read()
+    assert out.filter(F.col("v").isNotNull()).count() == 0
 
 
 def test_delete_where_null_predicate_rows_kept(table_env):

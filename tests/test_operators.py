@@ -40,6 +40,33 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.5, f"ANN LSH recall {recall}"
 
 
+def test_ann_ivf_recall(spark, sf_dir):
+    brute = _pairs(
+        REGISTRY["q36_ann_bruteforce_topk"].fn(spark, sf_dir), ("query_id", "neighbor_id")
+    )
+    ivf = _pairs(REGISTRY["q38_ann_ivf_topk"].fn(spark, sf_dir), ("query_id", "neighbor_id"))
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.5, f"ANN IVF recall {recall}"
+
+
+def test_stateful_stream_matches_batch_totals(spark, sf_dir):
+    """applyInPandasWithState running totals equal the batch GROUP BY."""
+    from iceberg_rest_server_spark.tables import load
+
+    out = {
+        r.user_id: (r.n_events, r.max_value)
+        for r in REGISTRY["q39_stream_stateful_user_totals"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.mx)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert out == batch and len(out) > 0
+
+
 def test_blocked_gemm_equals_bruteforce(spark, sf_dir):
     """The blocked-GEMM cosine pair scan must be bit-identical to the
     brute-force self-join (same pairs AND same cosine values)."""
