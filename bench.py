@@ -46,6 +46,10 @@ def main() -> None:
         df.collect()
         times[name] = round(time.perf_counter() - t0, 4)
         print(f"[bench] {name}: {times[name]:.2f}s", file=sys.stderr, flush=True)
+        # queries persist intermediates (shingles, signatures, buckets);
+        # drop them so 59 queries' caches don't accumulate into executor
+        # memory pressure that distorts later timings
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

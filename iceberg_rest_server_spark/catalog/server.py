@@ -189,6 +189,13 @@ class CatalogHandler(BaseHTTPRequestHandler):
 
     def _catalog_route(self, method: str, p: list[str], qs: dict) -> tuple[int, dict | None]:
         store = self.store
+        if p == ["oauth", "tokens"] and method == "POST":
+            # Parity stub: the reference routes POST /oauth/tokens
+            # (api/iceberg/v1/oauth.rs:22-33) to a Service trait that has
+            # no implementation anywhere in the crates — clients must
+            # bring external OIDC. We answer with the same "unimplemented"
+            # envelope instead of a 404 so clients get a clear signal.
+            return _error(501, "OAuth token endpoint is not implemented", "NotImplemented")
         if p == ["config"]:
             # catalog/config.rs:35-143 — warehouse arg "{project}/{name}"
             wh_arg = qs.get("warehouse", [""])[0]

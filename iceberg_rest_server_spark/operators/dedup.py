@@ -8,9 +8,13 @@ Four tiers, all shuffle-parallel with no driver-side state:
   candidates are generated only from each document's rarest shingles, so
   hot shingles ("the ") never explode the join. This is the exactness
   anchor the approximate tiers are verified against.
-- MinHash + LSH: 64 min-hashes banded 16×4; candidate pairs share a
-  band bucket; candidates are then *exactly verified*, so precision is
-  exact and recall is 1-(1-j^4)^16 (≈1-2e-4 at j=0.8, ≈1-4e-8 at j=0.9).
+- MinHash + LSH: 64 min-hashes banded 16×4; candidate pairs must share
+  ≥ `min_band_matches` band buckets (count-based banding), then are
+  *exactly verified*, so precision is exact and recall is
+  P[Binomial(16, j^4) ≥ k] (k=3 default: ≈0.987 at j=0.8, ≈1-2e-6 at
+  j=0.9). The count filter is what keeps verify cheap on template-heavy
+  corpora where plain OR-banding admits a quadratic mass of j≈0.5
+  candidates.
 - SimHash: 64-bit signatures; pairs within Hamming distance d found by
   pigeonhole banding (4 chunks of 16 bits — any pair with d≤3 shares a
   chunk), then exact popcount verify.
@@ -138,18 +142,26 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 16,
+    min_band_matches: int = 3,
 ) -> DataFrame:
     """Near-dup pairs via MinHash+LSH candidates, exactly verified.
 
-    Signature: h_i(doc) = min over grams of xxhash64(gram, i). Banding:
-    `bands` buckets of r = num_hashes/bands rows; a candidate pair shares
-    ≥1 band bucket. Verification recomputes exact Jaccard, so the output
-    differs from exact_jaccard_pairs only by LSH recall (1-(1-t^r)^b).
+    Signature: h_i(doc) = min over grams of splitmix64(gram ^ seed_i).
+    Banding: `bands` buckets of r = num_hashes/bands rows; a candidate
+    pair must share ≥ `min_band_matches` band buckets. Verification
+    recomputes exact Jaccard, so the output differs from
+    exact_jaccard_pairs only by LSH recall
+    P[Binomial(bands, j^r) ≥ min_band_matches]
+    (defaults 16 bands, r=4, k=3: ≈0.987 at exactly j=0.8, ≈1-2e-6 at
+    j=0.9; k=1 recovers classic OR-banding).
 
-    Defaults 64 hashes / 16×4 bands (VERDICT r1 #8): the signature
-    aggregate — num_hashes xxhash64 evaluations per (doc, gram) row — is
-    the dominant cost, and halving it keeps miss probability ≈2e-4 at
-    j=0.8 (≈4e-8 at j=0.9) while cutting the hot stage roughly in half.
+    Why count-based banding (k>1): on template-heavy corpora the j≈0.5
+    similarity mass is quadratic, and OR-banding at r=4 admits ~12% of it
+    — measured 3.2M candidates for 5k docs (sf0.1), with exact-verify
+    dominating the runtime 24 s. Requiring 3 shared bands cuts that to
+    ~130k while true near-dup pairs (j≥0.88 in this corpus) match ≥10
+    bands. The band-count aggregation costs the same shuffle the
+    dedup-distinct already paid.
     """
     r = num_hashes // bands
     # hashed gram sets: intersect/minhash on int64s, not strings — the
@@ -168,10 +180,15 @@ def minhash_lsh_pairs(
     # All num_hashes permutations + band buckets in ONE Arrow pass
     # (VERDICT r1 #8): permutation i = splitmix64(gram_hash ^ seed_i) —
     # full avalanche per seed (Kirsch-Mitzenmacher affine derivation was
-    # measurably worse: correlated permutations cost banding recall), and
-    # the whole (grams × hashes) min-matrix is one numpy broadcast per
-    # doc. Replaces explode → num_hashes×xxhash64 → groupBy(id) min-agg:
-    # no shuffle at all — signatures are computed within the partition.
+    # measurably worse: correlated permutations cost banding recall). The
+    # whole batch is one flat (total_grams × num_hashes) broadcast with a
+    # segment-min (np.minimum.reduceat) — no per-doc Python loop.
+    # Replaces explode → num_hashes×xxhash64 → groupBy(id) min-agg: no
+    # shuffle at all — signatures are computed within the partition.
+    # Memory is bounded per chunk: ≤ GRAM_CHUNK grams × num_hashes × 8 B
+    # (~256 MB at defaults) regardless of Arrow batch size.
+    GRAM_CHUNK = 500_000
+
     @F.pandas_udf("array<long>")
     def band_buckets(hgrams: pd.Series) -> pd.Series:
         def mix(z: np.ndarray) -> np.ndarray:
@@ -181,28 +198,52 @@ def minhash_lsh_pairs(
             return z ^ (z >> np.uint64(31))
 
         seeds = mix(np.arange(1, num_hashes + 1, dtype=np.uint64))
-        out = []
-        for arr in hgrams:
-            grams = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            mins = mix(grams[:, None] ^ seeds[None, :]).min(axis=0)  # (num_hashes,)
-            per_band = mins.reshape(bands, r)
-            acc = np.arange(bands, dtype=np.uint64)
-            for j in range(r):  # fold the r mins of each band into one bucket key
-                acc = mix(acc ^ per_band[:, j])
-            out.append(acc.astype(np.int64))
-        return pd.Series(out)
+        if not len(hgrams):
+            return pd.Series([], dtype=object)
+        lens = hgrams.map(len).to_numpy(dtype=np.int64)
+        # chunk boundaries: consecutive doc ranges whose gram totals stay
+        # under GRAM_CHUNK (a single huge doc forms its own chunk)
+        out = np.empty((len(lens), bands), dtype=np.uint64)
+        start = 0
+        while start < len(lens):
+            end, total = start, 0
+            while end < len(lens) and (end == start or total + lens[end] <= GRAM_CHUNK):
+                total += lens[end]
+                end += 1
+            L = lens[start:end]
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hgrams.iloc[start:end]]
+            ).astype(np.uint64)
+            H = mix(flat[:, None] ^ seeds[None, :])  # (total, num_hashes)
+            offs = np.zeros(len(L), dtype=np.int64)
+            np.cumsum(L[:-1], out=offs[1:])
+            mins = np.minimum.reduceat(H, offs, axis=0)  # (docs, num_hashes)
+            per_band = mins.reshape(len(L), bands, r)
+            acc = np.broadcast_to(
+                np.arange(bands, dtype=np.uint64), (len(L), bands)
+            ).copy()
+            for j in range(r):  # fold the r mins of each band into one key
+                acc = mix(acc ^ per_band[:, :, j])
+            out[start:end] = acc
+            start = end
+        return pd.Series(list(out.astype(np.int64)))
 
     buckets = (
         g.select("id", band_buckets("hgrams").alias("bb"))
         .select("id", F.posexplode("bb").alias("band", "bucket"))
         .persist()
     )
+    # count-based banding: the groupBy replaces the dedup-distinct (same
+    # shuffle) and the count filter prunes the template-similarity mass
+    # before any gram array is fetched.
     cands = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("band_matches"))
+        .filter(F.col("band_matches") >= min_band_matches)
+        .select("id1", "id2")
     )
     # size-compatibility prune before fetching gram arrays: j ≥ t bounds
     # |A|/|B| within [t, 1/t], and the size join is two cheap int columns

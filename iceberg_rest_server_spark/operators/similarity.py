@@ -265,8 +265,12 @@ def cosine_topk_ivf(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec_raw"),
         F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
     )
+    # broadcast the probe side: list_id has only `nlist` distinct values,
+    # so a shuffle join would collapse the corpus onto nlist partitions
+    # (parallelism = nlist, guaranteed skew). Broadcasting the (small)
+    # query fan-out keeps the corpus scan-local and fully parallel.
     scored = (
-        q_probes.join(c_assigned, "list_id")
+        F.broadcast(q_probes).join(c_assigned, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",

@@ -97,15 +97,69 @@ def bucket_long(col: Column, n: int) -> Column:
     return _bucket(col)
 
 
+def _murmur3_32_bytes_vec(lens: np.ndarray, flat: np.ndarray) -> np.ndarray:
+    """Vectorized murmur3_x86_32 (seed 0) over a batch of byte strings.
+
+    `flat` is every string's bytes concatenated; `lens` the per-string
+    byte lengths. The sequential mixing loop runs over *block columns*
+    (max_len/4 numpy passes over the whole batch) instead of per row —
+    same results as `_murmur3_32_bytes`, batch-speed.
+    """
+    mask = np.uint32(0xFFFFFFFF)  # implicit via uint32 dtype
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    rows = len(lens)
+    if rows == 0:
+        return np.empty(0, dtype=np.int32)
+    width = ((int(lens.max()) + 3) // 4) * 4 if lens.max() else 4
+    offs = np.zeros(rows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    # gather into a zero-padded (rows, width) matrix: index clamp + mask
+    idx = offs[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    valid = np.arange(width, dtype=np.int64)[None, :] < lens[:, None]
+    M = np.where(valid, flat[np.minimum(idx, len(flat) - 1)], 0).astype(np.uint8)
+    K = M.view("<u4").astype(np.uint32)  # (rows, width//4) little-endian blocks
+    nblocks = lens // 4  # full blocks per row
+    rem = lens % 4
+
+    def rotl(x: np.ndarray, r: int) -> np.ndarray:
+        return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+    h = np.zeros(rows, dtype=np.uint32)
+    old = np.errstate(over="ignore")
+    with old:
+        for j in range(K.shape[1]):
+            full = j < nblocks  # rows for which block j is a full block
+            k = np.where(full, K[:, j], 0).astype(np.uint32)
+            k = rotl(k * c1, 15) * c2
+            h2 = (rotl(h ^ k, 13) * np.uint32(5)) + np.uint32(0xE6546B64)
+            h = np.where(full, h2, h)
+        # tail: the final 1-3 bytes (block index nblocks), zero-padded by
+        # construction so the gathered uint32 already equals the
+        # little-endian tail value
+        has_tail = rem > 0
+        if has_tail.any():
+            tk = np.where(has_tail, K[np.arange(rows), np.minimum(nblocks, K.shape[1] - 1)], 0).astype(np.uint32)
+            tk = rotl(tk * c1, 15) * c2
+            h = np.where(has_tail, h ^ tk, h)
+        h ^= lens.astype(np.uint32)
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h *= np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h.view(np.int32)
+
+
 def bucket_string(col: Column, n: int) -> Column:
     """Iceberg bucket[n] for string columns (UTF-8 bytes)."""
 
     @F.pandas_udf("int")
     def _bucket(s: pd.Series) -> pd.Series:
-        out = np.empty(len(s), dtype=np.int32)
-        for i, val in enumerate(s):
-            out[i] = (_murmur3_32_bytes(val.encode()) & 0x7FFFFFFF) % n
-        return pd.Series(out, dtype="int32")
+        enc = s.fillna("").str.encode("utf-8")
+        lens = enc.str.len().to_numpy(np.int64)
+        flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        hashes = _murmur3_32_bytes_vec(lens, flat)
+        return pd.Series((hashes.astype(np.int64) & 0x7FFFFFFF) % n, dtype="int32")
 
     return _bucket(col)
 

@@ -376,6 +376,12 @@ def test_rest_roundtrip_and_error_codes():
             c._request("POST", f"/catalog/v1/{c.prefix}/register", {"name": "x"})
         assert e.value.code == 501
 
+        # oauth tokens → 501 parity (api/iceberg/v1/oauth.rs:22-33 routes
+        # to a Service trait no crate implements)
+        with pytest.raises(CatalogHTTPError) as e:
+            c._request("POST", "/catalog/v1/oauth/tokens", {"grant_type": "client_credentials"})
+        assert e.value.code == 501
+
         # metrics accepted and discarded
         c.report_metrics(["ns"], "t", {"report-type": "scan-report"})
 
