@@ -323,6 +323,11 @@ class TableMetadataBuilder:
         snap["sequence-number"] = seq
         snap.setdefault("timestamp-ms", _now_ms())
         snap.setdefault("schema-id", self.m["current-schema-id"])
+        # the spec in force at commit time — file→spec attribution for
+        # the .partitions metadata view (Iceberg manifests carry spec-id
+        # per file; snapshot-level is exact here because each commit
+        # writes files under exactly the then-default spec)
+        snap.setdefault("spec-id", self.m["default-spec-id"])
         self.m["snapshots"].append(snap)
         self.m["last-sequence-number"] = seq
 

@@ -327,21 +327,28 @@ class SparkCatalogTable:
         files = self._snapshot_files(metadata, snap)
         if not files:
             return self.spark.createDataFrame([], schema)
-        # files carry field-id column names (f<id>, see _write_files);
-        # read with the id-keyed schema, then restore display names —
-        # ids absent from a file backfill as null (schema evolution)
+        return self._read_files(ice_schema["fields"], files)
+
+    def _read_files(
+        self, ice_fields: list[dict], files: list[str], with_file_col: str | None = None
+    ) -> DataFrame:
+        """Read data files by field id: files carry f<id> column names
+        (see _write_files); read with the id-keyed schema, then restore
+        display names — ids absent from a file backfill as null (schema
+        evolution)."""
         id_schema = T.StructType(
             [
                 T.StructField(
                     f"f{f['id']}", _ICEBERG_TO_SPARK[f["type"]], not f.get("required", False)
                 )
-                for f in ice_schema["fields"]
+                for f in ice_fields
             ]
         )
         raw = self.spark.read.schema(id_schema).parquet(*files)
-        return raw.select(
-            *[raw[f"f{f['id']}"].alias(f["name"]) for f in ice_schema["fields"]]
-        )
+        cols = [raw[f"f{f['id']}"].alias(f["name"]) for f in ice_fields]
+        if with_file_col:
+            cols.append(F.input_file_name().alias(with_file_col))
+        return raw.select(*cols)
 
     # ----------------------------------------------------------- refs/ddl
 
@@ -447,6 +454,31 @@ class SparkCatalogTable:
             ],
         )
 
+    def drop_partition_field(self, field_name: str) -> None:
+        """ALTER TABLE DROP PARTITION FIELD parity (test_spark.py:192-198):
+        AddSpec without the field + SetDefaultSpec (v2 semantics — the
+        field is removed, not voided)."""
+        m = self._load()
+        current_spec = next(
+            s for s in m["partition-specs"] if s["spec-id"] == m["default-spec-id"]
+        )
+        fields = [
+            {k: f[k] for k in ("source-id", "transform", "name")}
+            for f in current_spec["fields"]
+            if f["name"] != field_name
+        ]
+        if len(fields) == len(current_spec["fields"]):
+            raise KeyError(f"partition field {field_name!r} not found")
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            [{"type": "assert-default-spec-id", "default-spec-id": m["default-spec-id"]}],
+            [
+                {"action": "add-spec", "spec": {"fields": fields}},
+                {"action": "set-default-spec", "spec-id": -1},
+            ],
+        )
+
     def set_write_order(self, fields: list[tuple[str, str]]) -> None:
         """ALTER TABLE ... WRITE ORDERED BY parity: fields is a list of
         (column_name, 'asc'|'desc'); AddSortOrder + SetDefaultSortOrder."""
@@ -516,3 +548,98 @@ class SparkCatalogTable:
         return self.spark.createDataFrame(
             [(f, os.path.getsize(f)) for f in files], "file_path string, file_size_bytes long"
         )
+
+    @staticmethod
+    def _partition_expr(transform: str, col, ice_type: str):
+        """Spark Column computing an Iceberg partition transform value."""
+        from ..operators import transforms as TR
+
+        if transform == "identity":
+            return col
+        if transform == "void":
+            return F.lit(None)
+        if transform.startswith("bucket["):
+            n = int(transform[len("bucket[") : -1])
+            if ice_type == "string":
+                return TR.bucket_string(col, n)
+            return TR.bucket_long(col.cast("long"), n)
+        if transform.startswith("truncate["):
+            w = int(transform[len("truncate[") : -1])
+            if ice_type == "string":
+                return TR.truncate_string(col, w)
+            return TR.truncate_long(col, w)
+        if transform in ("year", "years"):
+            return TR.years(col)
+        if transform in ("month", "months"):
+            return TR.months(col)
+        if transform in ("day", "days"):
+            return TR.days(col)
+        if transform in ("hour", "hours"):
+            return TR.hours(col)
+        raise ValueError(f"unknown transform {transform!r}")
+
+    def partitions_df(self) -> DataFrame:
+        """`SELECT * FROM tbl.partitions` parity (test_spark.py:149-165,
+        185-210): one row per (partition tuple, spec_id) in the current
+        snapshot, with record and file counts. Each data file is
+        attributed to the spec that was default when its snapshot
+        committed (snapshot['spec-id'] — the snapshot-level equivalent of
+        Iceberg manifests' per-file spec-id), so rows written before a
+        partition-evolution keep their original partition tuple, exactly
+        like the reference's test_change_partitioning expects. Counts are
+        computed distributedly (groupBy + count + countDistinct on
+        input_file_name); only the per-partition summary reaches the
+        driver."""
+        out_schema = "partition string, spec_id int, record_count long, file_count long"
+        m = self._load()
+        snap = self._resolve_snapshot(m)
+        if snap is None:
+            return self.spark.createDataFrame([], out_schema)
+        files = self._snapshot_files(m, snap)
+        if not files:
+            return self.spark.createDataFrame([], out_schema)
+        # file → spec: first (commit-ordered) snapshot that contains it
+        file_spec: dict[str, int] = {}
+        for s in sorted(m["snapshots"], key=lambda s: s.get("sequence-number", 0)):
+            sid = s.get("spec-id", m["default-spec-id"])
+            for f in self._snapshot_files(m, s):
+                file_spec.setdefault(f, sid)
+        by_spec: dict[int, list[str]] = {}
+        for f in files:
+            by_spec.setdefault(file_spec.get(f, m["default-spec-id"]), []).append(f)
+        specs = {s["spec-id"]: s for s in m["partition-specs"]}
+        # source columns may live in an older schema (dropped since);
+        # resolve field ids across all schemas, newest first
+        fields_by_id: dict[int, dict] = {}
+        for s in sorted(m["schemas"], key=lambda s: s["schema-id"]):
+            for f in s["fields"]:
+                fields_by_id[f["id"]] = f
+        parts = []
+        for spec_id, flist in sorted(by_spec.items()):
+            spec = specs[spec_id]
+            need = list(
+                {pf["source-id"]: fields_by_id[pf["source-id"]] for pf in spec["fields"]}.values()
+            )
+            df = self._read_files(need, flist, with_file_col="_file")
+            if spec["fields"]:
+                pieces = []
+                for pf in spec["fields"]:
+                    src = fields_by_id[pf["source-id"]]
+                    val = self._partition_expr(pf["transform"], F.col(src["name"]), src["type"])
+                    pieces.append(
+                        F.concat(F.lit(pf["name"] + "="), F.coalesce(val.cast("string"), F.lit("null")))
+                    )
+                pstr = F.concat(F.lit("{"), F.concat_ws(", ", *pieces), F.lit("}"))
+            else:
+                pstr = F.lit("{}")
+            parts.append(
+                df.groupBy(pstr.alias("partition")).agg(
+                    F.lit(spec_id).cast("int").alias("spec_id"),
+                    F.count(F.lit(1)).alias("record_count"),
+                    F.countDistinct("_file").alias("file_count"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out.select("partition", "spec_id", "record_count", "file_count")

@@ -279,21 +279,46 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-batched).
 
     Token hash = first 8 bytes of md5 (stable across runs/engines);
-    signature bit b is the sign of the ±1 vote sum over tokens."""
+    signature bit b is the sign of the ±1 vote sum over token
+    *occurrences*. Vectorized: tokens are factorized so md5 runs once
+    per distinct token in the batch, the ±1 bit matrix is gathered by
+    code, and per-document vote sums are one segment-sum
+    (np.add.reduceat) — bounded by a token-chunk budget, no per-token
+    Python in the hot loop."""
     import hashlib
 
     shifts = np.arange(64, dtype=np.uint64)
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in (t or "").split():
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+    TOKEN_CHUNK = 500_000
+    toks = texts.fillna("").str.split()
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    out = np.zeros(len(lens), dtype=np.int64)  # empty docs keep sig 0
+    start = 0
+    while start < len(lens):
+        end, total = start, 0
+        while end < len(lens) and (end == start or total + lens[end] <= TOKEN_CHUNK):
+            total += lens[end]
+            end += 1
+        flat = [t for lst in toks.iloc[start:end] for t in lst]
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            uh = np.empty(len(uniques), dtype=np.uint64)
+            for j, tok in enumerate(uniques):  # only distinct tokens hit md5
+                uh[j] = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+            pm = (((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)
+            tok_pm = pm[codes]  # (total_tokens, 64) of ±1
+            L = lens[start:end]
+            nz = L > 0
+            offs = np.zeros(len(L), dtype=np.int64)
+            np.cumsum(L[:-1], out=offs[1:])
+            votes = np.add.reduceat(tok_pm, offs[nz], axis=0)  # (nz docs, 64)
+            sigs = np.zeros(len(L), dtype=np.uint64)
+            sigs[nz] = np.bitwise_or.reduce(
+                (votes > 0).astype(np.uint64) << shifts[None, :], axis=1
             )
-            bits = (h >> shifts) & np.uint64(1)
-            acc += 2 * bits.astype(np.int64) - 1
-        sig = int(np.bitwise_or.reduce(((acc > 0).astype(np.uint64) << shifts)))
-        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig  # two's-complement
+            out[start:end] = sigs.view(np.int64)
+        start = end
     return pd.Series(out)
 
 

@@ -136,6 +136,34 @@ def test_partition_special_chars_in_column_name(spark, colname):
         assert spec["fields"][0]["name"] == colname
 
 
+def test_partitions_metadata_table(table_env):
+    """`tbl.partitions` parity (test_spark.py:149-165): one row per
+    distinct partition value, distributed counts."""
+    spark, client, table, df = table_env
+    table.add_partition_field("k", "identity", "k")
+    table.append(df)  # k = 0..4, one row each
+    rows = {r["partition"]: r for r in table.partitions_df().collect()}
+    assert len(rows) == 5
+    assert rows["{k=0}"]["record_count"] == 1
+    assert all(r["file_count"] >= 1 for r in rows.values())
+
+
+def test_change_partitioning_keeps_old_tuples(table_env):
+    """test_spark.py:185-210: after DROP PARTITION FIELD, new rows land
+    in the unpartitioned spec while old files keep their original
+    partition tuple — .partitions shows both specs' rows."""
+    spark, client, table, df = table_env
+    table.add_partition_field("k", "identity", "k")
+    table.append(df.filter(F.col("k") < 2))  # partitions {k=0}, {k=1}
+    table.drop_partition_field("k")
+    table.append(df.filter(F.col("k") == 2))  # unpartitioned spec
+    rows = {(r["partition"], r["spec_id"]) for r in table.partitions_df().collect()}
+    specs = {s for _, s in rows}
+    parts = {p for p, _ in rows}
+    assert len(rows) == 3 and len(specs) == 2
+    assert "{k=0}" in parts and "{k=1}" in parts and "{}" in parts
+
+
 def test_dropped_column_not_resurrected_on_readd(table_env):
     """Iceberg field-id semantics: DROP COLUMN then ADD COLUMN with the
     same name yields a fresh field id — old values must NOT reappear."""
