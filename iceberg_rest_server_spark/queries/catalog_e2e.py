@@ -76,6 +76,22 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_snapshots = table.snapshots_df().count()
         n_refs = table.refs_df().count()
 
+        # partition evolution + .partitions metadata view
+        # (test_spark.py:149-165,185-210): partition by bucket(4), append,
+        # then drop the field — old rows keep their original tuple
+        table.add_partition_field("l_partkey", "bucket[4]", "pk_bucket")
+        table.append(first)
+        parts_before = {
+            (r["partition"], r["spec_id"]) for r in table.partitions_df().collect()
+        }
+        n_bucketed = sum(1 for p, s in parts_before if p != "{}")
+        assert 1 <= n_bucketed <= 4, parts_before
+        table.drop_partition_field("pk_bucket")
+        table.append(second)
+        parts_after = table.partitions_df().collect()
+        assert len({r["spec_id"] for r in parts_after}) >= 2, parts_after
+        assert sum(r["record_count"] for r in parts_after) == table.read().count()
+
         rows = [
             ("count_main", count_main),
             ("count_at_tag", count_at_tag),
@@ -84,5 +100,6 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("files_after_compact", n_files_after),
             ("snapshots", n_snapshots),
             ("refs", n_refs),
+            ("partition_specs_live", len({r["spec_id"] for r in parts_after})),
         ]
         return spark.createDataFrame(rows, "metric string, value long")
