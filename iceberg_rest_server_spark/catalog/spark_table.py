@@ -199,6 +199,7 @@ class SparkCatalogTable:
         files: list[str],
         operation: str,
         branch: str = MAIN_BRANCH,
+        summary_extra: dict[str, str] | None = None,
     ) -> int:
         snapshot_id = uuid.uuid4().int % (1 << 62)
         manifest = self._manifest_path(metadata, snapshot_id)
@@ -211,13 +212,15 @@ class SparkCatalogTable:
             # optimistic CAS on the branch head (rest/table.rs:153-189)
             {"type": "assert-ref-snapshot-id", "ref": branch, "snapshot-id": parent_id}
         ]
+        summary = {"operation": operation, "added-files": str(len(files))}
+        summary.update(summary_extra or {})
         snapshot = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": parent_id,
             "timestamp-ms": int(time.time() * 1000),
             "operation": operation,
             "manifest-list": manifest,
-            "summary": {"operation": operation, "added-files": str(len(files))},
+            "summary": summary,
         }
         self.client.commit_table(
             self.namespace,
@@ -231,16 +234,25 @@ class SparkCatalogTable:
         )
         return snapshot_id
 
-    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        branch: str = MAIN_BRANCH,
+        summary_extra: dict[str, str] | None = None,
+    ) -> int:
         """INSERT INTO semantics: new snapshot = branch head files + new
-        files (AppendData → AddSnapshot, SURVEY.md §2E)."""
+        files (AppendData → AddSnapshot, SURVEY.md §2E). `summary_extra`
+        lands in the snapshot summary (streaming sinks use it to record
+        epoch ids for exactly-once replay)."""
         metadata = self._load()
         new_files = self._write_files(df, metadata)
         head = self._resolve_snapshot(
             metadata, ref=branch if branch in metadata["refs"] else None
         )
         existing = [] if head is None else self._snapshot_files(metadata, head)
-        return self._commit_snapshot(metadata, existing + new_files, "append", branch)
+        return self._commit_snapshot(
+            metadata, existing + new_files, "append", branch, summary_extra
+        )
 
     def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> int:
         """INSERT OVERWRITE / rewrite semantics: snapshot holds only the

@@ -1,0 +1,68 @@
+"""Streaming sink: writeStream → catalog table with exactly-once
+replay semantics.
+
+The reference catalog has no streaming surface (SURVEY §2G); this is
+the Spark-side sink a user needs to land a stream in catalog tables.
+It follows the same idempotency protocol as Iceberg's structured-
+streaming writer: every micro-batch commit records its (query-id,
+epoch-id) in the snapshot summary, and on restart/replay any batch
+whose epoch was already committed for this query-id is skipped —
+upgrading ``foreachBatch``'s at-least-once delivery to exactly-once
+table contents. State lives entirely in the table metadata (no side
+channel), so recovery works from the catalog alone.
+
+At scale each micro-batch is one CAS-guarded snapshot commit; the data
+write inside the batch is a normal distributed parquet write, and the
+only driver-side work is the manifest/metadata round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..catalog.spark_table import SparkCatalogTable
+
+
+def committed_epochs(table: SparkCatalogTable, query_id: str) -> set[int]:
+    """Epoch ids already committed to `table` by this streaming query."""
+    return {
+        int(s["summary"]["streaming-epoch-id"])
+        for s in table.metadata()["snapshots"]
+        if s.get("summary", {}).get("streaming-query-id") == query_id
+        and "streaming-epoch-id" in s.get("summary", {})
+    }
+
+
+def stream_to_table(
+    stream_df: DataFrame,
+    table: SparkCatalogTable,
+    checkpoint_dir: str,
+    query_id: str = "stream-sink",
+) -> int:
+    """Drain `stream_df` (availableNow) into `table`, one snapshot per
+    micro-batch, skipping epochs already committed under `query_id`.
+
+    Returns the number of batches actually committed (replays return 0).
+    """
+    committed_count = [0]
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_epochs(table, query_id):
+            return  # replayed batch — already in the table
+        table.append(
+            batch_df,
+            summary_extra={
+                "streaming-query-id": query_id,
+                "streaming-epoch-id": str(epoch_id),
+            },
+        )
+        committed_count[0] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return committed_count[0]
