@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .client import RestCatalogClient
+from .client import CatalogHTTPError, RestCatalogClient
 from .metadata import MAIN_BRANCH
 
 _SPARK_TO_ICEBERG = {
@@ -165,6 +165,36 @@ class SparkCatalogTable:
             cols.append(c)
         return df.sortWithinPartitions(*cols) if cols else df
 
+    def _apply_write_distribution(self, df: DataFrame, metadata: dict) -> DataFrame:
+        """Iceberg `write.distribution-mode=hash`: when the table has a
+        partition spec, cluster rows by the partition expressions before
+        writing. Without this, at scale every write task holds rows of
+        every partition and a P-partition table gets tasks×P small files
+        per commit; with it each partition's rows land in ~one task."""
+        spec = next(
+            (
+                s
+                for s in metadata.get("partition-specs", [])
+                if s["spec-id"] == metadata.get("default-spec-id")
+            ),
+            None,
+        )
+        if not spec or not spec.get("fields"):
+            return df
+        schema = next(
+            s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
+        )
+        by_id = {f["id"]: f for f in schema["fields"]}
+        exprs = []
+        for pf in spec["fields"]:
+            src = by_id.get(pf["source-id"])
+            if src is None or src["name"] not in df.columns:
+                continue
+            exprs.append(
+                self._partition_expr(pf["transform"], F.col(src["name"]), src["type"])
+            )
+        return df.repartition(*exprs) if exprs else df
+
     def _write_files(self, df: DataFrame, metadata: dict) -> list[str]:
         """Data files use *field-id* column names (``f<id>``), mapping the
         table's display names at the read/write boundary — Iceberg's
@@ -174,6 +204,7 @@ class SparkCatalogTable:
         correct semantics: a re-added name gets a fresh id, so old data
         is not resurrected."""
         data_dir = os.path.join(self._local(metadata["location"]), "data", uuid.uuid4().hex)
+        df = self._apply_write_distribution(df, metadata)
         df = self._apply_write_order(df, metadata)
         schema = next(
             s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
@@ -246,20 +277,43 @@ class SparkCatalogTable:
         epoch ids for exactly-once replay)."""
         metadata = self._load()
         new_files = self._write_files(df, metadata)
-        head = self._resolve_snapshot(
-            metadata, ref=branch if branch in metadata["refs"] else None
-        )
-        existing = [] if head is None else self._snapshot_files(metadata, head)
-        return self._commit_snapshot(
-            metadata, existing + new_files, "append", branch, summary_extra
-        )
+
+        def attempt() -> int:
+            m = self._load()
+            head = self._resolve_snapshot(m, ref=branch if branch in m["refs"] else None)
+            existing = [] if head is None else self._snapshot_files(m, head)
+            return self._commit_snapshot(
+                m, existing + new_files, "append", branch, summary_extra
+            )
+
+        return self._retry_cas(attempt)
 
     def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> int:
         """INSERT OVERWRITE / rewrite semantics: snapshot holds only the
         new files (rewrite_data_files compaction uses this too)."""
         metadata = self._load()
         new_files = self._write_files(df, metadata)
-        return self._commit_snapshot(metadata, new_files, "overwrite", branch)
+        return self._retry_cas(
+            lambda: self._commit_snapshot(self._load(), new_files, "overwrite", branch)
+        )
+
+    def _retry_cas(self, attempt, retries: int = 3) -> int:
+        """Iceberg-style commit retry: data files are written once; on a
+        409 (another writer advanced the branch head between our metadata
+        load and the CAS commit) only the metadata swap is retried against
+        the fresh head. Applied to append/overwrite, whose outcomes are
+        independent of the loser's snapshot; read-modify-write operations
+        (merge, delete_where, compact) deliberately do NOT auto-retry —
+        their result depends on the rows they read, so a blind retry
+        could silently drop the winner's changes (Iceberg's serializable
+        conflict detection fails those too)."""
+        for i in range(retries + 1):
+            try:
+                return attempt()
+            except CatalogHTTPError as e:
+                if e.code != 409 or i == retries:
+                    raise
+        raise AssertionError("unreachable")
 
     def merge(
         self,

@@ -164,6 +164,19 @@ def test_change_partitioning_keeps_old_tuples(table_env):
     assert "{k=0}" in parts and "{k=1}" in parts and "{}" in parts
 
 
+def test_partitioned_write_clusters_files(table_env):
+    """Hash write distribution: a partitioned append produces at most one
+    file per partition tuple, not tasks×partitions small files."""
+    spark, client, table, df = table_env
+    table.add_partition_field("k", "identity", "k")
+    table.append(df.repartition(8))  # deliberately scattered input
+    n_files = table.files_df().count()
+    n_parts = table.partitions_df().count()
+    assert n_parts == 5
+    assert n_files <= n_parts, (n_files, n_parts)
+    assert table.read().count() == 5
+
+
 def test_dropped_column_not_resurrected_on_readd(table_env):
     """Iceberg field-id semantics: DROP COLUMN then ADD COLUMN with the
     same name yields a fresh field id — old values must NOT reappear."""
@@ -212,6 +225,42 @@ def test_time_travel_uses_snapshot_schema(table_env):
     # current/branch read: new schema
     assert set(table.read().columns) == {"k", "v", "extra"}
     assert set(table.read(ref="main").columns) == {"k", "v", "extra"}
+
+
+def test_append_retries_through_cas_conflict(table_env):
+    """A competing writer lands between our metadata load and commit:
+    append must retry the metadata swap (NOT rewrite data files) and both
+    writers' rows must survive."""
+    from iceberg_rest_server_spark.catalog.client import RestCatalogClient
+
+    spark, client, table, df = table_env
+    table.append(df)
+    base = table.read().count()
+
+    rival = SparkCatalogTable(
+        spark, RestCatalogClient(client.base_url), ["ns"], "t"
+    )
+    rival.client.configure("p", "wh")
+
+    real_commit = client.commit_table
+    injected = {"done": False}
+
+    def racy_commit(ns, name, reqs, ups):
+        if not injected["done"] and any(
+            u.get("action") == "add-snapshot" for u in ups
+        ):
+            injected["done"] = True
+            rival.append(df)  # advances the head → our CAS goes stale
+        return real_commit(ns, name, reqs, ups)
+
+    client.commit_table = racy_commit
+    try:
+        table.append(df)
+    finally:
+        client.commit_table = real_commit
+    assert injected["done"]
+    # all three appends' rows are present: nothing lost, nothing doubled
+    assert table.read().count() == base * 3
 
 
 def test_concurrent_commit_cas_conflict(table_env):
