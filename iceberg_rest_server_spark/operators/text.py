@@ -45,6 +45,30 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# GPT-2-style BPE *pre*tokenizer (contractions | letter runs | digit
+# runs | punctuation runs, each with optional leading space). The
+# lookahead-based whitespace clauses of the original are dropped so the
+# pattern stays inside the RE2 subset DuckDB can verify; whitespace-run
+# tokens are not counted.
+BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex alongside the
+    whitespace count — the two tokenizations a data-pipeline budget
+    estimate typically wants (LLM-ish token count vs word count). All
+    JVM-side (regexp_extract_all)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(tokens(text_col)).alias("n_ws_tokens"),
+        (F.size(toks).cast("double") / F.size(tokens(text_col))).alias(
+            "bpe_per_word"
+        ),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features: length band, punctuation ratio,
     stopword ratio, uppercase ratio — all integer-derived doubles."""

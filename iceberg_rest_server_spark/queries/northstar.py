@@ -130,6 +130,26 @@ def q33_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q33_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens,
+           len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS DOUBLE)
+             / len(regexp_split_to_array(text, '\s+')) AS bpe_per_word
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting with a GPT-2-style BPE pretokenizer regex "
+    "(contractions/letter-runs/digit-runs/punctuation, RE2-compatible "
+    "subset) next to the whitespace count — JVM regexp_extract_all.",
+)
+def q33_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.bpe_token_count(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "q33_quality_score",
     oracle=r"""
     SELECT doc_id,
