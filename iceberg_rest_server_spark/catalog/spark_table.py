@@ -572,6 +572,56 @@ class SparkCatalogTable:
             ],
         )
 
+    def expire_snapshots(
+        self, older_than_ms: int | None = None, retain_last: int = 1
+    ) -> dict[str, int]:
+        """Maintenance: `expire_snapshots` semantics — drop snapshots that
+        are (a) not any ref's head, (b) not among the newest
+        `retain_last`, and (c) older than `older_than_ms` if given; then
+        delete data files and manifests referenced *only* by the expired
+        snapshots. Metadata swap happens first (CAS-guarded commit), file
+        deletion after — a crash between the two leaks files but never
+        corrupts the table, the same ordering Iceberg uses. Our manifests
+        list each snapshot's full file set, so the orphan set is a plain
+        set difference against every retained snapshot's manifest —
+        metadata-scale work on the driver, no data scan."""
+        m = self._load()
+        snaps = sorted(m["snapshots"], key=lambda s: s.get("sequence-number", 0))
+        protected = {r["snapshot-id"] for r in m["refs"].values()}
+        keep = {s["snapshot-id"] for s in snaps[len(snaps) - retain_last :]} | protected
+        expired = [
+            s
+            for s in snaps
+            if s["snapshot-id"] not in keep
+            and (older_than_ms is None or s.get("timestamp-ms", 0) < older_than_ms)
+        ]
+        if not expired:
+            return {"expired": 0, "deleted_files": 0}
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            [],
+            [
+                {
+                    "action": "remove-snapshots",
+                    "snapshot-ids": [s["snapshot-id"] for s in expired],
+                }
+            ],
+        )
+        expired_ids = {s["snapshot-id"] for s in expired}
+        retained_files: set[str] = set()
+        for s in snaps:
+            if s["snapshot-id"] not in expired_ids:
+                retained_files.update(self._snapshot_files(m, s))
+        deleted = 0
+        for s in expired:
+            for f in self._snapshot_files(m, s):
+                if f not in retained_files and os.path.exists(f):
+                    os.remove(f)
+                    deleted += 1
+            os.remove(s["manifest-list"])
+        return {"expired": len(expired), "deleted_files": deleted}
+
     def set_properties(self, properties: dict[str, str]) -> None:
         self.client.commit_table(
             self.namespace, self.name, [], [{"action": "set-properties", "updates": properties}]

@@ -4,6 +4,7 @@ metadata-file IO — mirrors the reference's test_spark.py evolution cases
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -186,6 +187,27 @@ def test_dropped_column_not_resurrected_on_readd(table_env):
     table.add_column("v", "long")
     out = table.read()
     assert out.filter(F.col("v").isNotNull()).count() == 0
+
+
+def test_expire_snapshots_gc(table_env):
+    """expire_snapshots drops unreferenced snapshots and deletes files
+    only they reference; ref heads and the newest snapshot survive."""
+    spark, client, table, df = table_env
+    table.append(df)           # snap 1
+    table.create_tag("keepme")
+    table.overwrite(df.withColumn("v", F.col("v") + 1))  # snap 2 (new files)
+    table.overwrite(df.withColumn("v", F.col("v") + 2))  # snap 3 (new files)
+    m = table.metadata()
+    snaps = sorted(m["snapshots"], key=lambda s: s["sequence-number"])
+    snap2_files = set(table._snapshot_files(m, snaps[1]))
+    out = table.expire_snapshots(retain_last=1)
+    assert out["expired"] == 1          # snap 2: not tagged, not newest
+    assert out["deleted_files"] == len(snap2_files)
+    assert all(not os.path.exists(f) for f in snap2_files)
+    # tag still readable, head still readable
+    assert table.read(ref="keepme").count() == 5
+    assert table.read().count() == 5
+    assert table.snapshots_df().count() == 2
 
 
 def test_delete_where_null_predicate_rows_kept(table_env):
