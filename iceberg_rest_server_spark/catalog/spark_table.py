@@ -622,6 +622,34 @@ class SparkCatalogTable:
             os.remove(s["manifest-list"])
         return {"expired": len(expired), "deleted_files": deleted}
 
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> dict[str, int]:
+        """Maintenance: `remove_orphan_files` — delete files under the
+        table's data location that no snapshot's manifest references
+        (left behind by failed/aborted writes). A modification-time
+        grace period (`older_than_ms`, absolute epoch ms) protects
+        writes that are mid-flight between their parquet write and the
+        snapshot commit — the same safety valve Iceberg's procedure has.
+        Metadata-scale set difference; no data scan."""
+        m = self._load()
+        referenced: set[str] = set()
+        for s in m["snapshots"]:
+            referenced.update(self._snapshot_files(m, s))
+        data_root = os.path.join(self._local(m["location"]), "data")
+        deleted = 0
+        for root, _, files in os.walk(data_root):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue  # _SUCCESS/.crc sidecars: write bookkeeping,
+                    # not data files — manifests never track them
+                p = os.path.join(root, fn)
+                if p in referenced:
+                    continue
+                if older_than_ms is not None and os.path.getmtime(p) * 1000 >= older_than_ms:
+                    continue
+                os.remove(p)
+                deleted += 1
+        return {"deleted_files": deleted}
+
     def set_properties(self, properties: dict[str, str]) -> None:
         self.client.commit_table(
             self.namespace, self.name, [], [{"action": "set-properties", "updates": properties}]

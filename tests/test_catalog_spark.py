@@ -210,6 +210,33 @@ def test_expire_snapshots_gc(table_env):
     assert table.snapshots_df().count() == 2
 
 
+def test_remove_orphan_files(table_env):
+    """Unreferenced files under data/ are deleted; referenced files and
+    files inside the grace window survive."""
+    import time as _time
+
+    spark, client, table, df = table_env
+    table.append(df)
+    m = table.metadata()
+    data_root = os.path.join(m["location"], "data")
+    orphan = os.path.join(data_root, "aborted-write.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    fresh = os.path.join(data_root, "inflight.parquet")
+    with open(fresh, "wb") as fh:
+        fh.write(b"junk")
+    # grace cutoff between the ancient orphan and the fresh in-flight file
+    cutoff = int(_time.time() * 1000) - 60_000
+    os.utime(orphan, (0, 0))  # ancient
+    out = table.remove_orphan_files(older_than_ms=cutoff)
+    assert out["deleted_files"] == 1
+    assert not os.path.exists(orphan) and os.path.exists(fresh)
+    assert table.read().count() == 5  # table data untouched
+    # no grace period: the in-flight file goes too
+    assert table.remove_orphan_files()["deleted_files"] == 1
+    assert table.read().count() == 5
+
+
 def test_delete_where_null_predicate_rows_kept(table_env):
     """DELETE removes only rows where the condition is TRUE — rows where
     the predicate is NULL must survive (3-valued logic; ADVICE r1)."""
