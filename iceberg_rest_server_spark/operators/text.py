@@ -135,6 +135,29 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def curation_columns(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-scan enrichment for the curation pipeline: the quality gate,
+    CJK count, token count and fingerprint as columns of a single
+    select (same expressions as quality_score / lang_id / token_stats /
+    fingerprint). Composing those operators via joins re-reads and
+    re-shuffles the corpus once per feature; at 100 TB this is the
+    difference between one pass and five."""
+    t = tokens(text_col)
+    n_chars = F.length(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda tok: F.array_contains(stop_arr, tok)))
+    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), TOKEN_SPLIT, " "))
+    return df.select(
+        F.col(id_col),
+        F.col(text_col),
+        ((n_chars >= 100) & (n_chars <= 20000) & (n_stop > 0)).alias("passes_quality"),
+        cjk.alias("n_cjk"),
+        F.size(t).alias("n_tokens"),
+        F.md5(canon).alias("fingerprint"),
+    )
+
+
 def top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Top-k terms per document by term frequency (ties: lexicographic)."""
     exploded = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))

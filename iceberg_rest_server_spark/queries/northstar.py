@@ -398,25 +398,17 @@ def q38_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    quality = text.quality_score(docs, "doc_id", "text").select("doc_id", "passes_quality")
-    langs = text.lang_id(docs, "doc_id", "text").select("doc_id", "n_cjk")
-    kept_ids = (
-        quality.join(langs, "doc_id")
-        .filter(F.col("passes_quality") & (F.col("n_cjk") == 0))
-        .select("doc_id")
-    )
-    kept = docs.join(kept_ids, "doc_id")
+    # one scan computes every per-doc feature (gate inputs + outputs);
+    # the only joins left are the near-dup victim anti-join
+    enriched = text.curation_columns(docs, "doc_id", "text").persist()
+    kept = enriched.filter(F.col("passes_quality") & (F.col("n_cjk") == 0))
     victims = (
         dedup.exact_jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.8)
         .select(F.col("id2").alias("doc_id"))
         .distinct()
     )
-    stats = text.token_stats(kept, "doc_id", "text").select("doc_id", "n_tokens")
-    fps = text.fingerprint(kept, "doc_id", "text").select("doc_id", "fingerprint")
     return (
         kept.join(victims, "doc_id", "left_anti")
-        .join(stats, "doc_id")
-        .join(fps, "doc_id")
         .select("doc_id", "n_tokens", "fingerprint")
         .orderBy("doc_id")
     )
