@@ -78,3 +78,71 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, meta struct<n_bytes: long, width: int, height: int>"
+)
+
+
+def resize_images(assets: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Resize step (1 row → 1 row, payload → payload): the decode+resample
+    kernel is a deterministic fake (linear resample of the byte stream to
+    width×height bytes — a real codec would decode, `cv2.resize`, and
+    re-encode in its place), but the Spark contract is production-real:
+    binary in/out through Arrow, new typed metadata, no added shuffle —
+    the map runs on whatever partitioning the scan produced."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    arr = np.zeros(1, dtype=np.uint8)
+                xs = np.linspace(0, arr.size - 1, target)
+                out.append(
+                    np.interp(xs, np.arange(arr.size), arr).astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "meta": [
+                        {"n_bytes": target, "width": width, "height": height}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 256, every_nth: int = 4
+) -> DataFrame:
+    """Frame sampling (1 row → N rows): treat the payload as a sequence of
+    fixed-size frames and keep every `every_nth` one — the video-sampling
+    contract (a real impl would demux containers and decode keyframes).
+    Row multiplication happens inside mapInPandas, so output batch size
+    decouples from input batch size exactly as a production frame
+    sampler needs; still no added shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max((len(payload) + frame_bytes - 1) // frame_bytes, 1)
+                for i in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame": frames}
+            )
+
+    return assets.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -451,3 +451,31 @@ def q37_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.to_assets(docs))
     return feats.orderBy("doc_id")
+
+
+@register(
+    "q37_multimodal_frames",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 4)) AS BIGINT)
+             AS n_sampled_frames
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Resize + frame-sample plumbing: payload resampled to 8x8 bytes "
+    "(deterministic fake for decode+cv2.resize), then the original "
+    "payload chunked into 256-byte frames with every 4th kept — the "
+    "1-to-N mapInPandas contract. Frame counts per doc are "
+    "oracle-checkable; frame bytes are engine-side.",
+)
+def q37_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    assets = multimodal.to_assets(docs)
+    # resize plumbing exercised for its schema/determinism (asserted in
+    # tests); the oracle-checked output is the frame-sampling count
+    frames = multimodal.sample_frames(assets, frame_bytes=256, every_nth=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+        .orderBy("doc_id")
+    )

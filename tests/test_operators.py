@@ -67,6 +67,44 @@ def test_stateful_stream_matches_batch_totals(spark, sf_dir):
     assert out == batch and len(out) > 0
 
 
+def test_resize_images_contract(spark, sf_dir):
+    """Resize: payload→payload, fixed output size, deterministic."""
+    from iceberg_rest_server_spark.operators import multimodal
+    from iceberg_rest_server_spark.tables import load
+
+    assets = multimodal.to_assets(load(spark, sf_dir, "documents").limit(50))
+    out = multimodal.resize_images(assets, width=8, height=8).collect()
+    assert len(out) == 50
+    assert all(len(r["payload"]) == 64 for r in out)
+    assert all(r["meta"]["width"] == 8 and r["meta"]["height"] == 8 for r in out)
+    out2 = multimodal.resize_images(assets, width=8, height=8).collect()
+    assert {r["doc_id"]: r["payload"] for r in out} == {
+        r["doc_id"]: r["payload"] for r in out2
+    }
+
+
+def test_sample_frames_counts_and_bytes(spark, sf_dir):
+    """Frame sampling: every 4th 256-byte chunk, byte-exact."""
+    from iceberg_rest_server_spark.operators import multimodal
+    from iceberg_rest_server_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    assets = multimodal.to_assets(docs)
+    frames = multimodal.sample_frames(assets, frame_bytes=256, every_nth=4).collect()
+    texts = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, payload in texts.items():
+        n_frames = max((len(payload) + 255) // 256, 1)
+        expect_idx = list(range(0, n_frames, 4))
+        got = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == expect_idx
+        for r in got:
+            i = r["frame_idx"]
+            assert bytes(r["frame"]) == payload[i * 256 : (i + 1) * 256]
+
+
 def test_blocked_gemm_equals_bruteforce(spark, sf_dir):
     """The blocked-GEMM cosine pair scan must be bit-identical to the
     brute-force self-join (same pairs AND same cosine values)."""
