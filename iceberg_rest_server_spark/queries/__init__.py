@@ -15,5 +15,6 @@ from ..streaming import queries as _streaming_queries  # noqa: F401  (Q29–Q30)
 from . import northstar  # noqa: F401  (Q31+ training-data pipeline ops)
 from . import catalog_e2e  # noqa: F401  (Q34 catalog plane)
 from . import stats  # noqa: F401  (Q41+ statistics)
+from . import mixing  # noqa: F401  (Q43–Q48 corpus hygiene / data mixing)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

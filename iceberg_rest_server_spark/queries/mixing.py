@@ -1,0 +1,284 @@
+"""Q43–Q48: corpus-hygiene and data-mixing operators for a training-data
+pipeline (batch sessionization, pivot profiling, deterministic hash
+sampling, stratified per-group top-k selection, fuzzy key matching, and
+benchmark decontamination).
+
+These extend the SURVEY.md §2F inventory with the operations a 100 TB
+curation pipeline runs between dedup and export. Every query is a pure
+DataFrame plan (no Python in the hot path) with a DuckDB oracle; scale
+notes are on each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from ._exact import dec
+from ._registry import register
+
+# ------------------------------------------------------------ sessionize
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+@register(
+    "q43_sessionize_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Batch sessionization: events split into sessions at >30 min "
+    "inactivity gaps per user (lag + running sum of boundary flags — the "
+    "batch mirror of q30's session_window). One shuffle on user_id for "
+    "the window; the per-session aggregate then map-side combines before "
+    "its own shuffle, so event rows cross the wire once at full width.",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(us - F.lag(us).over(w) <= F.lit(_SESSION_GAP_US), F.lit(0)).otherwise(
+            F.lit(1)  # lag NULL (first event) → new session
+        ),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ------------------------------------------------------------ pivot
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "q44_pivot_profile",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Pivot profiling: order counts per (market segment × priority) as a "
+    "wide table via `pivot` with an explicit value list (fixed output "
+    "schema — no extra pass to discover values, which at 100 TB would be "
+    "a full scan). Compiles to a single hash aggregate after the join.",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wide = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    aliases = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    return wide.select(
+        "c_mktsegment",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+            for p, a in zip(_PRIORITIES, aliases)
+        ],
+    ).orderBy("c_mktsegment")
+
+
+# ------------------------------------------------------------ sampling
+
+@register(
+    "q45_hash_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Deterministic hash sampling: keep documents whose md5(doc_id) falls "
+    "in a fixed 1/8 slice of hash space — reproducible across engines and "
+    "runs, unlike `sample()`. The filter is a pure scan predicate: no "
+    "shuffle, prunes before the aggregate, and at 100 TB the sample rate "
+    "is changed by widening the hex-prefix set, not re-hashing.",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        docs.filter(bucket.isin("0", "1"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q46_stratified_topk",
+    oracle="""
+    SELECT lang, rk, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+    doc="Stratified top-k selection (data mixing): the k longest documents "
+    "per language via a ranking window — one shuffle on the stratum key. "
+    "At scale, skewed strata are handled by AQE; k rows per group leave "
+    "the window, so output is tiny regardless of input size.",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "rk", "doc_id", "n_chars")
+        .orderBy("lang", "rk")
+    )
+
+
+# ------------------------------------------------------------ fuzzy match
+
+@register(
+    "q47_fuzzy_brand_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand1, c.p_brand AS brand2,
+           levenshtein(a.p_brand, c.p_brand) AS dist
+    FROM b a JOIN b c ON a.p_brand < c.p_brand
+    WHERE levenshtein(a.p_brand, c.p_brand) <= 1
+    ORDER BY brand1, brand2
+    """,
+    doc="Fuzzy key matching: near-identical dimension values by edit "
+    "distance ≤ 1 (entity-resolution building block). Distinct first "
+    "collapses the fact table to its key domain (25 values here; bounded "
+    "by domain size, not row count, at any scale), so the quadratic "
+    "levenshtein join runs on a broadcast-sized set.",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brands = load(spark, sf_dir, "part").select("p_brand").distinct()
+    a = brands.alias("a")
+    c = brands.alias("c")
+    pair = a.join(
+        F.broadcast(c), F.col("a.p_brand") < F.col("c.p_brand")
+    ).select(
+        F.col("a.p_brand").alias("brand1"),
+        F.col("c.p_brand").alias("brand2"),
+        F.levenshtein(F.col("a.p_brand"), F.col("c.p_brand")).alias("dist"),
+    )
+    return pair.filter(F.col("dist") <= 1).orderBy("brand1", "brand2")
+
+
+# ------------------------------------------------------------ decontamination
+
+@register(
+    "q48_decontamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+3], ' ')
+                            for i in range(1, len(w) - 2)]) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 20 <> 0)
+      WHERE gram IN (SELECT gram FROM bench)
+    )
+    SELECT d.lang,
+           count(*) FILTER (WHERE c.doc_id IS NOT NULL) AS n_contaminated,
+           count(*) FILTER (WHERE c.doc_id IS NULL) AS n_clean
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 20 <> 0
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="Benchmark decontamination: flag corpus documents sharing any word "
+    "4-gram with a held-out benchmark set (doc_id % 20 = 0 stands in for "
+    "the eval suite). The benchmark gram set is bounded by the benchmark "
+    "size — a few MB even when the corpus is 100 TB — so it broadcasts: "
+    "the corpus side explodes grams and LEFT SEMI joins against the "
+    "broadcast with NO shuffle of corpus data, then collapses to distinct "
+    "doc ids. Word n-grams, not char n-grams, to match how eval-overlap "
+    "filtering is actually done.",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("w") >= 4,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 4)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    )
+    is_bench = F.col("doc_id") % 20 == 0
+    bench_grams = (
+        grams.filter(is_bench).select(F.explode("g").alias("gram")).distinct()
+    )
+    contaminated = (
+        grams.filter(~is_bench)
+        .select("doc_id", F.explode("g").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    corpus = docs.filter(~is_bench).select("doc_id", "lang")
+    flagged = corpus.join(
+        contaminated.withColumn("is_cont", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.col("is_cont")).alias("n_contaminated"),
+            F.count(F.when(F.col("is_cont").isNull(), 1)).alias("n_clean"),
+        )
+        .orderBy("lang")
+    )
