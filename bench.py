@@ -62,11 +62,20 @@ def main() -> None:
     # 20-30 s first execution vs 6-11 s at steady state for identical
     # work). Warmup is untimed, as with the scans above.
     try:
-        from iceberg_rest_server_spark.operators.dedup import minhash_lsh_pairs
+        from iceberg_rest_server_spark.operators.dedup import (
+            exact_jaccard_pairs,
+            minhash_lsh_pairs,
+        )
         from iceberg_rest_server_spark.tables import load as _load
 
         _sample = _load(spark, sf_dir, "documents").limit(200)
         minhash_lsh_pairs(_sample, "doc_id", "text").count()
+        spark.catalog.clearCache()
+        # the PPJoin path has its own generated stages, and running the
+        # pandas-UDF-heavy minhash first measurably degrades the FIRST
+        # subsequent PPJoin execution (52 s vs 16 s steady-state at sf0.1,
+        # reproduced; JIT/heap aftermath) — absorb that untimed too
+        exact_jaccard_pairs(_sample, "doc_id", "text").count()
         spark.catalog.clearCache()
     except Exception:
         pass  # warmup must never fail the bench

@@ -282,3 +282,258 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------------ repetition quality
+
+@register(
+    "q50_repetition_quality",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    big AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      FROM w WHERE len(w) >= 2
+    ),
+    cnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM cnt GROUP BY 1
+    )
+    SELECT w.doc_id,
+           len(w.w) AS n_words,
+           len(list_distinct(w.w)) AS n_distinct_words,
+           CAST(1.0 - len(list_distinct(w.w)) / CAST(len(w.w) AS DOUBLE) AS DOUBLE)
+             AS dup_word_frac,
+           coalesce(top.top_bigram_n, 0) AS top_bigram_n,
+           CAST(coalesce(top.top_bigram_n, 0)
+                / CAST(greatest(coalesce(top.n_bigrams, 1), 1) AS DOUBLE) AS DOUBLE)
+             AS top_bigram_frac,
+           CAST(coalesce(top.top_bigram_n, 0)
+                  / CAST(greatest(coalesce(top.n_bigrams, 1), 1) AS DOUBLE) > 0.2
+                OR 1.0 - len(list_distinct(w.w)) / CAST(len(w.w) AS DOUBLE) > 0.3
+             AS BOOLEAN) AS flagged
+    FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+    ORDER BY w.doc_id
+    """,
+    doc="Repetition-based quality filter (Gopher-style: Rae et al. 2021 "
+    "use duplicate-n-gram mass thresholds): per-doc duplicate-word "
+    "fraction and most-frequent-bigram mass, with a flag at "
+    "top-bigram > 20% or dup-words > 30%. The bigram count runs as "
+    "explode → two map-side-combining aggregates keyed on doc_id — no "
+    "per-doc Python, no window sort; fractions are int/int divisions so "
+    "they bit-match the oracle.",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    base = w.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+    )
+    bigrams = w.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    joined = base.join(top, "doc_id", "left")
+    top_n = F.coalesce("top_bigram_n", F.lit(0))
+    top_frac = top_n / F.greatest(F.coalesce("n_bigrams", F.lit(1)), F.lit(1)).cast(
+        "double"
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct_words") / F.col("n_words").cast("double")
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        dup_frac.cast("double").alias("dup_word_frac"),
+        top_n.alias("top_bigram_n"),
+        top_frac.cast("double").alias("top_bigram_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.3)).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ range join
+
+@register(
+    "q51_range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id AS iv_id,
+             min(ts) AS iv_start,
+             min(ts) + to_hours(CAST(user_id % 7 + 1 AS BIGINT)) AS iv_end
+      FROM events
+      WHERE user_id % 20 = 0
+      GROUP BY user_id
+    )
+    SELECT iv.iv_id, count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM iv JOIN events e ON e.ts >= iv.iv_start AND e.ts < iv.iv_end
+    GROUP BY iv.iv_id ORDER BY iv.iv_id
+    """,
+    doc="Interval (range) join: every event falling inside irregular "
+    "per-incident time windows — the non-equi join Spark would "
+    "otherwise plan as BroadcastNestedLoop over every (event × "
+    "interval) pair. Implemented as a *bucketed* range join: intervals "
+    "explode to the hour buckets they cover (bounded: ≤ 8 h each), "
+    "events map to their single bucket, and the join becomes an "
+    "equi-join on bucket + exact boundary filter. At 100 TB the join "
+    "key is (bucket), shuffle-partitioned; cost scales with overlap "
+    "density, never |events| × |intervals|.",
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket_us = 3600 * 1_000_000  # 1 h
+    iv = (
+        ev.filter(F.col("user_id") % 20 == 0)
+        .groupBy(F.col("user_id").alias("iv_id"))
+        .agg(F.min("ts").alias("iv_start"))
+        .withColumn(
+            "iv_end",
+            F.expr("timestampadd(HOUR, CAST(iv_id % 7 + 1 AS INT), iv_start)"),
+        )
+    )
+    iv_b = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("iv_start") / bucket_us),
+                F.floor((F.unix_micros("iv_end") - 1) / bucket_us),
+            )
+        ),
+    )
+    ev_b = ev.withColumn("bucket", F.floor(F.unix_micros("ts") / bucket_us))
+    joined = ev_b.join(F.broadcast(iv_b), "bucket").filter(
+        (F.col("ts") >= F.col("iv_start")) & (F.col("ts") < F.col("iv_end"))
+    )
+    return (
+        joined.groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("iv_id")
+    )
+
+
+# ------------------------------------------------------ CDC compaction
+
+@register(
+    "q52_latest_by_key",
+    oracle="""
+    SELECT user_id, event_type, ts AS latest_ts, event_id AS latest_event_id,
+           CAST(value AS DOUBLE) AS latest_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    ) WHERE rk = 1
+    ORDER BY user_id, event_type
+    """,
+    doc="CDC upsert compaction: the latest record per (user_id, "
+    "event_type) key. Implemented as max(struct(ts, event_id, value)) — "
+    "a single hash aggregate with map-side partial combine, NOT a "
+    "row_number window: no per-key sort, no full-width shuffle, and at "
+    "100 TB the partial aggregate collapses each map partition to one "
+    "row per key before the wire. event_id breaks ts ties "
+    "deterministically.",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    latest = F.max(F.struct("ts", "event_id", "value")).alias("m")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(latest)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.ts").alias("latest_ts"),
+            F.col("m.event_id").alias("latest_event_id"),
+            F.col("m.value").cast("double").alias("latest_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------- temperature mixing
+
+@register(
+    "q53_domain_mixture",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS chars_s
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT min(chars_s) AS chars_min FROM src),
+    rates AS (
+      SELECT source, chars_s,
+             least(1.0, sqrt(chars_min / chars_s)) AS rate
+      FROM src, tot
+    ),
+    kept AS (
+      SELECT d.source, d.doc_id, d.n_chars, r.rate
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE r.rate >= 1.0
+         OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+              < lpad(lower(hex(CAST(floor(r.rate * 16777216.0) AS BIGINT))), 6, '0')
+    )
+    SELECT source,
+           count(*) AS n_docs_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+           CAST(max(rate) AS DOUBLE) AS rate
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    doc="Temperature-scaled domain mixture (τ=2 sampling, the standard "
+    "multilingual-corpus reweighting): per-source keep-rate ∝ "
+    "1/sqrt(chars_s), anchored so the smallest source keeps everything, "
+    "applied as a DETERMINISTIC md5(doc_id) threshold so the sample is "
+    "reproducible across engines and runs (unlike sample()). The rate "
+    "table is per-source (20 rows — broadcast), the keep test is a pure "
+    "scan predicate, and the hex-string compare avoids engine-specific "
+    "hash-to-int conversions. Rate math uses only order-independent "
+    "reductions (integer sums, min) + IEEE sqrt/div, so thresholds "
+    "bit-match the oracle under any partitioning.",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.sum("n_chars").cast("double").alias("chars_s"))
+    tot = src.agg(F.min("chars_s").alias("chars_min"))
+    rates = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(F.lit(1.0), F.sqrt(F.col("chars_min") / F.col("chars_s"))).alias("rate"),
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * 16777216.0).cast("bigint"))), 6, "0"
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("rate") >= 1.0)
+            | (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < thr)
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.max("rate").cast("double").alias("rate"),
+        )
+        .orderBy("source")
+    )

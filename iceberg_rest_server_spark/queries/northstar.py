@@ -107,6 +107,64 @@ def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("id1", "id2")
 
 
+@register(
+    "q49_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE grams AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+    ),
+    edges AS (
+      SELECT id1 AS u, id2 AS v FROM pairs
+      UNION
+      SELECT id2 AS u, id1 AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    )
+    SELECT component AS cluster_id,
+           count(*) AS n_members,
+           min(doc_id) AS canonical_id,
+           max(doc_id) AS max_member
+    FROM comp GROUP BY component
+    ORDER BY cluster_id
+    """,
+    doc="Near-dup cluster resolution: the transitive closure of the exact "
+    "Jaccard pairs (j ≥ 0.8), one row per multi-document cluster with "
+    "the canonical (min-id) survivor — pair emission alone can't dedup "
+    "a corpus; A~B, B~C must collapse to one keeper. Distributed "
+    "min-label propagation with pointer jumping (O(log diameter) "
+    "rounds, each one bounded edge shuffle; no driver state) vs the "
+    "oracle's recursive-CTE closure.",
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = dedup.connected_components(pairs, "id1", "id2")
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").alias("canonical_id"),
+            F.max("id").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # ---------------------------------------------------------- text analysis
 
 @register(

@@ -199,3 +199,28 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4-5 (worst case for plain min-propagation — exercises
+    pointer jumping), a clique {10,11,12}, and an isolated edge {20,21}
+    all collapse to their min-id component."""
+    from iceberg_rest_server_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id1", "id2"],
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node chain needs ~log2(64) pointer-jump rounds, far under the
+    iteration cap — convergence must not depend on diameter-many rounds."""
+    from iceberg_rest_server_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id1", "id2"])
+    got = {r["id"]: r["component"] for r in connected_components(edges, max_iter=10).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 65
