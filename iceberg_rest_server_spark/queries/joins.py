@@ -237,3 +237,44 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols={"ts": "asof_view_ts"},
     )
     return out.select("event_id", "user_id", "asof_view_ts").orderBy("event_id")
+
+
+@register(
+    "q54_full_outer_join",
+    oracle="""
+    WITH rich AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000
+    ),
+    freq AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    )
+    SELECT coalesce(r.c_custkey, f.o_custkey) AS custkey,
+           CAST(r.c_acctbal AS DOUBLE) AS acctbal,
+           f.n_orders,
+           CAST(r.c_custkey IS NOT NULL AND f.o_custkey IS NOT NULL AS BOOLEAN) AS in_both
+    FROM rich r FULL OUTER JOIN freq f ON r.c_custkey = f.o_custkey
+    ORDER BY custkey
+    """,
+    doc="Full outer join of two overlapping-but-distinct key sets "
+    "(high-balance customers vs frequent orderers) — both sides "
+    "contribute unmatched rows, exercising null production on each "
+    "side. Shuffle hash join on the key; at scale AQE converts to "
+    "broadcast if one filtered side collapses.",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
+    freq = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+    j = rich.join(freq, rich.c_custkey == freq.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        "n_orders",
+        (F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull()).alias("in_both"),
+    ).orderBy("custkey")

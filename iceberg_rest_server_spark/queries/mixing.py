@@ -537,3 +537,33 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------- unpivot
+
+@register(
+    "q56_unpivot",
+    oracle="""
+    SELECT p_partkey, attr, val FROM (
+      SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retail' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+    ) ORDER BY p_partkey, attr
+    """,
+    doc="UNPIVOT (wide → long reshaping, the inverse of q44's pivot): "
+    "numeric part attributes melt into (attr, val) rows via "
+    "DataFrame.unpivot — a narrow, shuffle-free Expand node (each input "
+    "row emits k rows in place; no join, no union re-scan of the "
+    "table, which is what the oracle's UNION ALL formulation would "
+    "cost at 100 TB).",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retail"),
+    )
+    return (
+        part.unpivot("p_partkey", ["size", "retail"], "attr", "val")
+        .orderBy("p_partkey", "attr")
+    )

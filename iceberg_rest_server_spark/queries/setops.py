@@ -60,3 +60,21 @@ def q19_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, s = _sides(spark, sf_dir)
     return c.unionAll(s).groupBy("nkey").agg(F.count(F.lit(1)).alias("cnt")).orderBy("nkey")
+
+
+@register(
+    "q19_union_distinct",
+    oracle="""
+    SELECT nkey FROM (
+      SELECT c_nationkey AS nkey FROM customer
+      UNION
+      SELECT s_nationkey FROM supplier
+    ) ORDER BY nkey
+    """,
+    doc="UNION with distinct semantics — union-all then one hash "
+    "aggregate for the dedup (Spark plans union().distinct() exactly "
+    "so; partial aggregation collapses each side map-side first).",
+)
+def q19_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = _sides(spark, sf_dir)
+    return c.union(s).distinct().orderBy("nkey")

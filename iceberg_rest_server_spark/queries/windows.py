@@ -196,3 +196,39 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
         .limit(10)
     )
+
+
+@register(
+    "q55_window_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cume,
+           CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(nth_value(o_totalprice, 2) OVER w AS DOUBLE) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Window navigation/distribution functions: ntile, percent_rank, "
+    "cume_dist, first_value, nth_value — all over ONE window spec, so "
+    "Catalyst plans a single shuffle+sort on (o_custkey; date,key). "
+    "percent_rank/cume_dist are (k-1)/(n-1)-style integer-derived "
+    "divisions — bit-deterministic across engines.",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # nth_value/first_value default frame in both engines is RANGE
+    # UNBOUNDED PRECEDING..CURRENT ROW; with a unique sort key that makes
+    # nth_value(.,2) null until row 2, matching DuckDB.
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).cast("double").alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")

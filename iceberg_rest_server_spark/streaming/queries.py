@@ -200,3 +200,42 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "cnt",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "q57_stream_static_enrich",
+    oracle="""
+    SELECT n.n_name AS nation,
+           e.event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY nation, event_type
+    """,
+    doc="Stream–static enrichment: the event stream joins two static "
+    "dimensions (customer → nation) before a streaming aggregate — the "
+    "canonical 'enrich events with reference data' pipeline. The static "
+    "side is broadcast per micro-batch (no stream-side shuffle for the "
+    "join; only the final aggregate shuffles on the group key). "
+    "availableNow single-batch replay ⇒ equals the batch join oracle.",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load as _load
+
+    stream = read_events_stream(spark, sf_dir)
+    customer = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    enriched = stream.join(dim, "user_id")
+    agg = enriched.groupBy("nation", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    result = run_to_table(agg, spark, "complete")
+    return result.orderBy("nation", "event_type")
