@@ -297,6 +297,43 @@ class SparkCatalogTable:
             lambda: self._commit_snapshot(self._load(), new_files, "overwrite", branch)
         )
 
+    def create_or_replace(self, df: DataFrame) -> int:
+        """CREATE OR REPLACE TABLE ... AS semantics (writeTo(...)
+        .createOrReplace(), test_spark.py:56-62): table identity and
+        history are preserved, the current schema becomes ``df``'s
+        schema, and the data is replaced.
+
+        Every replaced column gets a FRESH field id (continuing from
+        last-column-id), so no old data file can misbind to a new column
+        through field-id addressing. Two CAS commits (schema, then
+        overwrite); between them a reader sees the new schema over the
+        old snapshot — all-null backfill, never wrong values. The
+        reference swaps staged metadata atomically; end state matches.
+        """
+        metadata = self._load()
+        base = metadata["last-column-id"]
+        fields = [
+            {
+                "id": base + i + 1,
+                "name": f.name,
+                "type": _SPARK_TO_ICEBERG[f.dataType.simpleString()],
+                "required": not f.nullable,
+            }
+            for i, f in enumerate(df.schema.fields)
+        ]
+        schema = {"type": "struct", "schema-id": 0, "fields": fields}
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            [{"type": "assert-table-uuid", "uuid": metadata["table-uuid"]}],
+            [
+                {"action": "add-schema", "schema": schema,
+                 "last-column-id": base + len(fields)},
+                {"action": "set-current-schema", "schema-id": -1},
+            ],
+        )
+        return self.overwrite(df)
+
     def _retry_cas(self, attempt, retries: int = 3) -> int:
         """Iceberg-style commit retry: data files are written once; on a
         409 (another writer advanced the branch head between our metadata
@@ -418,38 +455,58 @@ class SparkCatalogTable:
 
     # ----------------------------------------------------------- refs/ddl
 
-    def create_tag(self, tag: str, snapshot_id: int | None = None) -> None:
+    def create_tag(
+        self, tag: str, snapshot_id: int | None = None, max_ref_age_ms: int | None = None
+    ) -> None:
+        """`CREATE TAG ... [RETAIN n DAYS]` (test_spark.py:282-296):
+        max_ref_age_ms is stored on the ref and honored by
+        expire_snapshots, which drops aged-out refs before computing the
+        protected snapshot set."""
         metadata = self._load()
         snap = self._resolve_snapshot(metadata, snapshot_id)
+        update = {
+            "action": "set-snapshot-ref",
+            "ref-name": tag,
+            "snapshot-id": snap["snapshot-id"],
+            "type": "tag",
+        }
+        if max_ref_age_ms is not None:
+            update["max-ref-age-ms"] = int(max_ref_age_ms)
         self.client.commit_table(
             self.namespace,
             self.name,
             [{"type": "assert-ref-snapshot-id", "ref": tag, "snapshot-id": None}],
-            [
-                {
-                    "action": "set-snapshot-ref",
-                    "ref-name": tag,
-                    "snapshot-id": snap["snapshot-id"],
-                    "type": "tag",
-                }
-            ],
+            [update],
         )
 
-    def create_branch(self, branch: str, snapshot_id: int | None = None) -> None:
+    def create_branch(
+        self,
+        branch: str,
+        snapshot_id: int | None = None,
+        max_ref_age_ms: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
+    ) -> None:
         metadata = self._load()
         snap = self._resolve_snapshot(metadata, snapshot_id)
+        update = {
+            "action": "set-snapshot-ref",
+            "ref-name": branch,
+            "snapshot-id": snap["snapshot-id"],
+            "type": "branch",
+        }
+        for key, val in (
+            ("max-ref-age-ms", max_ref_age_ms),
+            ("min-snapshots-to-keep", min_snapshots_to_keep),
+            ("max-snapshot-age-ms", max_snapshot_age_ms),
+        ):
+            if val is not None:
+                update[key] = int(val)
         self.client.commit_table(
             self.namespace,
             self.name,
             [{"type": "assert-ref-snapshot-id", "ref": branch, "snapshot-id": None}],
-            [
-                {
-                    "action": "set-snapshot-ref",
-                    "ref-name": branch,
-                    "snapshot-id": snap["snapshot-id"],
-                    "type": "branch",
-                }
-            ],
+            [update],
         )
 
     def add_column(self, name: str, iceberg_type: str, required: bool = False) -> None:
@@ -587,6 +644,23 @@ class SparkCatalogTable:
         metadata-scale work on the driver, no data scan."""
         m = self._load()
         snaps = sorted(m["snapshots"], key=lambda s: s.get("sequence-number", 0))
+        # refs past their max-ref-age (RETAIN n DAYS) age out first —
+        # Iceberg's removeExpiredRefs step; `main` is never dropped
+        now_ms = int(time.time() * 1000)
+        by_id = {s["snapshot-id"]: s for s in m["snapshots"]}
+        for name, ref in list(m["refs"].items()):
+            age_limit = ref.get("max-ref-age-ms")
+            if name == MAIN_BRANCH or age_limit is None:
+                continue
+            head_ts = by_id.get(ref["snapshot-id"], {}).get("timestamp-ms", now_ms)
+            if now_ms - head_ts > age_limit:
+                self.client.commit_table(
+                    self.namespace,
+                    self.name,
+                    [],
+                    [{"action": "remove-snapshot-ref", "ref-name": name}],
+                )
+                m = self._load()
         protected = {r["snapshot-id"] for r in m["refs"].values()}
         keep = {s["snapshot-id"] for s in snaps[len(snaps) - retain_last :]} | protected
         expired = [

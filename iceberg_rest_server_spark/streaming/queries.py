@@ -239,3 +239,57 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_table(agg, spark, "complete")
     return result.orderBy("nation", "event_type")
+
+
+@register(
+    "q58_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id,
+           count(*) AS n_views,
+           min(v.ts) AS first_view_ts
+    FROM events c
+    JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 30 MINUTE
+    GROUP BY 1, 2 ORDER BY click_id
+    """,
+    doc="Stream–stream interval join (view→click attribution): two live "
+    "streams of the same event feed, joined per user on a 30-minute "
+    "attribution window. Both sides carry 1 h watermarks and the join "
+    "has an explicit event-time range, so state for each side is "
+    "bounded and purged as the watermark advances — the shape that "
+    "scales to unbounded streams. The per-click rollup runs in batch "
+    "over the sink (chaining a streaming aggregate after a "
+    "stream-stream join would hold results until the next watermark "
+    "advance — nothing would emit in a single-batch replay). "
+    "availableNow one-batch replay ⇒ no late drops ⇒ equals the batch "
+    "interval-join oracle.",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") > F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    pairs = run_to_table(joined, spark, "append")
+    return (
+        pairs.groupBy("click_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.min("view_ts").alias("first_view_ts"),
+        )
+        .orderBy("click_id")
+    )

@@ -329,3 +329,49 @@ def test_concurrent_commit_cas_conflict(table_env):
             [{"action": "set-properties", "updates": {"stale": "1"}}],
         )
     assert e.value.code == 409
+
+
+def test_create_or_replace(table_env):
+    """createOrReplace parity (test_spark.py:56-62): same table identity,
+    new schema, replaced data; replaced columns get fresh field ids so
+    no old file can misbind by id."""
+    spark, client, table, df = table_env
+    table.append(df)
+    uuid_before = table.metadata()["table-uuid"]
+    new_df = spark.range(3).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("double") / 2).alias("ratio"),
+        F.lit("x").alias("tagcol"),
+    )
+    table.create_or_replace(new_df)
+    m = table.metadata()
+    assert m["table-uuid"] == uuid_before
+    got = table.read()
+    assert set(got.columns) == {"k", "ratio", "tagcol"}
+    assert got.count() == 3
+    # fresh ids: no current field id may collide with the original schema's
+    orig = m["schemas"][0]["fields"]
+    cur = next(s for s in m["schemas"] if s["schema-id"] == m["current-schema-id"])
+    assert {f["id"] for f in cur["fields"]}.isdisjoint({f["id"] for f in orig})
+    # replace is repeatable (second createOrReplace, like the reference test)
+    table.create_or_replace(new_df.limit(1))
+    assert table.read().count() == 1
+
+
+def test_tag_retention_expires_ref(table_env):
+    """RETAIN semantics: an aged-out tag is dropped by expire_snapshots
+    and its exclusive snapshot becomes expirable; a fresh tag survives."""
+    spark, client, table, df = table_env
+    table.append(df)                      # snap 1
+    table.create_tag("old", max_ref_age_ms=1)   # ages out immediately
+    table.append(df)                      # snap 2
+    table.create_tag("fresh", max_ref_age_ms=10**12)
+    table.append(df)                      # snap 3 (main head)
+    import time as _t
+
+    _t.sleep(0.005)
+    stats = table.expire_snapshots(retain_last=1)
+    refs = table.metadata()["refs"]
+    assert "old" not in refs
+    assert "fresh" in refs and "main" in refs
+    assert stats["expired"] >= 1
