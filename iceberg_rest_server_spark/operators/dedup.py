@@ -404,13 +404,14 @@ def connected_components(
     each round's cost is bounded by one edge-list shuffle (same cost
     class as one LSH banding round, run ~log(diameter) times).
     """
-    sym = (
-        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-        .union(
-            edges.select(F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v"))
-        )
-        .persist()
-    )
+    # materialize the directed edge list ONCE before symmetrizing: the
+    # union's two branches would otherwise each re-evaluate the (possibly
+    # expensive — e.g. a full near-dup verify) upstream plan
+    e0 = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).persist()
+    e0.count()
+    sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     labels = (
         sym.groupBy(F.col("u").alias("id"))
         .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
@@ -445,4 +446,5 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    e0.unpersist()
     return labels.select(F.col("id"), F.col("comp").alias("component"))

@@ -50,8 +50,13 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_first, n_second = first.count(), second.count()
 
         table.append(first)
+        snap1 = table.metadata()["current-snapshot-id"]
         table.create_tag("v1")
         table.append(second)
+
+        # incremental append scan: delta after snap1 is exactly `second`
+        n_incremental = table.read_incremental(snap1).count()
+        assert n_incremental == n_second, (n_incremental, n_second)
 
         count_main = table.read().count()
         count_at_tag = table.read(ref="v1").count()
@@ -93,6 +98,7 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert sum(r["record_count"] for r in parts_after) == table.read().count()
 
         rows = [
+            ("count_incremental", n_incremental),
             ("count_main", count_main),
             ("count_at_tag", count_at_tag),
             ("count_dev_branch", count_dev),

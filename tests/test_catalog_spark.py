@@ -375,3 +375,26 @@ def test_tag_retention_expires_ref(table_env):
     assert "old" not in refs
     assert "fresh" in refs and "main" in refs
     assert stats["expired"] >= 1
+
+
+def test_incremental_append_scan(table_env):
+    """read_incremental returns exactly the rows appended after the
+    `from` snapshot; overwrites in the range raise."""
+    spark, client, table, df = table_env
+    table.append(df)  # k ∈ 0..4
+    snap1 = table.metadata()["current-snapshot-id"]
+    table.append(df.withColumn("k", F.col("k") + 100))
+    table.append(df.withColumn("k", F.col("k") + 200))
+    inc = table.read_incremental(snap1)
+    got = sorted(r["k"] for r in inc.collect())
+    assert got == sorted(list(range(100, 105)) + list(range(200, 205)))
+    snap3 = table.metadata()["current-snapshot-id"]
+    assert table.read_incremental(snap3).count() == 0
+    table.overwrite(df)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overwrite"):
+        table.read_incremental(snap1)
+    # not-an-ancestor detection
+    with _pt.raises(ValueError, match="ancestor"):
+        table.read_incremental(12345)
