@@ -14,11 +14,15 @@ planning, pushdown and pruning stay fully inside Catalyst.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
+import urllib.parse
 import uuid
 from typing import Any
+
+import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -210,19 +214,55 @@ class SparkCatalogTable:
             s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
         )
         by_name = {f["name"]: f["id"] for f in schema["fields"]}
-        safe = df.select(
-            *[
-                df[name].alias(f"f{by_name[name]}") if name in by_name else df[name]
-                for name in df.columns
-            ]
-        )
-        safe.write.mode("overwrite").parquet(data_dir)
+        renamed = [
+            df[name].alias(f"f{by_name[name]}") if name in by_name else df[name]
+            for name in df.columns
+        ]
+        # Partitioned tables write hive-layout directories keyed by the
+        # TRANSFORMED partition values (`p<field-id>=<value>`): one file
+        # per partition per task, and the exact partition tuple is encoded
+        # in the path — which is what manifests record and scans prune on
+        # (Iceberg manifests' per-file partition tuple, path-encoded).
+        # The p-columns are computed extras, so partitionBy drops only
+        # them; every f<id> data column stays in the file.
+        pcols = self._partition_columns(df, metadata)
+        safe = df.select(*renamed, *[c for _, c in pcols])
+        if pcols:
+            safe.write.mode("overwrite").partitionBy([n for n, _ in pcols]).parquet(data_dir)
+        else:
+            safe.write.mode("overwrite").parquet(data_dir)
         return sorted(
             os.path.join(root, f)
             for root, _, files in os.walk(data_dir)
             for f in files
             if f.endswith(".parquet")
         )
+
+    def _partition_columns(self, df: DataFrame, metadata: dict) -> list[tuple[str, Any]]:
+        """(name, Column) pairs `p<partition-field-id>` holding the
+        transformed partition value of each row under the default spec."""
+        spec = next(
+            (
+                s
+                for s in metadata.get("partition-specs", [])
+                if s["spec-id"] == metadata.get("default-spec-id")
+            ),
+            None,
+        )
+        if not spec or not spec.get("fields"):
+            return []
+        schema = next(
+            s for s in metadata["schemas"] if s["schema-id"] == metadata["current-schema-id"]
+        )
+        by_id = {f["id"]: f for f in schema["fields"]}
+        out = []
+        for pf in spec["fields"]:
+            src = by_id.get(pf["source-id"])
+            if src is None or src["name"] not in df.columns:
+                continue
+            expr = self._partition_expr(pf["transform"], F.col(src["name"]), src["type"])
+            out.append((f"p{pf['field-id']}", expr.alias(f"p{pf['field-id']}")))
+        return out
 
     def _commit_snapshot(
         self,
@@ -452,6 +492,109 @@ class SparkCatalogTable:
         if with_file_col:
             cols.append(F.input_file_name().alias(with_file_col))
         return raw.select(*cols)
+
+    @staticmethod
+    def _file_partition_values(path: str) -> dict[int, str]:
+        """Parse the hive-layout ``p<partition-field-id>=<value>`` segments
+        out of a data file path (written by _write_files)."""
+        out: dict[int, str] = {}
+        for seg in path.split(os.sep):
+            key, eq, val = seg.partition("=")
+            if eq and key.startswith("p") and key[1:].isdigit():
+                out[int(key[1:])] = urllib.parse.unquote(val)
+        return out
+
+    @staticmethod
+    def _transform_literal(transform: str, value: Any, ice_type: str) -> str:
+        """Driver-side evaluation of an Iceberg partition transform on one
+        literal, stringified the way Spark stringifies hive partition-dir
+        values — the comparison key for file pruning. Mirrors the Column
+        transforms in operators/transforms.py exactly."""
+        from ..operators.transforms import _murmur3_32_8bytes_le, _murmur3_32_bytes
+
+        if transform == "identity":
+            return str(value)
+        if transform.startswith("bucket["):
+            n = int(transform[len("bucket[") : -1])
+            if ice_type == "string":
+                h = _murmur3_32_bytes(str(value).encode())
+            else:
+                h = int(_murmur3_32_8bytes_le(np.array([int(value)], dtype=np.int64))[0])
+            return str((h & 0x7FFFFFFF) % n)
+        if transform.startswith("truncate["):
+            w = int(transform[len("truncate[") : -1])
+            if ice_type == "string":
+                return str(value)[:w]
+            v = int(value)
+            return str(v - (v % w))
+        ts = value
+        if isinstance(ts, str):
+            ts = datetime.datetime.fromisoformat(ts)
+        if transform in ("year", "years"):
+            return str(ts.year - 1970)
+        if transform in ("month", "months"):
+            return str((ts.year - 1970) * 12 + ts.month - 1)
+        if transform in ("day", "days"):
+            d = ts.date() if isinstance(ts, datetime.datetime) else ts
+            return str((d - datetime.date(1970, 1, 1)).days)
+        if transform in ("hour", "hours"):
+            epoch = ts.replace(tzinfo=datetime.timezone.utc).timestamp()
+            return str(int(epoch // 3600))
+        raise ValueError(f"unknown transform {transform!r}")
+
+    def read_where(
+        self, eq: dict[str, Any], snapshot_id: int | None = None, ref: str | None = None
+    ) -> DataFrame:
+        """Partition-pruned read: equality predicates prune data FILES by
+        the path-encoded partition tuple before any scan is planned —
+        Iceberg's manifest-level pruning, the difference between touching
+        a 100 TB table and touching one partition of it. Works across
+        partition-spec evolution: a predicate prunes through EVERY spec
+        field (any spec) whose source column it names; files written
+        before partitioning (no ``p<id>=`` segment for that field) are
+        conservatively kept. The residual equality filter is still
+        applied (and pushed to the parquet scan), so results are exact
+        even when a file can't be pruned."""
+        m = self._load()
+        snap = self._resolve_snapshot(m, snapshot_id, ref)
+        schema_id = m["current-schema-id"]
+        ice_schema = next(s for s in m["schemas"] if s["schema-id"] == schema_id)
+        if snap is None:
+            df = self.spark.createDataFrame([], spark_schema_from_iceberg(ice_schema))
+        else:
+            files = self._snapshot_files(m, snap)
+            fields_by_id: dict[int, dict] = {}
+            for s in sorted(m["schemas"], key=lambda s: s["schema-id"]):
+                for f in s["fields"]:
+                    fields_by_id[f["id"]] = f
+            # (partition-field-id, expected path value) per predicate, for
+            # every spec field any predicate column feeds
+            expect: dict[int, str] = {}
+            for spec in m.get("partition-specs", []):
+                for pf in spec.get("fields", []):
+                    src = fields_by_id.get(pf["source-id"])
+                    if src is None or src["name"] not in eq:
+                        continue
+                    expect[pf["field-id"]] = self._transform_literal(
+                        pf["transform"], eq[src["name"]], src["type"]
+                    )
+            kept = [
+                f
+                for f in files
+                if all(
+                    got is None or got == want
+                    for fid, want in expect.items()
+                    for got in [self._file_partition_values(f).get(fid)]
+                )
+            ]
+            if not kept:
+                df = self.spark.createDataFrame([], spark_schema_from_iceberg(ice_schema))
+            else:
+                df = self._read_files(ice_schema["fields"], kept)
+        for col, val in eq.items():
+            if col in df.columns:
+                df = df.filter(F.col(col) == F.lit(val))
+        return df
 
     def read_incremental(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None

@@ -398,3 +398,27 @@ def test_incremental_append_scan(table_env):
     # not-an-ancestor detection
     with _pt.raises(ValueError, match="ancestor"):
         table.read_incremental(12345)
+
+
+def test_partition_pruned_read(table_env):
+    """read_where prunes data files via path-encoded partition tuples:
+    an equality predicate on a bucket-partitioned column scans strictly
+    fewer files, with results identical to filter-after-read."""
+    spark, client, table, df = table_env
+    table.add_partition_field("k", "bucket[4]", "k_bucket")
+    big = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    table.append(big)
+    full = table.read()
+    pruned = table.read_where({"k": 7})
+    assert [r["v"] for r in pruned.collect()] == [70]
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # identity + truncate pruning on a second table write path: evolve to
+    # truncate[10] and prune through BOTH specs' fields
+    table.drop_partition_field("k_bucket")
+    table.add_partition_field("k", "truncate[10]", "k_trunc")
+    table.append(big.withColumn("k", F.col("k") + 100))
+    p2 = table.read_where({"k": 105})
+    assert [r["v"] for r in p2.collect()] == [50]
+    assert len(p2.inputFiles()) < len(table.read().inputFiles())
+    # no-match partition value → empty, zero files when all prunable
+    assert table.read_where({"k": -1}).count() == 0
