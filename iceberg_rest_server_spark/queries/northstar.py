@@ -537,3 +537,98 @@ def q37_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q59_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round({_COS_SQL}, 6) >= 0.45
+    ),
+    edges AS (
+      SELECT id1 AS u, id2 AS v FROM pairs
+      UNION
+      SELECT id2 AS u, id1 AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS vec_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+    SELECT e.label,
+           count(*) AS n_vectors,
+           count(*) FILTER (WHERE c.vec_id IS NULL OR c.component = e.vec_id)
+             AS n_kept,
+           count(*) FILTER (WHERE c.vec_id IS NOT NULL AND c.component <> e.vec_id)
+             AS n_dropped
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+    GROUP BY e.label ORDER BY e.label
+    """,
+    doc="Semantic deduplication (SemDeDup, Abbas et al. 2023): collapse "
+    "groups of embedding-space near-duplicates (cosine ≥ 0.45) to one "
+    "canonical representative per connected component, reporting "
+    "kept/dropped counts per label. Composes the two proven scale "
+    "pieces — blocked-GEMM exact cosine pairs (no N² row join) and "
+    "distributed connected components (O(log diameter) rounds) — so "
+    "unlike cluster-local SemDeDup approximations, transitive chains "
+    "A~B~C collapse to ONE keeper. Oracle: recursive-CTE closure over "
+    "the brute-force pair join.",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_neardup_pairs_blocked(emb, "vec_id", "embedding", threshold=0.45)
+    comp = dedup.connected_components(pairs, "id1", "id2")
+    flagged = emb.select("vec_id", "label").join(comp, emb.vec_id == comp.id, "left")
+    is_dropped = F.col("component").isNotNull() & (F.col("component") != F.col("vec_id"))
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.when(~is_dropped, 1)).alias("n_kept"),
+            F.count(F.when(is_dropped, 1)).alias("n_dropped"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q60_embedding_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label, t.i - 1 AS dim,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,9)) AS v
+      FROM embeddings e,
+           unnest(generate_series(1, len(e.embedding))) AS t(i)
+    )
+    SELECT label, dim,
+           CAST(sum(v) AS DOUBLE) / count(*) AS centroid,
+           count(*) AS n_vectors
+    FROM comp GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    doc="Per-label embedding centroids (vector analytics / cluster "
+    "profiling): posexplode each vector to (label, dim, value) and "
+    "aggregate — one shuffle on (label, dim), map-side combined, so at "
+    "100 TB the wire carries labels×dims partial sums per task, not "
+    "vectors. Components sum as DECIMAL(18,9): float addition is "
+    "order-dependent under distributed partials, decimal is exact, so "
+    "centroids are bit-reproducible under any partitioning (and match "
+    "the oracle).",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
+    )
+    return (
+        comp.groupBy("label", "dim")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)))
+            .alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
