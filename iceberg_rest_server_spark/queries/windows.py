@@ -232,3 +232,40 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).cast("double").alias("first_price"),
         F.nth_value("o_totalprice", 2).over(w).cast("double").alias("second_price"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "q61_grouping_id",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(c_nationkey, -1) AS nation,
+           GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS gid,
+           count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM customer
+    GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    ORDER BY gid, segment, nation
+    """,
+    doc="ROLLUP with GROUPING() level identification — consumers of "
+    "multi-level aggregates need to tell a real NULL group from a "
+    "rollup supertotal; grouping_id is the standard disambiguator. One "
+    "Expand + single hash aggregate, same as plain rollup.",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return (
+        customer.rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("acctbal_sum"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("c_nationkey", F.lit(-1)).alias("nation"),
+            "gid",
+            "n_cust",
+            "acctbal_sum",
+        )
+        .orderBy("gid", "segment", "nation")
+    )

@@ -224,3 +224,36 @@ def test_connected_components_long_chain_converges(spark):
     got = {r["id"]: r["component"] for r in connected_components(edges, max_iter=10).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 65
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check: distributed CC equals a driver-side
+    union-find on seeded random graphs (including self-loops and dense
+    blobs)."""
+    import random
+
+    from iceberg_rest_server_spark.operators.dedup import connected_components
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 120
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        touched = {x for e in edges for x in e}
+        want = {x: min(y for y in touched if find(y) == find(x)) for x in touched}
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(edges, ["id1", "id2"])
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"
