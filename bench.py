@@ -89,16 +89,21 @@ def main() -> None:
     names += [n for n in sorted(REGISTRY) if n not in HEADLINE and n not in streaming]
     names += sorted(streaming)
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         q = REGISTRY[name]
         t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        # Arrow-batched materialization: same full execution + full result
-        # on the driver as collect(), minus per-row Python object cost
-        # (3-4x less harness overhead on wide outputs, measured on q22)
-        df.toPandas()
-        times[name] = round(time.perf_counter() - t0, 4)
-        print(f"[bench] {name}: {times[name]:.2f}s", file=sys.stderr, flush=True)
+        try:
+            df = q.fn(spark, sf_dir)
+            # Arrow-batched materialization: same full execution + full result
+            # on the driver as collect(), minus per-row Python object cost
+            # (3-4x less harness overhead on wide outputs, measured on q22)
+            df.toPandas()
+            times[name] = round(time.perf_counter() - t0, 4)
+            print(f"[bench] {name}: {times[name]:.2f}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # one bad query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"[bench] {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
         # queries persist intermediates (shingles, signatures, buckets);
         # drop them so 59 queries' caches don't accumulate into executor
         # memory pressure that distorts later timings
@@ -112,6 +117,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

@@ -85,10 +85,11 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            sx / n AS mean_qty,
-           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           sqrt(greatest(0, sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
            (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
            (sxy - sx * sy / n)
-             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+             / (sqrt(greatest(0, sxx - sx * sx / n))
+                * sqrt(greatest(0, syy - sy * sy / n))) AS corr_qty_price
     FROM s ORDER BY l_returnflag
     """,
     doc="Statistical profiling (mean/stddev/covariance/correlation per "
@@ -112,14 +113,16 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # clamp: floating-point cancellation can push a tiny variance term
+    # epsilon-negative; DuckDB raises on sqrt(<0) while Spark yields NaN,
+    # so keep the formulation total (and identical) on both sides
+    vx = F.greatest(F.lit(0.0), sxx - sx * sx / n)
+    vy = F.greatest(F.lit(0.0), syy - sy * sy / n)
     return s.select(
         "l_returnflag",
         "n",
         (sx / n).alias("mean_qty"),
-        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        F.sqrt(vx / (n - 1)).alias("stddev_qty"),
         ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
-        (
-            (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
-        ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (F.sqrt(vx) * F.sqrt(vy))).alias("corr_qty_price"),
     ).orderBy("l_returnflag")

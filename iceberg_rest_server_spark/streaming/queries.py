@@ -8,8 +8,9 @@ collect. The plans carry watermarks exactly as a production stream
 would; with the single-file replay all rows arrive in one micro-batch,
 so results are deterministic and SQL-expressible (oracle-checkable).
 
-events.ts is parquet TIMESTAMP(NANOS): the stream schema reads it as
-int64 and truncates to µs, same as tables.load().
+events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+TIMESTAMP(MICROS); the stream schema adapts to the file's layout, same
+as tables.load().
 """
 
 from __future__ import annotations
@@ -30,16 +31,20 @@ from pyspark.sql.types import (
 
 from ._registry_hook import register
 
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as int64
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(ts_type) -> StructType:
+    """The stream source needs an explicit schema; the ts field must match
+    the file's physical layout (int64 nanos in older generated data,
+    TIMESTAMP(MICROS) in newer), discovered via a one-off static read."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -54,13 +59,15 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..tables import events_ts_physical_type, normalize_events_ts
+
+    ts_type = events_ts_physical_type(spark, os.path.join(sf_dir, "events.parquet"))
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .format("parquet")
         .load(_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:

@@ -32,14 +32,35 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4's vectorized
-        # reader rejects (PARQUET_TYPE_ILLEGAL). Read it as int64 ns and
-        # truncate to µs with integer division — the same ns→µs truncation
-        # DuckDB applies, so oracle comparisons stay bit-exact.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return load_events(spark, path)
     return spark.read.parquet(path)
+
+
+def events_ts_physical_type(spark: SparkSession, path: str):
+    """The generated events.ts column has shipped as both parquet
+    TIMESTAMP(NANOS) (readable only as int64 under the legacy conf) and
+    TIMESTAMP(MICROS). Return the Spark type the file carries so loaders
+    (batch and streaming) can normalize either layout."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema["ts"].dataType
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-zone TIMESTAMP regardless of the
+    file's physical layout (int64 nanos or TIMESTAMP(NTZ) micros). With
+    the UTC session zone the wall-clock values match DuckDB's TIMESTAMP
+    bit-for-bit, so oracle comparisons are exact either way."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # int64 nanoseconds → truncate to µs, same truncation DuckDB applies
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events_ts(spark.read.parquet(path))
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
