@@ -16,5 +16,6 @@ from . import northstar  # noqa: F401  (Q31+ training-data pipeline ops)
 from . import catalog_e2e  # noqa: F401  (Q34 catalog plane)
 from . import stats  # noqa: F401  (Q41+ statistics)
 from . import mixing  # noqa: F401  (Q43–Q48 corpus hygiene / data mixing)
+from . import tpch  # noqa: F401  (Q63–Q77 TPC-H-adapted suite)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]
