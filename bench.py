@@ -115,6 +115,7 @@ def main() -> None:
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
+        "n_queries": len(times),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

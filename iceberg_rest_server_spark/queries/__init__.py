@@ -17,5 +17,6 @@ from . import catalog_e2e  # noqa: F401  (Q34 catalog plane)
 from . import stats  # noqa: F401  (Q41+ statistics)
 from . import mixing  # noqa: F401  (Q43–Q48 corpus hygiene / data mixing)
 from . import tpch  # noqa: F401  (Q63–Q77 TPC-H-adapted suite)
+from . import packing  # noqa: F401  (Q78–Q81 training-data export ops)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

@@ -1,0 +1,235 @@
+"""Q78–Q81: training-data export operators — PII scrubbing, fixed-window
+sequence chunking, token-budget packing, and seeded epoch shuffling.
+
+These are the last-mile ops a 100 TB curation pipeline runs after dedup/
+quality filtering to turn a document corpus into training shards. All
+four are pure DataFrame plans (regex/window/sequence built-ins, no
+Python in the hot path) with DuckDB oracles.
+
+The synthetic documents table carries no PII-like spans, so q78 appends
+three literal rows (identical VALUES on the Spark and oracle sides) to
+exercise the redaction regexes on non-trivial input while still scanning
+the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from ._registry import register
+
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"(\+\d{1,2}[- ])?\d{3}[- ]\d{3,4}[- ]\d{4}"
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_ROWS = [
+    (100001, "contact me at jane.doe@example.com or +1 555-123-4567 thanks"),
+    (100002, "server at 192.168.10.254 logged bob_smith+tag@mail.example.org twice"),
+    (100003, "call 555-987-6543 and 555 1234 9999; ping 10.0.0.1 not 999.999"),
+]
+
+_PII_VALUES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _PII_ROWS)
+
+
+@register(
+    "q78_pii_redaction",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES {_PII_VALUES_SQL}) v(doc_id, text)
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_IPV4}')) AS BIGINT) AS n_ips,
+           sha256(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_EMAIL}', '[EMAIL]', 'g'),
+               '{_PHONE}', '[PHONE]', 'g'),
+             '{_IPV4}', '[IP]', 'g')) AS redacted_sha
+    FROM corpus
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing: email/phone/IPv4 spans redacted with placeholder "
+    "tokens, per-document match counts plus a digest of the redacted "
+    "text (so the oracle verifies the rewrite itself, not just counts). "
+    "Pure regexp_replace/regexp_count — JVM codegen, no UDF; scales as "
+    "a map-only stage with zero shuffles.",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pii = spark.createDataFrame(_PII_ROWS, ["doc_id", "text"])
+    corpus = docs.unionAll(pii)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL, "[EMAIL]"), _PHONE, "[PHONE]"
+        ),
+        _IPV4,
+        "[IP]",
+    )
+    return (
+        corpus.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(_EMAIL)).alias("n_emails"),
+            F.regexp_count(F.col("text"), F.lit(_PHONE)).alias("n_phones"),
+            F.regexp_count(F.col("text"), F.lit(_IPV4)).alias("n_ips"),
+            F.sha2(redacted, 256).alias("redacted_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK = 64  # tokens per training window
+
+
+@register(
+    "q79_sequence_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(ceil(n_tok / {_CHUNK}.0) AS BIGINT))) AS BIGINT)
+             AS chunk_idx,
+           n_tok
+    FROM toks
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"Fixed-window sequence chunking: each document expands to "
+    f"ceil(n_tokens/{_CHUNK}) training-window rows via sequence()+explode "
+    f"— the standard pre-tokenization split. Map-only (explode is "
+    f"pipelined, no shuffle); output width stays (doc_id, idx, n_tok) so "
+    f"the blow-up never carries text bytes.",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    n_chunks = F.ceil(F.col("n_tok") / F.lit(float(_CHUNK))).cast("bigint")
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+            "n_tok",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "q80_token_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tok,
+             CAST(floor(
+               (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok)
+               / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           sum(n_tok) AS pack_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM packed
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+    doc=f"Concat-and-chunk token packing: within each source shard, "
+    f"documents in deterministic doc_id order are laid end-to-end and "
+    f"cut into {_PACK_BUDGET}-token packs — pack_id is the exclusive "
+    f"running token sum floor-divided by the budget (the concat-then-"
+    f"chunk strategy LLM pipelines use; docs may straddle a boundary). "
+    f"One shuffle on the shard key for the window, then a map-side-"
+    f"combining aggregate over the same partitioning.",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(float(_PACK_BUDGET)))
+        .cast("bigint"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+_EPOCH_SEED = 7
+_N_SHARDS = 8
+
+
+@register(
+    "q81_epoch_shuffle",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{_EPOCH_SEED}'), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((rn - 1) % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST((rn - 1) // {_N_SHARDS} AS BIGINT) AS pos
+    FROM ranked
+    ORDER BY doc_id
+    """,
+    doc=f"Seeded epoch shuffle + sharding: documents are permuted by "
+    f"md5(doc_id:seed) — deterministic for a given seed, uncorrelated "
+    f"across seeds — then dealt round-robin into {_N_SHARDS} equal "
+    f"shards with an intra-shard position. The global row_number is the "
+    f"one serial point; at 100 TB replace it with (shard = md5 mod W, "
+    f"pos = rank within shard) — same distribution, fully parallel — "
+    f"kept here in the spec'd form so the oracle can pin the exact "
+    f"permutation.",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_EPOCH_SEED}")))
+    w = Window.orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", F.row_number().over(w).alias("rn"))
+        .select(
+            "doc_id",
+            ((F.col("rn") - 1) % _N_SHARDS).cast("bigint").alias("shard"),
+            F.floor((F.col("rn") - 1) / _N_SHARDS).cast("bigint").alias("pos"),
+        )
+        .orderBy("doc_id")
+    )
