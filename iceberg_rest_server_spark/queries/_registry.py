@@ -41,11 +41,12 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 # The driver's per-round correctness run evaluates queries() in dict order
 # and covers a bounded prefix (50 entries in rounds 1-2, while the registry
-# has grown past that). To maximize cumulative driver-verified coverage,
-# list first the entries with no correctness row in any prior round plus
-# those whose failures were just fixed, then a representative core sample;
-# entries already hash-verified in CORRECTNESS_r01/r02 follow. Every entry
-# is always returned — this is ordering only, not selection.
+# has grown past that). To maximize cumulative driver-verified coverage
+# across rounds, list first the entries whose r02 failures were just fixed,
+# then every entry with no correctness row in any prior round (oracled ones
+# first — they get the strong hash check); entries already hash-verified in
+# CORRECTNESS_r01/r02 follow. Every entry is always returned — this is
+# ordering only, not selection.
 _DRIVER_ORDER_HEAD = [
     # fixed this round (events.ts layout change broke them in r02)
     "q14_asof_join",
@@ -58,27 +59,20 @@ _DRIVER_ORDER_HEAD = [
     "q33_token_stats",
     "q33_bpe_token_count",
     "q33_quality_score",
-    "q33_lang_id",
-    "q33_fingerprint",
-    "q33_top_terms",
     "q33_tfidf_top_terms",
+    "q34_catalog_end_to_end",
     "q35_cosine_neardup_pairs",
     "q36_ann_bruteforce_topk",
-    "q36_ann_lsh_topk",
-    "q38_ann_ivf_topk",
     "q40_curation_pipeline",
     "q37_multimodal_metadata",
-    "q37_multimodal_features",
     "q37_multimodal_frames",
     "q59_semantic_dedup",
     "q60_embedding_centroids",
-    "q34_catalog_end_to_end",
     "q41_percentiles",
     "q42_histogram",
     "q62_stats_moments",
     "q43_sessionize_batch",
     "q44_pivot_profile",
-    "q45_hash_sample",
     "q46_stratified_topk",
     "q47_fuzzy_brand_pairs",
     "q48_decontamination",
@@ -87,19 +81,26 @@ _DRIVER_ORDER_HEAD = [
     "q52_latest_by_key",
     "q53_domain_mixture",
     "q56_unpivot",
-    # core sample re-verified each round
-    "q01_scan_projection",
-    "q03_hash_aggregate",
-    "q07_inner_join",
-    "q08_broadcast_join",
-    "q26_cte",
-    "q27_udf_parity",
-    "q28_grouped_pandas_udaf",
-    "q31_exact_dedup",
-    "q32_ngram_jaccard_pairs",
-    "q32_minhash_lsh_pairs",
-    "q49_dedup_clusters",
-    "q39_stream_stateful_user_totals",
+    # new this round: TPC-H-adapted suite + training-data export ops
+    "q63_tpch_q1",
+    "q64_tpch_q3",
+    "q65_tpch_q4",
+    "q66_tpch_q5",
+    "q67_tpch_q6",
+    "q68_tpch_q7",
+    "q69_tpch_q8",
+    "q70_tpch_q10",
+    "q71_tpch_q13",
+    "q72_tpch_q14",
+    "q73_tpch_q15",
+    "q74_tpch_q17",
+    "q75_tpch_q18",
+    "q76_tpch_q19",
+    "q77_tpch_q22",
+    "q78_pii_redaction",
+    "q79_sequence_chunking",
+    "q80_token_packing",
+    "q81_epoch_shuffle",
 ]
 
 
