@@ -12,6 +12,24 @@ def _pairs(df, cols=("id1", "id2")):
     return {tuple(r[c] for c in cols) for r in df.collect()}
 
 
+def test_jaccard_bitmap_verify_equals_array_verify(spark, sf_dir):
+    """The adaptive bitmap verify (dictionary-encoded gram sets,
+    bit_count(AND)) must be bit-identical to the array_intersect verify
+    it replaces on small-vocabulary corpora."""
+    from iceberg_rest_server_spark.operators import dedup
+    from iceberg_rest_server_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    fast = dedup.exact_jaccard_pairs(docs, "doc_id", "text").orderBy("id1", "id2")
+    old = dedup._BITMAP_MAX_GRAMS
+    try:
+        dedup._BITMAP_MAX_GRAMS = 0  # force the array path
+        slow = dedup.exact_jaccard_pairs(docs, "doc_id", "text").orderBy("id1", "id2")
+        assert fast.collect() == slow.collect()
+    finally:
+        dedup._BITMAP_MAX_GRAMS = old
+
+
 def test_minhash_lsh_equals_exact(spark, sf_dir):
     exact = _pairs(REGISTRY["q32_ngram_jaccard_pairs"].fn(spark, sf_dir))
     lsh = _pairs(REGISTRY["q32_minhash_lsh_pairs"].fn(spark, sf_dir))
