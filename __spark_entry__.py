@@ -23,8 +23,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 shape hash aggregate) on sf0.001."""
-    return REGISTRY["q03_hash_aggregate"].fn(spark, SMOKE_SF_DIR)
+    """Flagship query (full TPC-H Q1 pricing summary, all 8 aggregates,
+    decimal-exact) on sf0.001."""
+    return REGISTRY["q63_tpch_q1"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

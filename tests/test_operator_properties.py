@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) for the custom distributed
+operators: each is checked against a trivially-correct single-node
+reference implementation on randomized inputs — the class of edge case
+(ties, empty sides, singleton keys, degenerate vocabularies) that the
+fixed testdata can't systematically reach.
+
+Spark round-trips are expensive, so the strategies draw small inputs
+(≤ ~40 rows) and each property runs a reduced number of examples."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from iceberg_rest_server_spark.operators.asof import asof_join
+from iceberg_rest_server_spark.operators import dedup
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --------------------------------------------------------------- as-of
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=20),  # ts
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(left=_events, right=_events, inclusive=st.booleans())
+@settings(**_SETTINGS)
+def test_asof_join_matches_reference(spark, left, right, inclusive):
+    """union+window as-of == per-row linear scan reference, including
+    equal-timestamp inclusivity and keys missing from either side."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "key long, lts long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(right)],
+        "key long, rts long, rid long",
+    )
+    if not left:
+        return  # empty left: nothing to assert (createDataFrame needs rows)
+    out = asof_join(
+        ldf, rdf, on=["key"], left_ts="lts", right_ts="rts",
+        right_cols={"rid": "matched_rid"}, inclusive=inclusive,
+    )
+    got = {r["lid"]: r["matched_rid"] for r in out.collect()}
+
+    def ref(k, t):
+        cands = [
+            (rt, rid)
+            for (rk, rt), rid in zip(right, range(100, 100 + len(right)))
+            if rk == k and (rt <= t if inclusive else rt < t)
+        ]
+        # operator semantics: latest ts wins; among equal ts the row
+        # with the larger tiebreak order is whichever sorts last — match
+        # by value set instead of pinning one
+        return {rid for rt, rid in cands if rt == max(c[0] for c in cands)} if cands else {None}
+
+    assert set(got) == set(range(len(left)))
+    for i, (k, t) in enumerate(left):
+        assert got[i] in ref(k, t), (i, k, t, got[i], ref(k, t))
+
+
+# ------------------------------------------------------------- jaccard
+
+_texts = st.lists(
+    st.text(alphabet="abcd", min_size=3, max_size=12),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=_texts, threshold=st.sampled_from([0.5, 0.8]))
+@settings(**_SETTINGS)
+def test_exact_jaccard_matches_bruteforce(spark, texts, threshold):
+    """PPJoin + adaptive bitmap verify == all-pairs python reference on
+    random small-alphabet corpora (the bitmap path) for every pair."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=threshold)
+    got = {(r["id1"], r["id2"]) for r in out.collect()}
+
+    def grams(t):
+        return {t[i : i + 3] for i in range(max(len(t) - 2, 0))}
+
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = grams(texts[i]), grams(texts[j])
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                want.add((i, j))
+    assert got == want
+
+
+# ------------------------------------------------------------- minhash
+
+@given(texts=_texts)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_pairs_are_subset_of_exact(spark, texts):
+    """LSH candidates are exactly verified, so minhash output ⊆ exact
+    output at the same threshold (approximation can only lose recall,
+    never precision)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = {
+        (r["id1"], r["id2"])
+        for r in dedup.exact_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert lsh <= exact
