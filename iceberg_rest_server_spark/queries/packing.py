@@ -147,7 +147,7 @@ _PACK_BUDGET = 2048  # tokens per packed training sequence
     )
     SELECT source, pack_id,
            count(*) AS n_docs,
-           sum(n_tok) AS pack_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM packed
