@@ -73,14 +73,12 @@ _DRIVER_ORDER_HEAD = [
     "q62_stats_moments",
     "q43_sessionize_batch",
     "q44_pivot_profile",
-    "q46_stratified_topk",
     "q47_fuzzy_brand_pairs",
     "q48_decontamination",
     "q50_repetition_quality",
     "q51_range_join",
     "q52_latest_by_key",
     "q53_domain_mixture",
-    "q56_unpivot",
     # new this round: TPC-H-adapted suite + training-data export ops
     "q63_tpch_q1",
     "q64_tpch_q3",
@@ -97,6 +95,8 @@ _DRIVER_ORDER_HEAD = [
     "q75_tpch_q18",
     "q76_tpch_q19",
     "q77_tpch_q22",
+    "q82_merge_upsert",
+    "q83_row_level_delete",
     "q78_pii_redaction",
     "q79_sequence_chunking",
     "q80_token_packing",

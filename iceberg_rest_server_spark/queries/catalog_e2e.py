@@ -109,3 +109,99 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("partition_specs_live", len({r["spec_id"] for r in parts_after})),
         ]
         return spark.createDataFrame(rows, "metric string, value long")
+
+
+@register(
+    "q82_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey <= 1000
+    ), source AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, 'MERGED' AS c_mktsegment
+      FROM customer WHERE c_custkey > 500 AND c_custkey <= 1500
+    )
+    SELECT t.c_custkey,
+           CAST(coalesce(s.c_acctbal, t.c_acctbal) AS DOUBLE) AS c_acctbal,
+           coalesce(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM target t LEFT JOIN source s ON t.c_custkey = s.c_custkey
+    UNION ALL
+    SELECT s.c_custkey, CAST(s.c_acctbal AS DOUBLE), s.c_mktsegment
+    FROM source s ANTI JOIN target t ON s.c_custkey = t.c_custkey
+    ORDER BY c_custkey
+    """,
+    doc="MERGE INTO (matched update / not-matched insert, "
+    "test_spark.py:72-74 semantics) against a live catalog table: the "
+    "merge composes anti/semi joins plus one CAS-guarded overwrite "
+    "snapshot, and the post-merge table must equal the oracle's "
+    "outer-join formulation of upsert. Exercises the whole write path "
+    "(metadata commit, field-id parquet files, snapshot read-back).",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customers = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    target_rows = customers.filter(F.col("c_custkey") <= 1000)
+    source_rows = customers.filter(
+        (F.col("c_custkey") > 500) & (F.col("c_custkey") <= 1500)
+    ).select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("MERGED").alias("c_mktsegment"),
+    )
+    with ServerThread() as server, tempfile.TemporaryDirectory() as warehouse_dir:
+        client = RestCatalogClient(server.base_url)
+        client.create_warehouse("proj-m", "wh", warehouse_dir)
+        client.configure("proj-m", "wh")
+        client.create_namespace(["dml"])
+        client.create_table(
+            ["dml"], "cust", iceberg_schema_from_spark(target_rows.schema)
+        )
+        table = SparkCatalogTable(spark, client, ["dml"], "cust")
+        table.append(target_rows)
+        table.merge(source_rows, on=["c_custkey"])
+        out = table.read().orderBy("c_custkey")
+        # materialize before the temp warehouse disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "q83_row_level_delete",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey <= 2000
+      AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Row-level DELETE (copy-on-write rewrite) against a live catalog "
+    "table: delete_where must remove exactly the condition-TRUE rows "
+    "(three-valued logic: NULL-predicate rows are kept), verified by "
+    "aggregating the surviving snapshot against the oracle's NOT-filter.",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    with ServerThread() as server, tempfile.TemporaryDirectory() as warehouse_dir:
+        client = RestCatalogClient(server.base_url)
+        client.create_warehouse("proj-d", "wh", warehouse_dir)
+        client.configure("proj-d", "wh")
+        client.create_namespace(["dml"])
+        client.create_table(["dml"], "ord", iceberg_schema_from_spark(orders.schema))
+        table = SparkCatalogTable(spark, client, ["dml"], "ord")
+        table.append(orders)
+        table.delete_where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000.0)
+        )
+        out = (
+            table.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
