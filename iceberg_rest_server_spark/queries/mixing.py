@@ -567,3 +567,61 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.unpivot("p_partkey", ["size", "retail"], "attr", "val")
         .orderBy("p_partkey", "attr")
     )
+
+
+# ---------------------------------------------------------------- skew
+
+@register(
+    "q84_skewed_distinct_agg",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Two-stage distinct aggregation: count(DISTINCT user_id) per "
+    "event_type (5 values — every row of a type funnels through one "
+    "reducer in the naive plan). Stage 1 dedups on the evenly-"
+    "distributed (type, user) pair, stage 2 counts the shrunken "
+    "groups — same answer, no hot reducer at any scale.",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import two_stage_distinct_agg
+
+    events = load(spark, sf_dir, "events")
+    return two_stage_distinct_agg(events, "event_type", "user_id", "n_users").orderBy(
+        "event_type"
+    )
+
+
+@register(
+    "q85_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    doc="Salted shuffle join: events carry a skewed foreign key (few "
+    "hundred distinct users across millions of events at scale); the "
+    "customer side is replicated once per salt so each hot key spreads "
+    "over salt_factor reducers. Result provably equals the unsalted "
+    "join (the oracle); only the physical distribution changes. Used "
+    "when the dim side is too large to broadcast and AQE's runtime "
+    "splitting isn't available (e.g. storage-partitioned inputs).",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    events = load(spark, sf_dir, "events").select("user_id", "value")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(events, cust, on="user_id", salt_factor=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
