@@ -269,3 +269,66 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "segment", "nation")
     )
+
+
+@register(
+    "q86_gap_fill_ffill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds b
+    )
+    SELECT g.event_type, g.hr,
+           coalesce(h.n_events, 0) AS n_events,
+           last_value(h.hour_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hr
+             ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr
+    ORDER BY g.event_type, g.hr
+    """,
+    doc="Time-series gap filling + forward fill — an operator Spark has "
+    "no primitive for: per group, materialize the dense hourly grid "
+    "between its first and last observation (sequence+explode — rows "
+    "generated distributed, never on the driver), left-join the sparse "
+    "aggregates, and carry the last seen value across gaps with "
+    "last(ignorenulls) over an unbounded-preceding window. One shuffle "
+    "on the group key serves the grid join and the fill window.",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("hour_value"),
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("event_type", "hr")
+    )
