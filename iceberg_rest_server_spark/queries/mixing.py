@@ -625,3 +625,34 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q87_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_size,
+           CAST(p.p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    ORDER BY p.p_partkey
+    """,
+    doc="Skyline (Pareto frontier): parts maximizing size while "
+    "minimizing retail price, no row dominated by another. Two-phase "
+    "distributed scheme (local Arrow-batched sweep per partition, then "
+    "one final sweep over the tiny candidate union — see "
+    "operators/skyline.py and the EDBT'23 Spark-skyline line in "
+    "PAPERS.md) vs the oracle's O(N^2) NOT EXISTS formulation.",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", F.col("p_retailprice").cast("double").alias("p_retailprice")
+    )
+    return skyline(part, maximize="p_size", minimize="p_retailprice").orderBy(
+        "p_partkey"
+    )

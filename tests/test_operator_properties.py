@@ -129,3 +129,40 @@ def test_minhash_pairs_are_subset_of_exact(spark, texts):
         for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
     }
     assert lsh <= exact
+
+
+# ------------------------------------------------------------- skyline
+
+_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # maximize
+        st.integers(min_value=0, max_value=6),   # minimize
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(points=_points)
+@settings(**_SETTINGS)
+def test_skyline_matches_bruteforce(spark, points):
+    """Two-phase distributed skyline == O(N^2) dominance reference,
+    including duplicate points (which never dominate each other)."""
+    from iceberg_rest_server_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame(
+        [(i, mx, mn) for i, (mx, mn) in enumerate(points)],
+        "rid long, mx long, mn long",
+    ).repartition(3)
+    got = {r["rid"] for r in skyline(df, "mx", "mn").collect()}
+
+    def dominated(i):
+        mx_i, mn_i = points[i]
+        return any(
+            (mx_j >= mx_i and mn_j <= mn_i and (mx_j > mx_i or mn_j < mn_i))
+            for j, (mx_j, mn_j) in enumerate(points)
+            if j != i
+        )
+
+    want = {i for i in range(len(points)) if not dominated(i)}
+    assert got == want
