@@ -126,3 +126,52 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
         ((sxy - sx * sy / n) / (F.sqrt(vx) * F.sqrt(vy))).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q88_cms_heavy_hitters",
+    oracle=None,
+    doc="Count-min-sketch heavy hitters: user frequencies estimated from "
+    "a d×w counter matrix built as d map-side-combining aggregations "
+    "(bounded memory at any scale — the full key space never shuffles), "
+    "then keys whose estimate clears the threshold. CMS never "
+    "underestimates, so recall of true heavy hitters is 1 by "
+    "construction; precision is checked against exact counts in "
+    "tests/test_sketch.py. Engine-specific estimates ⇒ rows-only check.",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_counters, cms_estimate
+
+    events = load(spark, sf_dir, "events")
+    counters = cms_counters(events, "user_id").persist()
+    keys = events.select("user_id").distinct()
+    est = cms_estimate(counters, keys, "user_id")
+    n = events.count()
+    threshold = max(n // 200, 1)  # 0.5% heavy hitters
+    return est.filter(F.col("est_count") >= threshold).orderBy("user_id")
+
+
+@register(
+    "q89_approx_percentiles",
+    oracle=None,
+    doc="Approximate percentiles (Greenwald-Khanna style "
+    "percentile_approx, single-pass mergeable summaries) per group — "
+    "the bounded-memory tier of q41's exact percentiles. Accuracy vs "
+    "the exact answer is asserted in tests/test_sketch.py; sketch "
+    "internals are engine-specific ⇒ rows-only check.",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

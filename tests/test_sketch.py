@@ -1,0 +1,62 @@
+"""Sketch-tier accuracy anchors: CMS vs exact counts, approximate vs
+exact percentiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_rest_server_spark.operators.sketch import cms_counters, cms_estimate
+from iceberg_rest_server_spark.queries import REGISTRY
+from iceberg_rest_server_spark.tables import load
+
+
+def test_cms_never_underestimates_and_is_tight(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    counters = cms_counters(events, "user_id")
+    keys = events.select("user_id").distinct()
+    est = cms_estimate(counters, keys, "user_id")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    joined = est.join(exact, "user_id").collect()
+    n = events.count()
+    assert joined
+    for r in joined:
+        assert r["est_count"] >= r["true_count"], r  # CMS lower-bound property
+        # w=2048 >> distinct keys here: estimates should be near-exact
+        assert r["est_count"] - r["true_count"] <= max(n // 100, 1), r
+
+
+def test_cms_heavy_hitters_have_full_recall(spark, sf_dir):
+    out = {r["user_id"] for r in REGISTRY["q88_cms_heavy_hitters"].fn(spark, sf_dir).collect()}
+    events = load(spark, sf_dir, "events")
+    n = events.count()
+    threshold = max(n // 200, 1)
+    true_heavy = {
+        r["user_id"]
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= threshold)
+        .collect()
+    }
+    assert true_heavy <= out  # never misses a true heavy hitter
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in REGISTRY["q89_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag in approx:
+        for a, e in zip(approx[flag], exact[flag]):
+            assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (flag, a, e)
