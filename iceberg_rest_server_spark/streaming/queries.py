@@ -315,3 +315,81 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id")
     )
+
+
+@register(
+    "q90_stream_catalog_sink",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Streaming sink into a live catalog table with exactly-once "
+    "replay: the event feed is split into multiple files and drained "
+    "with maxFilesPerTrigger=1, so each micro-batch lands as its own "
+    "CAS-guarded snapshot stamped with (query-id, epoch-id); a second "
+    "drain from a fresh checkpoint replays every batch and must commit "
+    "ZERO new snapshots (epoch dedup from table metadata alone). The "
+    "final table aggregate equals the batch GROUP BY oracle — "
+    "correctness of the whole stream→snapshot→read pipeline, not just "
+    "the stream.",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..catalog.client import RestCatalogClient
+    from ..catalog.server import ServerThread
+    from ..catalog.spark_table import SparkCatalogTable, iceberg_schema_from_spark
+    from ..tables import load as _load
+    from .sink import stream_to_table
+
+    events = _load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    with ServerThread() as server, _tf.TemporaryDirectory() as tmp:
+        src_dir = os.path.join(tmp, "src")
+        events.repartition(4).write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src_dir)
+        )
+        client = RestCatalogClient(server.base_url)
+        client.create_warehouse("proj-s", "wh", os.path.join(tmp, "wh"))
+        client.configure("proj-s", "wh")
+        client.create_namespace(["stream"])
+        client.create_table(
+            ["stream"], "sunk", iceberg_schema_from_spark(events.schema)
+        )
+        table = SparkCatalogTable(spark, client, ["stream"], "sunk")
+
+        n1 = stream_to_table(stream, table, os.path.join(tmp, "ckpt1"), "q90-sink")
+        assert n1 >= 2, f"expected multiple micro-batches, got {n1}"
+        count_after_first = table.read().count()
+
+        # replay from a fresh checkpoint: every epoch re-delivered, every
+        # epoch already committed -> zero new snapshots, contents stable
+        stream2 = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src_dir)
+        )
+        n2 = stream_to_table(stream2, table, os.path.join(tmp, "ckpt2"), "q90-sink")
+        assert n2 == 0, f"replayed batches must be skipped, committed {n2}"
+        assert table.read().count() == count_after_first
+
+        out = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
