@@ -68,8 +68,8 @@ _DRIVER_ORDER_HEAD = [
     "q37_multimodal_frames",
     "q59_semantic_dedup",
     "q60_embedding_centroids",
-    "q41_percentiles",
-    "q42_histogram",
+    "q87_skyline",
+    "q90_stream_catalog_sink",
     "q62_stats_moments",
     "q43_sessionize_batch",
     "q44_pivot_profile",
