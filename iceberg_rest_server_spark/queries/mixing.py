@@ -408,18 +408,10 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestampadd(HOUR, CAST(iv_id % 7 + 1 AS INT), iv_start)"),
         )
     )
-    iv_b = iv.withColumn(
-        "bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_micros("iv_start") / bucket_us),
-                F.floor((F.unix_micros("iv_end") - 1) / bucket_us),
-            )
-        ),
-    )
-    ev_b = ev.withColumn("bucket", F.floor(F.unix_micros("ts") / bucket_us))
-    joined = ev_b.join(F.broadcast(iv_b), "bucket").filter(
-        (F.col("ts") >= F.col("iv_start")) & (F.col("ts") < F.col("iv_end"))
+    from ..operators.range_join import bucketed_interval_join
+
+    joined = bucketed_interval_join(
+        ev, "ts", iv, "iv_start", "iv_end", bucket_us=bucket_us
     )
     return (
         joined.groupBy("iv_id")

@@ -166,3 +166,48 @@ def test_skyline_matches_bruteforce(spark, points):
 
     want = {i for i in range(len(points)) if not dominated(i)}
     assert got == want
+
+
+# ---------------------------------------------------------- range join
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # start (seconds)
+        st.integers(min_value=1, max_value=120),  # length (seconds)
+    ),
+    min_size=1,
+    max_size=10,
+)
+_pts = st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=30)
+
+
+@given(points=_pts, intervals=_intervals)
+@settings(**_SETTINGS)
+def test_bucketed_interval_join_matches_bruteforce(spark, points, intervals):
+    """Bucketed equi-join + boundary filter == all-pairs containment,
+    including intervals spanning many buckets and bucket-boundary ts."""
+    from iceberg_rest_server_spark.operators.range_join import bucketed_interval_join
+
+    pdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(points)], "pid long, sec long"
+    ).select("pid", F.timestamp_seconds("sec").alias("ts"))
+    ivdf = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(intervals)],
+        "ivid long, s long, e long",
+    ).select(
+        "ivid",
+        F.timestamp_seconds("s").alias("iv_start"),
+        F.timestamp_seconds("e").alias("iv_end"),
+    )
+    # tiny bucket (16 s) forces multi-bucket explosion for most intervals
+    out = bucketed_interval_join(
+        pdf, "ts", ivdf, "iv_start", "iv_end", bucket_us=16_000_000
+    )
+    got = {(r["pid"], r["ivid"]) for r in out.collect()}
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, ln) in enumerate(intervals)
+        if s <= p < s + ln
+    }
+    assert got == want
