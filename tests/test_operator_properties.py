@@ -211,3 +211,59 @@ def test_bucketed_interval_join_matches_bruteforce(spark, points, intervals):
         if s <= p < s + ln
     }
     assert got == want
+
+
+# --------------------------------------------------------- sessionize
+
+_sess_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # user
+        st.integers(min_value=0, max_value=200),   # minute offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(evs=_sess_events)
+@settings(**_SETTINGS)
+def test_sessionize_matches_reference(spark, evs):
+    """lag+running-sum sessionization == linear per-user scan with a
+    30-minute gap rule, including duplicate timestamps (tie-broken by
+    event id on both sides)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(u, m * 60, i) for i, (u, m) in enumerate(evs)],
+        "user_id long, sec long, event_id long",
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"), "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    out = (
+        df.withColumn(
+            "new_sess",
+            F.when(us - F.lag(us).over(w) <= F.lit(gap_us), F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .select("event_id", "user_id", "session_id")
+    )
+    got = {r["event_id"]: (r["user_id"], r["session_id"]) for r in out.collect()}
+
+    # reference: per user, sort by (minute, event id), split on gap > 30
+    by_user: dict[int, list] = {}
+    for i, (u, m) in enumerate(evs):
+        by_user.setdefault(u, []).append((m, i))
+    want = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        sid, prev = 0, None
+        for m, i in rows:
+            if prev is None or (m - prev) * 60 > 30 * 60:
+                sid += 1
+            want[i] = (u, sid)
+            prev = m
+    assert got == want
