@@ -45,6 +45,24 @@ def main() -> None:
     # query, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # Absorb first-use C2 compilation of the big codegen families
+    # (hash aggregate with decimal sums, window, broadcast join) on a
+    # small slice — otherwise whichever query runs each family first
+    # pays 2-4 s of JIT that says nothing about the plan.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(20000)
+    _li.groupBy("l_returnflag").agg(
+        _F.sum(_F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+        _F.count(_F.lit(1)),
+    ).collect()
+    _li.select(
+        _F.row_number().over(_W.partitionBy("l_returnflag").orderBy("l_orderkey"))
+    ).count()
+    _nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    _li.join(_F.broadcast(_nat), _li.l_suppkey % 25 == _nat.n_nationkey).count()
+
     # Warm the Python worker pool across all cores: the first pandas-UDF
     # stage in a session otherwise pays 32 × (interpreter spawn + numpy/
     # pandas import) inside whichever query happens to run it first
