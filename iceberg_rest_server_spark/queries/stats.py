@@ -175,3 +175,81 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q91_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, count(*) AS cnt,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-depth (quantile-bucketed) histogram via ntile with a "
+    "unique tiebreak — the complement of q42's fixed-width bins: bucket "
+    "boundaries adapt to the distribution. The global sort is the one "
+    "serial point; at scale it is a range-partitioned sort (Spark's "
+    "TakeOrderedAndProject/RangePartitioner), not a single-task sort.",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("bucket")
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q92_trailing_window_agg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="Trailing 1-hour range-frame aggregates over an irregular event "
+    "series (per-user rolling count/sum — the feature-engineering "
+    "staple). Spark's RANGE frame needs a numeric order key, so the "
+    "frame runs over unix microseconds with a µs-exact 1h bound — "
+    "semantically identical to the oracle's INTERVAL frame. One shuffle "
+    "on user_id; the frame scan is linear per partition.",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
