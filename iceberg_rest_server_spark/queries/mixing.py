@@ -648,3 +648,68 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(part, maximize="p_size", minimize="p_retailprice").orderBy(
         "p_partkey"
     )
+
+
+@register(
+    "q93_data_quality_checks",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           (SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+            ON l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT count(*) FROM lineitem WHERE l_quantity < 0 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'customer_fk_nation',
+           (SELECT count(*) FROM customer c ANTI JOIN nation n
+            ON c.c_nationkey = n.n_nationkey)
+    ORDER BY check_name
+    """,
+    doc="Data-quality gate: null-rate, key-uniqueness, referential-"
+    "integrity and domain-range checks as one declarative plan — the "
+    "validation pass a pipeline runs before promoting a snapshot. Each "
+    "check is a scan-local aggregate or an anti join on the natural "
+    "key; violations (not passing rows) are counted so the output stays "
+    "metadata-sized at any scale.",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+
+    checks = [
+        one("orders_null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        one(
+            "orders_dup_orderkey",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1),
+        ),
+        one("lineitem_fk_orders", li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")),
+        one(
+            "lineitem_qty_range",
+            li.filter((F.col("l_quantity") < 0) | (F.col("l_quantity") > 50)),
+        ),
+        one(
+            "customer_fk_nation",
+            cust.join(nation, cust.c_nationkey == nation.n_nationkey, "left_anti"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
