@@ -49,3 +49,37 @@ def test_two_stage_distinct_equals_native(spark, sf_dir):
     a = two_stage_distinct_agg(ev, "event_type", "user_id", "n")
     b = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n"))
     assert _sorted_rows(a, ["event_type"]) == _sorted_rows(b, ["event_type"])
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both join sides on the key (the co-location strategy
+    for repeated fact-fact joins at scale) must produce a join plan with
+    no shuffle exchange on either side."""
+    import os
+
+    from iceberg_rest_server_spark.tables import load
+
+    warehouse = str(tmp_path / "wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckets LOCATION '{warehouse}'")
+    try:
+        orders = load(spark, sf_dir, "orders").limit(2000)
+        li = load(spark, sf_dir, "lineitem").limit(5000)
+        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").format("parquet").saveAsTable("buckets.o"))
+        (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").format("parquet").saveAsTable("buckets.l"))
+        # disable broadcast so the co-location is what avoids the shuffle
+        before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("buckets.l").join(
+                spark.table("buckets.o"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buckets CASCADE")
