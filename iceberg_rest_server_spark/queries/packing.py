@@ -233,3 +233,63 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ACCENTED_ROWS = [
+    (200001, "école française"),          # combining accents -> NFC
+    (200002, "Å ngström units"),            # Å (ANGSTROM SIGN) -> U+00C5
+    (200003, "already composed éçÅ"),   # NFC fixed point
+]
+
+_ACCENTED_VALUES_SQL = ", ".join(
+    "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _ACCENTED_ROWS
+)
+
+
+@register(
+    "q94_unicode_normalize",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES {_ACCENTED_VALUES_SQL}) v(doc_id, text)
+    )
+    SELECT doc_id,
+           length(nfc_normalize(text)) AS n_chars_nfc,
+           md5(nfc_normalize(text)) AS nfc_md5
+    FROM corpus ORDER BY doc_id
+    """,
+    doc="Unicode NFC normalization — text hygiene before tokenization/"
+    "dedup (combining sequences and compatibility codepoints otherwise "
+    "split identical strings across fingerprints). Spark has no "
+    "normalization built-in, so this is a deliberate Arrow-batched "
+    "pandas UDF (the documented slow path, used only where the JVM has "
+    "no primitive); the oracle's nfc_normalize verifies the rewrite "
+    "byte-for-byte via md5. Literal accented rows are appended on both "
+    "sides since the synthetic corpus is pure ASCII (an NFC fixed "
+    "point).",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StringType
+
+    def _nfc_batch(texts):
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    nfc = F.pandas_udf(_nfc_batch, StringType())
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(_ACCENTED_ROWS, ["doc_id", "text"])
+    corpus = docs.unionAll(extra)
+    n = nfc(F.col("text"))
+    return (
+        corpus.select(
+            "doc_id",
+            F.length(n).alias("n_chars_nfc"),
+            F.md5(n).alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )
