@@ -1,5 +1,6 @@
-"""Q78–Q81: training-data export operators — PII scrubbing, fixed-window
-sequence chunking, token-budget packing, and seeded epoch shuffling.
+"""Q78–Q81 + Q94: training-data export operators — PII scrubbing,
+fixed-window sequence chunking, token-budget packing, seeded epoch
+shuffling, and Unicode NFC normalization.
 
 These are the last-mile ops a 100 TB curation pipeline runs after dedup/
 quality filtering to turn a document corpus into training shards. All
