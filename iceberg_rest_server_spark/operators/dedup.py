@@ -120,7 +120,11 @@ def exact_jaccard_pairs(
         .persist()
     )
     exploded = g.select("id", F.explode("grams").alias("gram"))
-    df_freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).persist()
+    # not persisted: both consumers (the prefix ranking and, on the
+    # bitmap path, the dictionary) rebuild this one cheap aggregate from
+    # the cached gram sets — a persist here would outlive the call and
+    # leak executor cache across repeated invocations
+    df_freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     # one metadata-scale job to pick the verify strategy
     n_distinct_grams = df_freq.count()
     w = Window.partitionBy("id").orderBy("df", "gram")

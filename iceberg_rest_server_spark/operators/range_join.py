@@ -32,6 +32,14 @@ def bucketed_interval_join(
     Returns points columns + intervals columns. `broadcast_intervals`
     should be False when the (exploded) interval side is itself large —
     the equi-join then shuffles both sides on the bucket key."""
+    # degenerate intervals (end <= start half-open, end < start closed)
+    # match nothing — drop them BEFORE bucket explosion, where a
+    # reversed interval would otherwise make sequence() count DOWN and
+    # emit every bucket between the ends
+    lower = F.col(end_col) > F.col(start_col) if half_open else F.col(
+        end_col
+    ) >= F.col(start_col)
+    intervals = intervals.filter(lower)
     iv_b = intervals.withColumn(
         "__bucket",
         F.explode(

@@ -40,7 +40,14 @@ def salted_join(
     `salt_factor` different reducers instead of one. Replication cost is
     |other| × salt_factor rows — choose the *smaller* relation as
     `other`. Output columns: all of `skewed`'s, then `other`'s minus the
-    join key (same as a plain `join(..., on)`)."""
+    join key (same as a plain `join(..., on)`).
+
+    Only inner and left joins are supported: the salting direction
+    preserves exactly the skewed side's match semantics. A right/full
+    join would surface each unmatched `other` row once per salt, and
+    semi/anti joins drop `other`'s columns entirely."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     salted = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_factor)).cast("int")
     )
@@ -56,10 +63,12 @@ def two_stage_distinct_agg(
 ) -> DataFrame:
     """count(DISTINCT distinct_col) GROUP BY group_col without a
     per-group single-reducer bottleneck: shuffle once on the pair
-    (evenly distributed), then count the de-duplicated pairs."""
+    (evenly distributed), then count the de-duplicated pairs.
+    count(col) in stage 2 skips the NULL pair, matching SQL
+    COUNT(DISTINCT)'s null semantics."""
     return (
         df.select(group_col, distinct_col)
         .distinct()  # shuffle on (group, value): no hot partition
         .groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias(alias))
+        .agg(F.count(F.col(distinct_col)).alias(alias))
     )

@@ -62,7 +62,16 @@ def skyline(df: DataFrame, maximize: str, minimize: str) -> DataFrame:
         for pdf in it:
             yield _sweep(pdf, maximize, minimize)
 
+    def final(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one partition still arrives as MULTIPLE Arrow batches
+        # (arrow.maxRecordsPerBatch); dominance must be checked across
+        # all of them, so concatenate before the final sweep — the
+        # phase-1 survivors are small by construction
+        pdfs = [p for p in it if len(p)]
+        if pdfs:
+            yield _sweep(pd.concat(pdfs, ignore_index=True), maximize, minimize)
+
     candidates = df.mapInPandas(local, schema)
     # final pass: candidates are few; one task finishes the frontier
-    final = candidates.repartition(1).mapInPandas(local, schema)
-    return final.select(*cols)
+    out = candidates.repartition(1).mapInPandas(final, schema)
+    return out.select(*cols)

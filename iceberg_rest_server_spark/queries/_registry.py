@@ -43,10 +43,12 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # and covers a bounded prefix (50 entries in rounds 1-2, while the registry
 # has grown past that). To maximize cumulative driver-verified coverage
 # across rounds, list first the entries whose r02 failures were just fixed,
-# then every entry with no correctness row in any prior round (oracled ones
-# first — they get the strong hash check); entries already hash-verified in
-# CORRECTNESS_r01/r02 follow. Every entry is always returned — this is
-# ordering only, not selection.
+# then as many entries without a correctness row in any prior round as fit
+# the 50-entry window (oracled ones preferred — they get the strong hash
+# check; the never-checked set now exceeds the window, so the remainder —
+# q84-q86, q88-q89, q91-q94 — waits for the next round's rotation);
+# entries already hash-verified in CORRECTNESS_r01/r02 follow. Every entry
+# is always returned — this is ordering only, not selection.
 _DRIVER_ORDER_HEAD = [
     # fixed this round (events.ts layout change broke them in r02)
     "q14_asof_join",

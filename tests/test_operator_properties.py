@@ -267,3 +267,42 @@ def test_sessionize_matches_reference(spark, evs):
             want[i] = (u, sid)
             prev = m
     assert got == want
+
+
+def test_bucketed_interval_join_drops_degenerate_intervals(spark):
+    """Reversed and empty intervals match nothing — and must not explode
+    a descending bucket sequence on the way."""
+    from iceberg_rest_server_spark.operators.range_join import bucketed_interval_join
+
+    pts = spark.createDataFrame([(0, 50)], "pid long, sec long").select(
+        "pid", F.timestamp_seconds("sec").alias("ts")
+    )
+    ivs = spark.createDataFrame(
+        [(0, 100, 0), (1, 50, 50), (2, 0, 100)], "ivid long, s long, e long"
+    ).select(
+        "ivid",
+        F.timestamp_seconds("s").alias("iv_start"),
+        F.timestamp_seconds("e").alias("iv_end"),
+    )
+    out = bucketed_interval_join(pts, "ts", ivs, "iv_start", "iv_end", bucket_us=16_000_000)
+    assert {r["ivid"] for r in out.collect()} == {2}
+
+
+def test_skyline_final_pass_spans_arrow_batches(spark):
+    """Dominance must hold across Arrow batch boundaries in the final
+    pass: with a tiny batch size, a dominating point in one batch must
+    still eliminate points arriving in later batches."""
+    from iceberg_rest_server_spark.operators.skyline import skyline
+
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        # 200 points on a line where only (199, 0) survives; local
+        # skylines keep ~1 point per partition but the final pass sees
+        # them across many 10-row batches
+        rows = [(i, i, 200 - i) for i in range(200)]
+        df = spark.createDataFrame(rows, "rid long, mx long, mn long").repartition(32)
+        got = [r["rid"] for r in skyline(df, "mx", "mn").collect()]
+        assert got == [199], got
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", before)

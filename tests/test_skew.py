@@ -83,3 +83,20 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
     finally:
         spark.sql("DROP DATABASE IF EXISTS buckets CASCADE")
+
+
+def test_two_stage_distinct_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, 5), (1, 5), (2, None)], "g long, x long"
+    )
+    a = two_stage_distinct_agg(df, "g", "x", "n")
+    b = df.groupBy("g").agg(F.countDistinct("x").alias("n"))
+    assert _sorted_rows(a, ["g"]) == _sorted_rows(b, ["g"])
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="full")
