@@ -710,3 +710,41 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_nation")
     )
+
+
+@register(
+    "q95_tpch_q12",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(sum(CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN l.l_quantity <  25 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q12 shape (adapted: no l_shipmode/commitdate columns — the "
+    "priority split keys on quantity): conditional CASE-WHEN counting "
+    "over a fact-fact join, the filter pushed to the lineitem scan; "
+    "both counts come out of one aggregate pass.",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(F.col("l_quantity") < 25, 1).otherwise(0)).alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
