@@ -5,7 +5,7 @@ similarity search and multimodal columns).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
@@ -631,4 +631,39 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
         .orderBy("label", "dim")
+    )
+
+
+@register(
+    "q96_pagerank_canonical",
+    oracle=None,
+    doc="Importance-based canonical selection: PageRank over the "
+    "symmetrized near-dup graph (power iteration with dangling-mass "
+    "redistribution, one shuffle join + one aggregate per round, "
+    "numpy-cross-checked in tests/test_graph.py), then the top-ranked "
+    "document of each connected component becomes the cluster "
+    "canonical — the importance-aware alternative to q49's min-id "
+    "rule. Iterative float fixpoint ⇒ rows-only check.",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    sym = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).union(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    ranks = pagerank(sym, max_iter=20)
+    comp = dedup.connected_components(pairs, "id1", "id2")
+    w = Window.partitionBy("component").orderBy(F.desc("rank"), "id")
+    return (
+        comp.join(ranks, "id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("id").alias("canonical_id"),
+            F.col("rank").alias("canonical_rank"),
+        )
+        .orderBy("cluster_id")
     )
