@@ -253,3 +253,101 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q97_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS revenue_dec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, CAST(revenue_dec AS DOUBLE) AS revenue,
+           CAST(revenue_dec AS DOUBLE)
+             / CAST(sum(revenue_dec) OVER () AS DOUBLE) AS revenue_share
+    FROM rev ORDER BY n_name
+    """,
+    doc="Ratio-to-report: per-nation revenue share via an unpartitioned "
+    "window aggregate over the (tiny, post-aggregate) per-nation rows — "
+    "the grand total never re-scans the facts. The empty-frame window "
+    "runs on ≤ |nations| rows in one task; the fact-side work is the "
+    "usual map-side-combining aggregate. Share division happens in "
+    "double on both engines after exact decimal sums.",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+            ).alias("revenue_dec")
+        )
+    )
+    # the grand total is window-summed as DECIMAL (exact, order-
+    # independent) and converted to double once — a double window sum
+    # would round differently per summation order across engines
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        (
+            F.col("revenue_dec").cast("double")
+            / F.sum("revenue_dec").over(w).cast("double")
+        ).alias("revenue_share"),
+    ).orderBy("n_name")
+
+
+@register(
+    "q98_median_absolute_deviation",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(m.med_price AS DOUBLE) AS med_price,
+           CAST(quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5) AS DOUBLE)
+             AS mad_price
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med_price
+    ORDER BY l.l_returnflag
+    """,
+    doc="Median absolute deviation per group — robust dispersion needing "
+    "TWO dependent aggregation passes (median, then median of absolute "
+    "deviations from it). The per-group medians are a tiny broadcast "
+    "back onto the facts; both passes use the exact interpolated "
+    "percentile so results are deterministic and engine-identical.",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med_price")
+        .agg(
+            F.expr("percentile(abs(l_extendedprice - med_price), 0.5)").alias(
+                "mad_price"
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.col("med_price").cast("double").alias("med_price"),
+            F.col("mad_price").cast("double").alias("mad_price"),
+        )
+        .orderBy("l_returnflag")
+    )
