@@ -33,18 +33,21 @@ def pagerank(
     ).persist()
     nodes = e.select(F.col("u").alias("id")).union(e.select("v")).distinct().persist()
     n = nodes.count()
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(eager=True)
     base = (1.0 - damping) / n
+    # one scalar job before the loop; afterwards each round's single
+    # collect returns BOTH the convergence delta and the next round's
+    # dangling mass, so an iteration costs exactly one action
+    dangling = (
+        ranks.join(outdeg, ranks.id == outdeg.u, "left_anti")
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+        or 0.0
+    )
     for _ in range(max_iter):
-        with_deg = ranks.join(outdeg, ranks.id == outdeg.u, "left")
-        # dangling mass: ranks of nodes with no out-edges, spread uniformly
-        dangling = (
-            with_deg.filter(F.col("deg").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
         contribs = (
-            with_deg.filter(F.col("deg").isNotNull())
+            ranks.join(outdeg, ranks.id == outdeg.u)
             .join(e, "u")
             .select(F.col("v").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
@@ -62,14 +65,20 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
+        stats = (
             new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .collect()[0][0]
+            .join(outdeg, new_ranks.id == outdeg.u, "left")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))).alias("dangling"),
+            )
+            .collect()[0]
         )
         ranks = new_ranks
-        if delta is not None and delta < tol:
+        dangling = stats["dangling"] or 0.0
+        if stats["delta"] is not None and stats["delta"] < tol:
             break
     e.unpersist()
     nodes.unpersist()
+    outdeg.unpersist()
     return ranks

@@ -649,11 +649,13 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    # persisted: both consumers (PageRank's edge list and the CC label
+    # propagation) would otherwise re-run the whole near-dup verify
+    pairs = dedup.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).persist()
     sym = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).union(
         pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
     )
-    ranks = pagerank(sym, max_iter=20)
+    ranks = pagerank(sym, max_iter=12)
     comp = dedup.connected_components(pairs, "id1", "id2")
     w = Window.partitionBy("component").orderBy(F.desc("rank"), "id")
     return (
