@@ -130,7 +130,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "sum_query_wall_sec",
-        "value": round(sum(times.values()), 4),
+        # A failed query must not silently LOWER the total (a regression
+        # that crashes an expensive query would read as a speedup):
+        # totals are only comparable across rounds when every query ran.
+        "value": round(sum(times.values()), 4) if not errors else None,
         "unit": "sec",
         "queries": times,
         "n_queries": len(times),
@@ -138,6 +141,7 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+        out["sum_succeeded_sec"] = round(sum(times.values()), 4)
     print(json.dumps(out))
     spark.stop()
 

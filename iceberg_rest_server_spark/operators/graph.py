@@ -5,18 +5,48 @@ primitive a corpus pipeline wants (authority/centrality scoring of a
 similarity or citation graph, e.g. to pick the canonical document of a
 near-dup cluster by importance instead of min-id).
 
-Each iteration is one shuffle join (ranks × edges on src) + one
-aggregation (contributions by dst) — the textbook formulation kept
-deliberately: no driver-side state beyond the scalar dangling mass and
-the convergence delta, lineage truncated per round with localCheckpoint
-so plans stay O(1) deep. Dangling nodes (no out-edges) redistribute
-their mass uniformly, so ranks sum to 1 at every step (checked in
-tests against a dense numpy power iteration)."""
+The edge list is pre-aggregated ONCE into chunked adjacency arrays
+(one row per src, hot sources split into ≤CHUNK-neighbor rows), so each
+iteration shuffles |V|-ish adjacency rows instead of |E| edge rows: one
+join (ranks × adjacency on src) + one aggregation (exploded
+contributions by dst, map-side combined). No driver-side state beyond
+the scalar dangling mass and the convergence delta; lineage is
+truncated per round with localCheckpoint and the PREVIOUS round's
+checkpoint blocks are explicitly released (localCheckpoint data is not
+governed by DataFrame.unpersist, so block ids are tracked through the
+SparkContext storage registry — same single-threaded-session assumption
+as streaming.run_to_table). Dangling nodes (no out-edges) redistribute
+their mass uniformly, so ranks sum to 1 at every step (checked in tests
+against a dense numpy power iteration).
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Max neighbors per adjacency row: bounds the size of any single row at
+# 100 TB scale (a celebrity node with 1e8 out-edges becomes ~1e8/65536
+# rows instead of one unsplittable giant array).
+_ADJ_CHUNK = 1 << 16
+
+
+def _cached_rdd_ids(spark: SparkSession) -> set[int]:
+    sc = spark.sparkContext
+    return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+
+def _release_rdds(spark: SparkSession, ids: set[int]) -> None:
+    """Unpersist cached RDDs by id — the only handle PySpark exposes to
+    localCheckpoint blocks (DataFrame.unpersist only covers CacheManager
+    entries)."""
+    if not ids:
+        return
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        entry = it.next()
+        if entry._1() in ids:
+            entry._2().unpersist(False)
 
 
 def pagerank(
@@ -28,57 +58,100 @@ def pagerank(
     tol: float = 1e-6,
 ) -> DataFrame:
     """(id, rank) for every node in `edges`; ranks sum to 1."""
+    spark = edges.sparkSession
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).persist()
-    nodes = e.select(F.col("u").alias("id")).union(e.select("v")).distinct().persist()
-    n = nodes.count()
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(eager=True)
-    base = (1.0 - damping) / n
-    # one scalar job before the loop; afterwards each round's single
-    # collect returns BOTH the convergence delta and the next round's
-    # dangling mass, so an iteration costs exactly one action
-    dangling = (
-        ranks.join(outdeg, ranks.id == outdeg.u, "left_anti")
-        .agg(F.sum("rank"))
-        .collect()[0][0]
-        or 0.0
     )
-    for _ in range(max_iter):
-        contribs = (
-            ranks.join(outdeg, ranks.id == outdeg.u)
-            .join(e, "u")
-            .select(F.col("v").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("in_mass"))
+    nodes = e.select(F.col("u").alias("id")).union(e.select("v")).distinct().persist()
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
+    # chunked adjacency: co-partitioned join on u (both sides shuffle on
+    # u once, here, never again), then ≤_ADJ_CHUNK neighbors per row
+    adj = (
+        e.join(outdeg, "u")
+        .withColumn(
+            "chunk",
+            F.pmod(
+                F.xxhash64("v"),
+                F.greatest(F.lit(1), F.ceil(F.col("deg") / _ADJ_CHUNK)),
+            ),
         )
-        new_ranks = (
-            nodes.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
+        .groupBy("u", "chunk")
+        .agg(F.collect_list("v").alias("vs"), F.first("deg").alias("deg"))
+        .drop("chunk")
+        .persist()
+    )
+    ranks = None
+    ckpt_ids: set[int] = set()
+    try:
+        n = nodes.count()
+        adj.count()  # materialize before the loop so e is scanned once more at most
+        before = _cached_rdd_ids(spark)
+        ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+            eager=True
+        )
+        ckpt_ids = _cached_rdd_ids(spark) - before
+        base = (1.0 - damping) / n
+        # one scalar job before the loop; afterwards each round's single
+        # collect returns BOTH the convergence delta and the next round's
+        # dangling mass, so an iteration costs exactly one action
+        dangling = (
+            ranks.join(outdeg, ranks.id == outdeg.u, "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        for _ in range(max_iter):
+            contribs = (
+                ranks.join(adj, ranks.id == adj.u)
+                .select(
+                    F.explode("vs").alias("id"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("in_mass"))
             )
-            .localCheckpoint(eager=True)
-        )
-        stats = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-            .join(outdeg, new_ranks.id == outdeg.u, "left")
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
-                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))).alias("dangling"),
+            before = _cached_rdd_ids(spark)
+            new_ranks = (
+                nodes.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("in_mass"), F.lit(0.0))
+                            + F.lit(dangling / n)
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .collect()[0]
-        )
-        ranks = new_ranks
-        dangling = stats["dangling"] or 0.0
-        if stats["delta"] is not None and stats["delta"] < tol:
-            break
-    e.unpersist()
-    nodes.unpersist()
-    outdeg.unpersist()
+            new_ckpt_ids = _cached_rdd_ids(spark) - before
+            stats = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
+                .join(outdeg, new_ranks.id == outdeg.u, "left")
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+                    F.sum(F.when(F.col("deg").isNull(), F.col("rank"))).alias(
+                        "dangling"
+                    ),
+                )
+                .collect()[0]
+            )
+            ranks = new_ranks
+            _release_rdds(spark, ckpt_ids)  # prev round's blocks, no longer referenced
+            ckpt_ids = new_ckpt_ids
+            dangling = stats["dangling"] or 0.0
+            if stats["delta"] is not None and stats["delta"] < tol:
+                break
+    except BaseException:
+        # the in-flight checkpoints are not returned to the caller: free them
+        _release_rdds(spark, ckpt_ids)
+        raise
+    finally:
+        nodes.unpersist()
+        outdeg.unpersist()
+        adj.unpersist()
+    # NOTE: the final `ranks` checkpoint stays cached — it IS the result
+    # (its lineage was truncated, so releasing it would lose the data).
     return ranks

@@ -48,8 +48,17 @@ def salted_join(
     semi/anti joins drop `other`'s columns entirely."""
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    # Salt must be independent of row CONTENT: hashing the row's columns
+    # would collapse identical duplicate rows of a hot key onto one salt
+    # (keeping the straggler) and break on unhashable types (MapType).
+    # monotonically_increasing_id is unique per row within the stage, so
+    # pmod spreads a hot key's rows evenly regardless of duplication —
+    # and the id never leaves this operator, so its non-determinism
+    # across retries can't leak into results (the join output is
+    # identical for any salt assignment).
     salted = skewed.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_factor)).cast("int")
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt_factor)).cast("int"),
     )
     replicated = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))

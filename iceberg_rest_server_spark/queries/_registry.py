@@ -40,69 +40,69 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 
 # The driver's per-round correctness run evaluates queries() in dict order
-# and covers a bounded prefix (50 entries in rounds 1-2, while the registry
-# has grown past that). To maximize cumulative driver-verified coverage
-# across rounds, list first the entries whose r02 failures were just fixed,
-# then as many entries without a correctness row in any prior round as fit
-# the 50-entry window (oracled ones preferred — they get the strong hash
-# check; the never-checked set now exceeds the window, so the remainder —
-# q84-q86, q88-q89, q91-q94 — waits for the next round's rotation);
-# entries already hash-verified in CORRECTNESS_r01/r02 follow. Every entry
-# is always returned — this is ordering only, not selection.
+# and covers a bounded prefix (the first 50 entries) per round. To maximize
+# cumulative driver-verified coverage, list first the 21 entries that have
+# never appeared in a driver window (everything else in the registry has a
+# green row in CORRECTNESS_r01-r03), then the streaming entries (the one
+# historical regression class — keep them warm every round), then entries
+# whose code or oracle changed this round, then a rotation fill of
+# previously-green entries for regression cover. Every entry is always
+# returned — this is ordering only, not selection.
 _DRIVER_ORDER_HEAD = [
-    # fixed this round (events.ts layout change broke them in r02)
-    "q14_asof_join",
-    "q15_sliding_window",
-    "q23_get_json",
+    # --- never covered by a driver run (r1-r3 windows missed them) ---
+    "q36_ann_lsh_topk",
+    "q37_multimodal_features",
+    "q38_ann_ivf_topk",
+    "q41_percentiles",
+    "q42_histogram",
+    "q45_hash_sample",
+    "q46_stratified_topk",
+    "q56_unpivot",
+    "q84_skewed_distinct_agg",
+    "q85_salted_join",
+    "q86_gap_fill_ffill",
+    "q88_cms_heavy_hitters",
+    "q89_approx_percentiles",
+    "q91_equidepth_histogram",
+    "q92_trailing_window_agg",
+    "q93_data_quality_checks",
+    "q94_unicode_normalize",
+    "q95_tpch_q12",
+    "q96_pagerank_canonical",
+    "q97_ratio_to_report",
+    "q98_median_absolute_deviation",
+    # --- streaming regression cover (broke once in r02; keep warm) ---
     "q29_stream_tumbling_window",
     "q30_stream_session_window",
     "q58_stream_stream_join",
-    # never covered by a driver run (registered past the r01/r02 prefix)
-    "q33_token_stats",
-    "q33_bpe_token_count",
-    "q33_quality_score",
-    "q33_tfidf_top_terms",
-    "q34_catalog_end_to_end",
-    "q35_cosine_neardup_pairs",
-    "q36_ann_bruteforce_topk",
-    "q40_curation_pipeline",
-    "q37_multimodal_metadata",
-    "q37_multimodal_frames",
-    "q59_semantic_dedup",
-    "q60_embedding_centroids",
-    "q87_skyline",
+    "q39_stream_stateful_user_totals",
+    "q57_stream_static_enrich",
     "q90_stream_catalog_sink",
-    "q62_stats_moments",
-    "q43_sessionize_batch",
+    # --- code or oracle changed this round: re-verify ---
+    "q34_catalog_end_to_end",
+    "q83_row_level_delete",
+    "q06_approx_distinct",
+    "q32_simhash_pairs",
+    # --- rotation fill: previously-green, oldest verification first ---
+    "q31_exact_dedup",
+    "q32_ngram_jaccard_pairs",
+    "q32_minhash_lsh_pairs",
+    "q49_dedup_clusters",
+    "q16_window_ranking",
+    "q18_topk",
+    "q25_correlated_subquery",
+    "q27_udf_parity",
+    "q28_grouped_pandas_udaf",
     "q44_pivot_profile",
     "q47_fuzzy_brand_pairs",
-    "q48_decontamination",
-    "q50_repetition_quality",
     "q51_range_join",
-    "q52_latest_by_key",
-    "q53_domain_mixture",
-    # new this round: TPC-H-adapted suite + training-data export ops
     "q63_tpch_q1",
-    "q64_tpch_q3",
-    "q65_tpch_q4",
-    "q66_tpch_q5",
     "q67_tpch_q6",
-    "q68_tpch_q7",
-    "q69_tpch_q8",
-    "q70_tpch_q10",
-    "q71_tpch_q13",
-    "q72_tpch_q14",
-    "q73_tpch_q15",
-    "q74_tpch_q17",
     "q75_tpch_q18",
-    "q76_tpch_q19",
-    "q77_tpch_q22",
-    "q82_merge_upsert",
-    "q83_row_level_delete",
     "q78_pii_redaction",
-    "q79_sequence_chunking",
     "q80_token_packing",
     "q81_epoch_shuffle",
+    "q87_skyline",
 ]
 
 

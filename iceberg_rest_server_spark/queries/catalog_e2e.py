@@ -5,9 +5,10 @@ verify time travel sees the pre-tag count, branch writes stay isolated,
 compaction rewrites to one file.
 
 Runs a real catalog REST server (HTTP, in-process thread), a real
-metastore, and real Spark parquet IO under a temp warehouse. Not
-SQL-expressible → rows-only check (the assertions inside ARE the check;
-any violation raises before a DataFrame is returned).
+metastore, and real Spark parquet IO under a temp warehouse. The flow is
+deterministic, so the driver hash-checks it against a DuckDB oracle that
+recomputes the data-derived counts and pins the protocol constants; the
+in-flow assertions additionally fail fast on any isolation violation.
 """
 
 from __future__ import annotations
@@ -26,15 +27,41 @@ from ._registry import register
 
 @register(
     "q34_catalog_end_to_end",
-    oracle=None,
+    # The flow is deterministic end-to-end: every metric is either a pure
+    # function of the (deterministically sampled) input data — expressible
+    # as DuckDB aggregates — or a protocol constant (4 snapshots at the
+    # point measured: append+append+branch-append+compact; 3 refs
+    # main/v1/dev; 2 live specs after evolution — dropping the bucket
+    # field rebinds to the structurally-identical spec 0; 1 file after
+    # compaction) pinned as literals. A catalog bug that loses/duplicates
+    # rows or commits now hash-mismatches instead of hiding in rows-only.
+    oracle="""
+    WITH c AS (
+      SELECT count(*) FILTER (WHERE l_orderkey % 2 = 0) AS n_first,
+             count(*) FILTER (WHERE l_orderkey % 2 = 1) AS n_second,
+             count(*) AS n_all
+      FROM lineitem WHERE l_orderkey % 25 = 7
+    )
+    SELECT 'count_incremental' AS metric, CAST(n_second AS BIGINT) AS value FROM c
+    UNION ALL SELECT 'count_main', CAST(n_all AS BIGINT) FROM c
+    UNION ALL SELECT 'count_at_tag', CAST(n_first AS BIGINT) FROM c
+    UNION ALL SELECT 'count_dev_branch', CAST(n_all + n_second AS BIGINT) FROM c
+    UNION ALL SELECT 'count_after_compact', CAST(n_all AS BIGINT) FROM c
+    UNION ALL SELECT 'files_after_compact', CAST(1 AS BIGINT) FROM c
+    UNION ALL SELECT 'snapshots', CAST(4 AS BIGINT) FROM c
+    UNION ALL SELECT 'refs', CAST(3 AS BIGINT) FROM c
+    UNION ALL SELECT 'partition_specs_live', CAST(2 AS BIGINT) FROM c
+    """,
     doc="Catalog plane end-to-end: REST create/insert/tag/time-travel/"
-    "branch/compact with snapshot isolation (test_spark.py:267-357 flow).",
+    "branch/compact with snapshot isolation (test_spark.py:267-357 flow). "
+    "The sample is a deterministic modulo slice (not LIMIT) so the DuckDB "
+    "oracle recomputes the same expected counts from the raw table.",
 )
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-        .limit(1000)
+        .filter(F.col("l_orderkey") % 25 == 7)
     )
     with ServerThread() as server, tempfile.TemporaryDirectory() as warehouse_dir:
         client = RestCatalogClient(server.base_url)
@@ -171,7 +198,10 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderkey <= 2000
-      AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+      -- delete_where removes condition-TRUE rows only; NULL-predicate
+      -- rows survive (three-valued logic). Plain NOT(cond) would also
+      -- drop them, so pin the documented semantics with coalesce.
+      AND NOT coalesce(o_orderstatus = 'F' AND o_totalprice < 100000.0, FALSE)
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,

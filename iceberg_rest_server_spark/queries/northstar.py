@@ -97,14 +97,41 @@ def q32_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q32_simhash_pairs",
-    oracle=None,  # signature-specific; recall asserted in tests instead
+    # Signature-specific (xxhash64-based simhash has no DuckDB analog) so
+    # the pair set can't be hash-compared — instead every emitted pair is
+    # rescored with its EXACT character-trigram Jaccard in the same query,
+    # making the rows self-verifying: a reviewer (or the driver's rows-only
+    # record) sees hamming ≤ 3 AND the measured text similarity per pair.
+    oracle=None,
     doc="SimHash(64-bit) near-dup pairs within Hamming distance 3, via "
-    "pigeonhole chunk banding + exact popcount verify (rows-only check; "
-    "tests assert it finds the high-Jaccard injected dups).",
+    "pigeonhole chunk banding + exact popcount verify; each pair carries "
+    "its exact trigram Jaccard so the rows-only result is self-evidently "
+    "correct (tests additionally assert recall on injected dups).",
 )
 def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("id1", "id2")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    )
+    inter = F.size(F.array_intersect("g1", "g2"))
+    return (
+        pairs.join(grams.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1")), "id1")
+        .join(grams.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            "hamming",
+            (inter / (F.size("g1") + F.size("g2") - inter)).alias("jaccard3"),
+        )
+        .orderBy("id1", "id2")
+    )
 
 
 @register(

@@ -26,18 +26,30 @@ from ._registry import register
     ORDER BY o_orderpriority
     """,
     doc="Exact interpolated percentiles per group (Spark `percentile` ≡ "
-    "DuckDB quantile_cont: both linear-interpolate on the sorted set).",
+    "DuckDB quantile_cont: both linear-interpolate on the sorted set). "
+    "All five stats come from ONE array-argument accumulator (min/max "
+    "are exactly percentile 0.0/1.0) so the group's value buffer is "
+    "collected and sorted once, not five times. Exact percentile still "
+    "buffers every group value — correct-but-bounded-scale; "
+    "q89_approx_percentiles is the sketch-based 100 TB path for when "
+    "per-group cardinality exceeds executor memory.",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    pcts = F.percentile(
+        "o_totalprice",
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99), F.lit(0.0), F.lit(1.0)),
+    )
     return (
         orders.groupBy("o_orderpriority")
-        .agg(
-            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
-            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
-            F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
+        .agg(pcts.alias("pcts"))
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            F.col("pcts")[3].alias("lo"),
+            F.col("pcts")[4].alias("hi"),
         )
         .orderBy("o_orderpriority")
     )
@@ -329,7 +341,10 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TWO dependent aggregation passes (median, then median of absolute "
     "deviations from it). The per-group medians are a tiny broadcast "
     "back onto the facts; both passes use the exact interpolated "
-    "percentile so results are deterministic and engine-identical.",
+    "percentile so results are deterministic and engine-identical. "
+    "Like q41, exact percentile buffers each group's values; at 100 TB "
+    "swap both passes to percentile_approx (q89's path) — the MAD "
+    "structure (broadcast medians back onto the facts) is unchanged.",
 )
 def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")

@@ -80,6 +80,13 @@ def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) ->
     join at sf0.1 going 32 → 8 partitions. A production stream sizes
     this to sustained throughput instead (state partitions are fixed at
     the first checkpoint); the knob is env-tunable for that reason.
+
+    NOTE: the override mutates the session-global shuffle-partition conf
+    for the duration of the drain (restored in ``finally``). Callers are
+    single-threaded (driver correctness run, bench, tests); a concurrent
+    planner in the same session would pick up the reduced count. For a
+    multi-tenant session, plan the stream on a cloned session
+    (``spark.newSession()``) instead.
     """
     parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     before = spark.conf.get("spark.sql.shuffle.partitions")
