@@ -11,7 +11,13 @@ Reference parity citations point into /root/reference (file:line).
 """
 
 from .metadata import TableMetadataBuilder, assert_requirement, CommitError
-from .store import CatalogStore, ConflictError, NotFoundError, ValidationError
+from .store import (
+    CatalogStore,
+    ConflictError,
+    NotFoundError,
+    ValidationError,
+    WarehouseNotEmptyError,
+)
 
 __all__ = [
     "TableMetadataBuilder",
@@ -21,4 +27,5 @@ __all__ = [
     "ConflictError",
     "NotFoundError",
     "ValidationError",
+    "WarehouseNotEmptyError",
 ]

@@ -101,9 +101,11 @@ class CatalogHandler(BaseHTTPRequestHandler):
         try:
             code, payload = self.route(self.command, parts, qs)
         except NotFoundError as e:
-            code, payload = _error(404, str(e), "NoSuchObjectException")
+            code, payload = _error(404, str(e), e.error_type)
         except ConflictError as e:
-            code, payload = _error(409, str(e), "CommitFailedException")
+            # subclasses carry the reference's specific type string
+            # (NamespaceAlreadyExists, TableAlreadyExists, ...)
+            code, payload = _error(409, str(e), e.error_type)
         except ValidationError as e:
             code, payload = _error(400, str(e), "ValidationException")
         except CommitError as e:
@@ -396,12 +398,27 @@ class CatalogHandler(BaseHTTPRequestHandler):
                 project = qs.get("project", [""])[0]
                 include_inactive = qs.get("include-inactive", ["false"])[0] == "true"
                 return 200, {"warehouses": store.list_warehouses(project, include_inactive)}
-        if len(p) == 2 and p[0] == "warehouse" and method == "GET":
-            return 200, store.get_warehouse(p[1])
+        if len(p) == 2 and p[0] == "warehouse":
+            if method == "GET":
+                return 200, store.get_warehouse(p[1])
+            if method == "DELETE":
+                # management/mod.rs:268-270 `.delete(delete_warehouse)`;
+                # 409 WarehouseNotEmpty on contained namespaces/tables
+                # (typed ConflictError → envelope via the generic handler)
+                store.delete_warehouse(p[1])
+                return 204, None
         if len(p) == 3 and p[0] == "warehouse":
             wid, action = p[1], p[2]
             if action == "storage-profile":
                 store.set_storage_profile(wid, self._body())
+                return 204, None
+            if action == "storage-credential":
+                # management/mod.rs:288-292: rotate only the credential,
+                # storage profile untouched
+                body = self._body()
+                store.update_storage_credential(
+                    wid, body.get("new-storage-credential")
+                )
                 return 204, None
             if action == "activate":
                 store.set_warehouse_status(wid, "active")

@@ -35,15 +35,61 @@ UNIT_SEPARATOR = "\x1f"  # api/iceberg/v1/namespace.rs:89-112
 
 
 class NotFoundError(Exception):
-    """404-style error."""
+    """404-style error. ``error_type`` is the wire-envelope ``type``;
+    subclasses narrow it to the Iceberg-REST-spec names the RESTCatalog
+    client error handlers expect on the table/namespace routes."""
+
+    error_type = "NoSuchObjectException"
+
+
+class NamespaceNotFoundError(NotFoundError):
+    """404 NoSuchNamespaceException (spec name; reference emits
+    NamespaceNotFound, postgres/namespace.rs:37-41)."""
+
+    error_type = "NoSuchNamespaceException"
+
+
+class TableNotFoundError(NotFoundError):
+    """404 NoSuchTableException on load/commit of a missing or staged
+    table (catalog/tables.rs staged-filter semantics)."""
+
+    error_type = "NoSuchTableException"
 
 
 class ConflictError(Exception):
-    """409-style error."""
+    """409-style error. ``error_type`` is the wire-envelope ``type``
+    string; subclasses narrow it to the reference's specific names so a
+    RESTCatalog client (or a human) can distinguish conflict causes."""
+
+    error_type = "CommitFailedException"
 
 
 class ValidationError(Exception):
     """400-style error."""
+
+
+class WarehouseNotEmptyError(ConflictError):
+    """409 with error type WarehouseNotEmpty (postgres/warehouse.rs:288-294)."""
+
+    error_type = "WarehouseNotEmpty"
+
+
+class NamespaceAlreadyExistsError(ConflictError):
+    """409 NamespaceAlreadyExists (postgres/namespace.rs:175-181)."""
+
+    error_type = "NamespaceAlreadyExists"
+
+
+class NamespaceNotEmptyError(ConflictError):
+    """409 NamespaceNotEmpty (postgres/namespace.rs:273-283)."""
+
+    error_type = "NamespaceNotEmpty"
+
+
+class TableAlreadyExistsError(ConflictError):
+    """409 TableAlreadyExists (postgres/table.rs:250-258)."""
+
+    error_type = "TableAlreadyExists"
 
 
 def _ns_key(namespace: list[str]) -> str:
@@ -270,6 +316,62 @@ class CatalogStore:
         except sqlite3.IntegrityError as e:
             raise ConflictError(f"warehouse name {new_name!r} taken") from e
 
+    def delete_warehouse(self, warehouse_id: str) -> None:
+        """Hard-delete an empty warehouse (management/mod.rs:259-295).
+
+        The reference surfaces Postgres' FK violation as 409
+        WarehouseNotEmpty (postgres/warehouse.rs:269-299); sqlite FK
+        enforcement is connection-dependent, so check explicitly under
+        the same transaction. The attached storage secret dies with the
+        warehouse."""
+        self.get_warehouse(warehouse_id)  # 404 before 409, like the reference
+        with self._txn() as c:
+            n_ns = c.execute(
+                "SELECT count(*) FROM namespace WHERE warehouse_id = ?",
+                (warehouse_id,),
+            ).fetchone()[0]
+            if n_ns:
+                raise WarehouseNotEmptyError("Warehouse is not empty")
+            profile = self.get_warehouse(warehouse_id).get("storage_profile") or {}
+            secret_id = profile.get("storage-secret-id")
+            if secret_id:
+                c.execute("DELETE FROM secret WHERE secret_id = ?", (secret_id,))
+            c.execute("DELETE FROM warehouse WHERE warehouse_id = ?", (warehouse_id,))
+
+    def update_storage_credential(
+        self, warehouse_id: str, credentials: dict | None
+    ) -> None:
+        """Rotate ONLY the storage credential, keeping the profile as-is
+        (management/v1/warehouse.rs:391-441: new secret created, pointer
+        swapped, old secret deleted; a None credential detaches the
+        secret — 'we assume that this endpoint does not require a
+        secret'). Distinct from set_storage_profile so credential
+        rotation can't trip the profile-immutability checks."""
+        profile = self.get_warehouse(warehouse_id).get("storage_profile")
+        if profile is None:
+            raise ValidationError(
+                "warehouse has no storage profile to attach a credential to"
+            )
+        if credentials is not None:
+            unknown = set(credentials) - set(self.CREDENTIAL_KEYS)
+            if unknown:
+                raise ValidationError(f"unknown credential keys {sorted(unknown)}")
+        old = profile.pop("storage-secret-id", None)
+        with self._txn() as c:
+            if credentials:
+                secret_id = new_uuid()
+                c.execute(
+                    "INSERT INTO secret (secret_id, encrypted) VALUES (?,?)",
+                    (secret_id, self._cipher.encrypt(credentials)),
+                )
+                profile["storage-secret-id"] = secret_id
+            if old:
+                c.execute("DELETE FROM secret WHERE secret_id = ?", (old,))
+            c.execute(
+                "UPDATE warehouse SET storage_profile = ? WHERE warehouse_id = ?",
+                (json.dumps(profile), warehouse_id),
+            )
+
     # -------------------------------------------------------- namespaces
 
     def _namespace_row(self, warehouse_id: str, namespace: list[str]):
@@ -311,7 +413,9 @@ class CatalogStore:
                     ),
                 )
         except sqlite3.IntegrityError as e:
-            raise ConflictError(f"namespace {namespace} already exists") from e
+            raise NamespaceAlreadyExistsError(
+                f"namespace {namespace} already exists"
+            ) from e
         return {"namespace": namespace, "properties": properties}
 
     @staticmethod
@@ -350,7 +454,7 @@ class CatalogStore:
     def load_namespace(self, warehouse_id: str, namespace: list[str]) -> dict:
         row = self._namespace_row(warehouse_id, namespace)
         if row is None:
-            raise NotFoundError(f"namespace {namespace} not found")
+            raise NamespaceNotFoundError(f"namespace {namespace} not found")
         return {"namespace": json.loads(row[1]), "properties": json.loads(row[2])}
 
     def namespace_exists(self, warehouse_id: str, namespace: list[str]) -> bool:
@@ -361,13 +465,13 @@ class CatalogStore:
             raise ValidationError(f"namespace {namespace[0]!r} is reserved")
         row = self._namespace_row(warehouse_id, namespace)
         if row is None:
-            raise NotFoundError(f"namespace {namespace} not found")
+            raise NamespaceNotFoundError(f"namespace {namespace} not found")
         n_tables = self._conn.execute(
             "SELECT count(*) FROM tbl WHERE namespace_id = ?", (row[0],)
         ).fetchone()[0]
         if n_tables:
             # FK violation → NamespaceNotEmpty (postgres/namespace.rs:273-283)
-            raise ConflictError(f"namespace {namespace} is not empty")
+            raise NamespaceNotEmptyError(f"namespace {namespace} is not empty")
         with self._txn() as c:
             c.execute("DELETE FROM namespace WHERE namespace_id = ?", (row[0],))
 
@@ -378,7 +482,7 @@ class CatalogStore:
             raise ValidationError("namespace 'location' property is catalog-managed")
         row = self._namespace_row(warehouse_id, namespace)
         if row is None:
-            raise NotFoundError(f"namespace {namespace} not found")
+            raise NamespaceNotFoundError(f"namespace {namespace} not found")
         props = json.loads(row[2])
         missing = [k for k in removals if k not in props]
         removed = [k for k in removals if k in props]
@@ -422,7 +526,7 @@ class CatalogStore:
             raise ConflictError(f"warehouse {warehouse_id} is not active")
         ns_row = self._namespace_row(warehouse_id, namespace)
         if ns_row is None:
-            raise NotFoundError(f"namespace {namespace} not found")
+            raise NamespaceNotFoundError(f"namespace {namespace} not found")
         table_id = new_uuid()
         table_location = f"{wh['base_location'].rstrip('/')}/{ns_row[0]}/{table_id}"
         builder = TableMetadataBuilder()
@@ -454,7 +558,7 @@ class CatalogStore:
             ).fetchone()
             if existing is not None:
                 if existing[1] is not None:
-                    raise ConflictError(f"table {name!r} already exists")
+                    raise TableAlreadyExistsError(f"table {name!r} already exists")
                 # staged row may be overwritten by a new create
                 # (postgres/table.rs:237-239, 855-860)
                 self._conn.execute("DELETE FROM tbl WHERE table_id = ?", (existing[0],))
@@ -500,7 +604,7 @@ class CatalogStore:
     ) -> tuple[list[str], str | None]:
         ns_row = self._namespace_row(warehouse_id, namespace)
         if ns_row is None:
-            raise NotFoundError(f"namespace {namespace} not found")
+            raise NamespaceNotFoundError(f"namespace {namespace} not found")
         rows = self._conn.execute(
             # staged tables are invisible to list (postgres/table.rs:330)
             "SELECT name FROM tbl WHERE namespace_id = ? AND metadata_location IS NOT NULL",
@@ -512,7 +616,7 @@ class CatalogStore:
         row = self._table_row(warehouse_id, namespace, name)
         if row is None or row[2] is None:
             # staged tables 404 on load (postgres/table.rs:285)
-            raise NotFoundError(f"table {namespace}.{name} not found")
+            raise TableNotFoundError(f"table {namespace}.{name} not found")
         return {
             "table_id": row[0],
             "metadata": json.loads(row[1]),
@@ -542,7 +646,7 @@ class CatalogStore:
             tl = row[3].rstrip("/")
             if location == tl or location.startswith(tl + "/"):
                 if not include_staged and row[2] is None:
-                    raise NotFoundError("table is staged and not yet created")
+                    raise TableNotFoundError("table is staged and not yet created")
                 return {
                     "table_id": row[0],
                     "metadata": json.loads(row[1]),
@@ -560,7 +664,7 @@ class CatalogStore:
     def drop_table(self, warehouse_id: str, namespace: list[str], name: str) -> None:
         row = self._table_row(warehouse_id, namespace, name)
         if row is None:
-            raise NotFoundError(f"table {namespace}.{name} not found")
+            raise TableNotFoundError(f"table {namespace}.{name} not found")
         with self._txn() as c:
             c.execute("DELETE FROM tbl WHERE table_id = ?", (row[0],))
 
@@ -574,10 +678,10 @@ class CatalogStore:
     ) -> None:
         row = self._table_row(warehouse_id, src_ns, src_name)
         if row is None:
-            raise NotFoundError(f"table {src_ns}.{src_name} not found")
+            raise TableNotFoundError(f"table {src_ns}.{src_name} not found")
         dst_ns_row = self._namespace_row(warehouse_id, dst_ns)
         if dst_ns_row is None:
-            raise NotFoundError(f"namespace {dst_ns} not found")
+            raise NamespaceNotFoundError(f"namespace {dst_ns} not found")
         try:
             with self._txn() as c:
                 c.execute(
@@ -585,7 +689,9 @@ class CatalogStore:
                     (dst_ns_row[0], dst_name, row[0]),
                 )
         except sqlite3.IntegrityError as e:
-            raise ConflictError(f"table {dst_ns}.{dst_name} already exists") from e
+            raise TableAlreadyExistsError(
+                f"table {dst_ns}.{dst_name} already exists"
+            ) from e
 
     # ------------------------------------------------------------ commit
 
@@ -616,7 +722,7 @@ class CatalogStore:
                 if current is None and row is not None:
                     current = json.loads(row[1])
                 if current is None:
-                    raise NotFoundError(f"table {ns}.{name} not found")
+                    raise TableNotFoundError(f"table {ns}.{name} not found")
                 builder = TableMetadataBuilder(current)
                 for update in change.get("updates", []):
                     builder.apply(update)

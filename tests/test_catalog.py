@@ -19,6 +19,7 @@ from iceberg_rest_server_spark.catalog import (
     NotFoundError,
     TableMetadataBuilder,
     ValidationError,
+    WarehouseNotEmptyError,
     assert_requirement,
 )
 from iceberg_rest_server_spark.catalog.client import CatalogHTTPError, RestCatalogClient
@@ -405,3 +406,88 @@ def test_rest_roundtrip_and_error_codes():
             c.drop_table(["ns"], f"p{i}")
         c.drop_table(["ns"], "t2")
         c.drop_namespace(["ns"])
+
+
+def test_delete_warehouse_empty_then_404(store):
+    """DELETE /warehouse/{id}: non-empty → 409 WarehouseNotEmpty, empty →
+    gone, and the attached secret dies with it (management/mod.rs:259-295,
+    postgres/warehouse.rs:269-299)."""
+    s, wid = store
+    with pytest.raises(WarehouseNotEmptyError):
+        s.delete_warehouse(wid)  # ns1 exists from the fixture
+    s.drop_namespace(wid, ["ns1"])
+    s.set_storage_profile(
+        wid,
+        {"region": "r", "bucket": "b", "access-key-id": "k", "secret-access-key": "x"},
+    )
+    secret_id = s.get_warehouse(wid)["storage_profile"]["storage-secret-id"]
+    s.delete_warehouse(wid)
+    with pytest.raises(NotFoundError):
+        s.get_warehouse(wid)
+    assert s._conn.execute(
+        "SELECT count(*) FROM secret WHERE secret_id = ?", (secret_id,)
+    ).fetchone()[0] == 0
+    with pytest.raises(NotFoundError):
+        s.delete_warehouse(wid)  # idempotence is NOT promised: 404 like the reference
+
+
+def test_update_storage_credential_rotates_only_secret(store):
+    """POST /warehouse/{id}/storage-credential keeps the profile bytes,
+    swaps the secret, deletes the old one; None detaches
+    (management/v1/warehouse.rs:391-441)."""
+    s, wid = store
+    with pytest.raises(ValidationError):
+        s.update_storage_credential(wid, {"access-key-id": "k"})  # no profile yet
+    s.set_storage_profile(
+        wid,
+        {"region": "r", "bucket": "b", "access-key-id": "k1", "secret-access-key": "x1"},
+    )
+    before = s.get_warehouse(wid)["storage_profile"]
+    old_secret = before["storage-secret-id"]
+    s.update_storage_credential(
+        wid, {"access-key-id": "k2", "secret-access-key": "x2"}
+    )
+    after = s.get_warehouse(wid)["storage_profile"]
+    assert after["storage-secret-id"] != old_secret
+    assert {k: v for k, v in after.items() if k != "storage-secret-id"} == {
+        k: v for k, v in before.items() if k != "storage-secret-id"
+    }  # profile untouched — no immutability trip
+    assert s.get_storage_credentials(wid)["access-key-id"] == "k2"
+    assert s._conn.execute(
+        "SELECT count(*) FROM secret WHERE secret_id = ?", (old_secret,)
+    ).fetchone()[0] == 0
+    with pytest.raises(ValidationError):
+        s.update_storage_credential(wid, {"not-a-key": "v"})
+    # None detaches the credential entirely
+    s.update_storage_credential(wid, None)
+    assert "storage-secret-id" not in s.get_warehouse(wid)["storage_profile"]
+    assert s.get_storage_credentials(wid) == {}
+
+
+def test_warehouse_delete_and_credential_routes_http():
+    """Route-level: DELETE 204/409/404 and storage-credential 204 over HTTP
+    (management/mod.rs:268-292 router shape)."""
+    with ServerThread() as server:
+        c = RestCatalogClient(server.base_url)
+        wid = c.create_warehouse("p", "wh", "s3://bucket-a/prefix")
+        c._request(
+            "POST",
+            f"/management/v1/warehouse/{wid}/storage-profile",
+            {"region": "r", "bucket": "bucket-a", "access-key-id": "k", "secret-access-key": "x"},
+        )
+        c._request(
+            "POST",
+            f"/management/v1/warehouse/{wid}/storage-credential",
+            {"new-storage-credential": {"access-key-id": "k2", "secret-access-key": "x2"}},
+        )
+        c.configure("p", "wh")
+        c.create_namespace(["ns"])
+        with pytest.raises(CatalogHTTPError) as ei:
+            c._request("DELETE", f"/management/v1/warehouse/{wid}")
+        assert ei.value.code == 409
+        assert ei.value.error_type == "WarehouseNotEmpty"
+        c.drop_namespace(["ns"])
+        c._request("DELETE", f"/management/v1/warehouse/{wid}")
+        with pytest.raises(CatalogHTTPError) as ei:
+            c._request("GET", f"/management/v1/warehouse/{wid}")
+        assert ei.value.code == 404
