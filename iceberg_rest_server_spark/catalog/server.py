@@ -40,6 +40,7 @@ import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from .auth import TokenVerifier, UnauthorizedError
 from .metadata import CommitError
 from .s3_signer import (
     SigningError,
@@ -72,6 +73,7 @@ def _ns_from_path(segment: str) -> list[str]:
 
 class CatalogHandler(BaseHTTPRequestHandler):
     store: CatalogStore  # injected by make_server
+    verifier: "TokenVerifier | None" = None  # optional OIDC middleware
     server_version = "iceberg-rest-server-spark/0.1"
 
     def log_message(self, *args) -> None:  # silence request logging
@@ -94,10 +96,29 @@ class CatalogHandler(BaseHTTPRequestHandler):
         if data and self.command != "HEAD":
             self.wfile.write(data)
 
+    def _authorize(self) -> tuple[int, dict] | None:
+        """Optional OIDC middleware (token_verification.rs:46-75): when a
+        verifier is configured, every route requires a valid Bearer token;
+        without one the request is 401 before any routing happens."""
+        if self.verifier is None:
+            return None
+        authz = self.headers.get("Authorization", "")
+        if not authz.startswith("Bearer "):
+            return _error(401, "Missing authorization header", "UnauthorizedError")
+        try:
+            self.verifier.verify(authz[len("Bearer ") :])
+        except UnauthorizedError as e:
+            return _error(401, str(e), e.error_type)
+        return None
+
     def _dispatch(self) -> None:
         parsed = urllib.parse.urlparse(self.path)
         qs = urllib.parse.parse_qs(parsed.query)
         parts = [p for p in parsed.path.split("/") if p]
+        denied = self._authorize()
+        if denied is not None:
+            self._send(*denied)
+            return
         try:
             code, payload = self.route(self.command, parts, qs)
         except NotFoundError as e:
@@ -432,17 +453,26 @@ class CatalogHandler(BaseHTTPRequestHandler):
         return _error(404, "no such route", "NoSuchObjectException")
 
 
-def make_server(store: CatalogStore, port: int = 0) -> ThreadingHTTPServer:
-    handler = type("BoundCatalogHandler", (CatalogHandler,), {"store": store})
+def make_server(
+    store: CatalogStore, port: int = 0, verifier: "TokenVerifier | None" = None
+) -> ThreadingHTTPServer:
+    handler = type(
+        "BoundCatalogHandler", (CatalogHandler,), {"store": store, "verifier": verifier}
+    )
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 
 
 class ServerThread:
     """Run the catalog server on a daemon thread; `with` support."""
 
-    def __init__(self, store: CatalogStore | None = None, port: int = 0):
+    def __init__(
+        self,
+        store: CatalogStore | None = None,
+        port: int = 0,
+        verifier: "TokenVerifier | None" = None,
+    ):
         self.store = store or CatalogStore()
-        self.httpd = make_server(self.store, port)
+        self.httpd = make_server(self.store, port, verifier)
         self.port = self.httpd.server_address[1]
         self.base_url = f"http://127.0.0.1:{self.port}"
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)

@@ -550,3 +550,52 @@ def connected_components(
     sym.unpersist()
     e0.unpersist()
     return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def substring_duplicate_stats(
+    docs: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Exact substring-overlap profiling: for each document, how much of
+    it consists of `window`-token runs that appear more than once in the
+    corpus (within OR across documents).
+
+    This is the window-hash reformulation of suffix-array substring
+    dedup (the "exact substring" tier of training-data dedup, as
+    popularized for LM corpora): every length-`window` token run becomes
+    a key; a run occurring >1 time anywhere marks its windows
+    duplicated. Two shuffles total, both map-side combined:
+
+      1. one partition-by-key window count (`count over (partition by
+         run)`) — no self-join, no pair explosion: a run shared by K
+         documents costs K rows, not K² pairs;
+      2. one per-document aggregation of duplicated-window counts.
+
+    The run key here is md5 of the joined tokens so the DuckDB oracle
+    can recompute it byte-identically; a 100 TB deployment swaps it for
+    xxhash64 (8-byte shuffle keys instead of 32-hex strings) — the plan
+    shape is unchanged. Returns (id, n_windows, n_dup_windows,
+    dup_fraction) for every doc with at least one full window.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+    ).filter(F.size("w") >= window)
+    runs = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (window - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, window))),
+            )
+        ).alias("h"),
+    )
+    occ = runs.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    return (
+        occ.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count_if(F.col("occ") > 1).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction", F.col("n_dup_windows") / F.col("n_windows")
+        )
+    )

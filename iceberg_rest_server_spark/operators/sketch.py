@@ -59,3 +59,69 @@ def cms_estimate(
         out = out.join(F.broadcast(c), f"b{i}", "left")
     est = F.least(*[F.coalesce(F.col(f"c{i}"), F.lit(0)) for i in range(depth)])
     return out.select(key_col, est.alias("est_count"))
+
+
+def bloom_filter_words(
+    values: DataFrame, col: str, n_bits: int = 1 << 17, n_hashes: int = 5
+) -> DataFrame:
+    """Distributed Bloom filter build: ONE row holding the filter as an
+    array<long> of n_bits/64 words.
+
+    Each value sets `n_hashes` bits (positions = xxhash64(value, seed) mod
+    n_bits); the build is an explode + bit_or aggregate, so it map-side
+    combines like any sum and never funnels raw values to the driver.
+    The result row is crossJoin-broadcast to probe sites; `bloom_probe`
+    compiles the membership test into whole-stage codegen (k shifts+ANDs
+    per probe, no UDF). At 16 KiB (default) the filter costs ~0 to ship
+    regardless of how many values went in — the point at 100 TB, where
+    the raw value set is too big to broadcast but its bloom is not.
+    """
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+    n_words = n_bits // 64
+    probes = values.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        probes.select(
+            F.shiftright("pos", 6).alias("w"),
+            F.expr("shiftleft(1L, pos & 63)").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+    # densify with ONE runtime transform over a sequence — a literal
+    # array of n_words coalesce expressions (the bitmap-verify pattern,
+    # fine at ≤128 words) explodes codegen at 2048 words: measured 21 s
+    # of compile-dominated runtime vs ~2 s with the loop-at-runtime form
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: F.coalesce(F.element_at("m", i), F.lit(0).cast("long")),
+        ).alias("bloom")
+    )
+
+
+def bloom_probe(col, bloom_col="bloom", n_bits: int = 1 << 17, n_hashes: int = 5):
+    """Membership predicate for a value against a `bloom_filter_words`
+    array column: TRUE iff every probe bit is set (no false negatives;
+    false positives at the configured rate — always pair with an exact
+    verify when exactness matters). Pure Column expressions: the k
+    shift/AND probes stay inside whole-stage codegen."""
+    col = F.col(col) if isinstance(col, str) else col
+    bloom = F.col(bloom_col) if isinstance(bloom_col, str) else bloom_col
+    conds = None
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
+        word = F.element_at(bloom, F.shiftright(pos, 6).cast("int") + 1)
+        c = F.getbit(word, pos.bitwiseAND(F.lit(63))) == 1
+        conds = c if conds is None else (conds & c)
+    return conds

@@ -78,7 +78,10 @@ _DRIVER_ORDER_HEAD = [
     "q39_stream_stateful_user_totals",
     "q57_stream_static_enrich",
     "q90_stream_catalog_sink",
-    # --- code or oracle changed this round: re-verify ---
+    # --- new or changed this round: verify ---
+    "q99_substring_dedup",
+    "q100_bloom_decontaminate",
+    "q101_incremental_mv",
     "q34_catalog_end_to_end",
     "q83_row_level_delete",
     "q06_approx_distinct",
@@ -100,9 +103,6 @@ _DRIVER_ORDER_HEAD = [
     "q67_tpch_q6",
     "q75_tpch_q18",
     "q78_pii_redaction",
-    "q80_token_packing",
-    "q81_epoch_shuffle",
-    "q87_skyline",
 ]
 
 

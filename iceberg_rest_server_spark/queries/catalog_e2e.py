@@ -235,3 +235,71 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "q101_incremental_mv",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Incremental materialized-view maintenance over catalog snapshots: "
+    "three appends land as three snapshots; after each commit the MV "
+    "merges ONLY the snapshot-to-snapshot delta (read_incremental file "
+    "diff) into its aggregate state — new_state = reagg(state ∪ "
+    "agg(delta)), the distributive-aggregate maintenance rule — and the "
+    "final state must hash-match the oracle's full recompute. The full "
+    "table is never rescanned after the first batch; at 100 TB that is "
+    "the difference between touching a day's partition and touching the "
+    "corpus. Decimal partial sums keep the merge exact.",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    batches = [
+        orders.filter(F.col("o_orderkey") <= 1000),
+        orders.filter((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000)),
+        orders.filter(F.col("o_orderkey") > 2000),
+    ]
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_dec"),
+        )
+
+    def merge(state: DataFrame, delta_agg: DataFrame) -> DataFrame:
+        return (
+            state.unionByName(delta_agg)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("total_dec").alias("total_dec"),
+            )
+        )
+
+    with ServerThread() as server, tempfile.TemporaryDirectory() as warehouse_dir:
+        client = RestCatalogClient(server.base_url)
+        client.create_warehouse("proj-mv", "wh", warehouse_dir)
+        client.configure("proj-mv", "wh")
+        client.create_namespace(["mv"])
+        client.create_table(["mv"], "ord", iceberg_schema_from_spark(orders.schema))
+        table = SparkCatalogTable(spark, client, ["mv"], "ord")
+
+        table.append(batches[0])
+        prev_snap = table.metadata()["current-snapshot-id"]
+        state = agg_of(table.read())  # initial build: one full scan, once
+        for batch in batches[1:]:
+            table.append(batch)
+            snap = table.metadata()["current-snapshot-id"]
+            delta = table.read_incremental(prev_snap, snap)
+            state = merge(state, agg_of(delta))
+            prev_snap = snap
+        out = state.select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("total_dec").cast("double").alias("total"),
+        ).orderBy("o_orderstatus")
+        # materialize before the server/warehouse teardown
+        return spark.createDataFrame(out.collect(), out.schema)

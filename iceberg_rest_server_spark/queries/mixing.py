@@ -713,3 +713,83 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+@register(
+    "q100_bloom_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                      for i in range(1, len(w) - 1)])
+                  ELSE [] END AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 10 = 1),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 10 <> 1)
+      WHERE gram IN (SELECT gram FROM bench)
+    )
+    SELECT d.lang,
+           count(*) FILTER (WHERE c.doc_id IS NOT NULL) AS n_contaminated,
+           count(*) FILTER (WHERE c.doc_id IS NULL) AS n_clean
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 10 <> 1
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="Decontamination with a Bloom prefilter: the benchmark 3-gram set "
+    "is folded into a 16 KiB bloom (distributed bit_or build, no driver "
+    "funnel) that prefilters the corpus gram stream BEFORE the exact "
+    "semi join — only bloom-positive grams (true matches + the tiny FP "
+    "rate) reach the shuffle. Output is exact (the semi join removes "
+    "false positives), so the oracle is the plain exact formulation. "
+    "This is the 100 TB shape of q48: there the benchmark set broadcast "
+    "raw (fine while it fits); here the broadcast is O(bits) no matter "
+    "how large the benchmark grows, and the shuffle carries only the "
+    "contaminated sliver of the corpus.",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import bloom_filter_words, bloom_probe
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.size("w") >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    )
+    is_bench = F.col("doc_id") % 10 == 1
+    bench_grams = grams.filter(is_bench).select(F.explode("g").alias("gram")).distinct()
+    bloom = bloom_filter_words(bench_grams, "gram")
+    corpus_grams = grams.filter(~is_bench).select("doc_id", F.explode("g").alias("gram"))
+    prefiltered = corpus_grams.crossJoin(F.broadcast(bloom)).filter(
+        bloom_probe("gram")
+    )
+    contaminated = (
+        prefiltered.join(bench_grams, "gram", "left_semi")  # exact: kills bloom FPs
+        .select("doc_id")
+        .distinct()
+    )
+    corpus = docs.filter(~is_bench).select("doc_id", "lang")
+    flagged = corpus.join(contaminated.withColumn("is_cont", F.lit(1)), "doc_id", "left")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.col("is_cont")).alias("n_contaminated"),
+            F.count(F.when(F.col("is_cont").isNull(), 1)).alias("n_clean"),
+        )
+        .orderBy("lang")
+    )

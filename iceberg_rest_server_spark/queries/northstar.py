@@ -696,3 +696,40 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q99_substring_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    runs AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(w[i:i+7], ' '))
+                     for i in range(1, len(w) - 6)]) AS h
+      FROM toks WHERE len(w) >= 8
+    ),
+    occ AS (
+      SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS occ FROM runs
+    )
+    SELECT doc_id AS id,
+           count(*) AS n_windows,
+           count(*) FILTER (WHERE occ > 1) AS n_dup_windows,
+           CAST(count(*) FILTER (WHERE occ > 1) AS DOUBLE) / count(*)
+             AS dup_fraction
+    FROM occ GROUP BY doc_id ORDER BY id
+    """,
+    doc="Exact substring-overlap dedup profiling (the suffix-array tier "
+    "of LM-corpus dedup, reformulated as a window-hash count): flags "
+    "every 8-token run occurring more than once in the corpus and "
+    "reports each document's duplicated-window fraction — the signal "
+    "used to cut verbatim-repeated spans before training. Two map-side-"
+    "combining shuffles, no pair explosion (a run shared by K docs "
+    "costs K rows, not K^2).",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.substring_duplicate_stats(docs, "doc_id", "text", window=8).orderBy(
+        "id"
+    )

@@ -275,3 +275,32 @@ def test_connected_components_matches_union_find(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_substring_dedup_flags_verbatim_overlap(spark):
+    """A doc sharing a long verbatim run with another must show dup
+    windows exactly over the shared run; a fully unique doc shows none;
+    within-doc verbatim repetition counts too (window occurs twice)."""
+    from iceberg_rest_server_spark.operators.dedup import substring_duplicate_stats
+
+    shared = " ".join(f"tok{i}" for i in range(12))  # 12-token verbatim run
+    rows = [
+        (1, shared + " uniqueA1 uniqueA2 uniqueA3"),
+        (2, "uniqueB1 uniqueB2 uniqueB3 " + shared),
+        (3, " ".join(f"solo{i}" for i in range(20))),  # fully unique
+        (4, " ".join(["rep1 rep2 rep3 rep4 rep5 rep6 rep7 rep8"] * 2)),  # self-repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in substring_duplicate_stats(docs, "doc_id", "text", window=8).collect()
+    }
+    # docs 1 and 2: exactly the 12-token run's 5 windows of size 8 are shared
+    assert out[1]["n_dup_windows"] == 5
+    assert out[2]["n_dup_windows"] == 5
+    assert out[3]["n_dup_windows"] == 0
+    # 16 tokens of repeated period 8: windows at offsets 1..9 include the
+    # identical (1)==(9) pair; every window equals the one 8 later or earlier
+    assert out[4]["n_dup_windows"] >= 2
+    for r in out.values():
+        assert 0.0 <= r["dup_fraction"] <= 1.0

@@ -60,3 +60,30 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     for flag in approx:
         for a, e in zip(approx[flag], exact[flag]):
             assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (flag, a, e)
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Bloom membership must be TRUE for every inserted value (no false
+    negatives, the structural guarantee) and the false-positive rate at
+    the default sizing must stay near the theoretical bound."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_server_spark.operators.sketch import (
+        bloom_filter_words,
+        bloom_probe,
+    )
+
+    vals = spark.createDataFrame([(f"member{i}",) for i in range(5000)], "v string")
+    bf = bloom_filter_words(vals, "v")
+    probes = spark.createDataFrame(
+        [(f"member{i}",) for i in range(5000)]
+        + [(f"outsider{i}",) for i in range(5000)],
+        "v string",
+    )
+    out = probes.crossJoin(F.broadcast(bf)).select("v", bloom_probe("v").alias("hit"))
+    hits = {r["v"]: r["hit"] for r in out.collect()}
+    assert all(hits[f"member{i}"] for i in range(5000)), "false negative!"
+    fp = sum(hits[f"outsider{i}"] for i in range(5000))
+    # k=5, m=2^17, n=5000 → theoretical fp ≈ (1-e^{-kn/m})^k ≈ 0.05%;
+    # allow generous slack
+    assert fp / 5000 < 0.02, fp
