@@ -67,6 +67,21 @@ def _amz_now() -> str:
     return _time.strftime("%Y%m%dT%H%M%SZ", _time.gmtime())
 
 
+def _uuid7() -> str:
+    """UUIDv7 (RFC 9562): 48-bit unix-ms timestamp + random, so request
+    ids sort by arrival time — same generator class the reference's
+    MakeRequestUuid7 uses. Stdlib `uuid` has no v7 before 3.13."""
+    import os as _os
+    import time as _time
+
+    ms = int(_time.time() * 1000) & ((1 << 48) - 1)
+    rand_a = int.from_bytes(_os.urandom(2), "big") & 0x0FFF
+    rand_b = int.from_bytes(_os.urandom(8), "big") & ((1 << 62) - 1)
+    val = (ms << 80) | (0x7 << 76) | (rand_a << 64) | (0b10 << 62) | rand_b
+    h = f"{val:032x}"
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
 def _ns_from_path(segment: str) -> list[str]:
     return urllib.parse.unquote(segment).split(UNIT_SEPARATOR)
 
@@ -91,7 +106,23 @@ class CatalogHandler(BaseHTTPRequestHandler):
         data = b"" if payload is None else json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
+        # CompressionLayer parity (api/router.rs:67): gzip when the client
+        # negotiates it and the body is worth compressing (metadata JSON
+        # shrinks ~5-10x; tiny envelopes aren't worth the header)
+        accept = self.headers.get("Accept-Encoding", "")
+        if data and len(data) >= 256 and "gzip" in accept.lower():
+            import gzip as _gzip
+
+            data = _gzip.compress(data, compresslevel=6)
+            self.send_header("Content-Encoding", "gzip")
         self.send_header("Content-Length", str(len(data)))
+        # x-request-id middleware (api/router.rs:58-77: set_x_request_id
+        # (MakeRequestUuid7) + propagate_x_request_id): echo the client's
+        # id when present, else mint a time-ordered uuid7 — correlates
+        # client logs with server logs across retries
+        self.send_header(
+            "x-request-id", self.headers.get("x-request-id") or _uuid7()
+        )
         self.end_headers()
         if data and self.command != "HEAD":
             self.wfile.write(data)
@@ -408,6 +439,11 @@ class CatalogHandler(BaseHTTPRequestHandler):
 
     def _management_route(self, method: str, p: list[str], qs: dict) -> tuple[int, dict | None]:
         store = self.store
+        if p == ["project"] and method == "GET":
+            # management/mod.rs:261-262 + warehouse.rs:168-196
+            return 200, {
+                "projects": [{"project-id": pid} for pid in store.list_projects()]
+            }
         if p == ["warehouse"]:
             if method == "POST":
                 body = self._body()

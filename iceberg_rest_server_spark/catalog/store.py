@@ -288,6 +288,17 @@ class CatalogStore:
             raise NotFoundError(f"warehouse {name!r} not found in project {project_id}")
         return self.get_warehouse(row[0])
 
+    def list_projects(self) -> list[str]:
+        """Distinct project ids across warehouses (management/v1/
+        warehouse.rs:168-196: the catalog derives projects from its
+        warehouse rows — there is no separate project table)."""
+        return [
+            r[0]
+            for r in self._conn.execute(
+                "SELECT DISTINCT project_id FROM warehouse ORDER BY project_id"
+            )
+        ]
+
     def list_warehouses(self, project_id: str, include_inactive: bool = False) -> list[dict]:
         q = "SELECT warehouse_id FROM warehouse WHERE project_id = ?"
         if not include_inactive:

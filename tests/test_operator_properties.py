@@ -306,3 +306,45 @@ def test_skyline_final_pass_spans_arrow_batches(spark):
         assert got == [199], got
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", before)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=14),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_substring_dedup_matches_bruteforce(corpus_tokens):
+    """substring_duplicate_stats ≡ brute-force window counting on random
+    small-alphabet corpora (small alphabet maximizes collisions)."""
+    from collections import Counter
+
+    from iceberg_rest_server_spark.operators.dedup import substring_duplicate_stats
+    from iceberg_rest_server_spark.session import get_spark
+
+    spark = get_spark("prop-substring")
+    W = 3
+    docs = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(corpus_tokens)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in substring_duplicate_stats(sdf, "doc_id", "text", window=W).collect()
+    }
+    # brute force: count every window across the corpus
+    # (split(' ') on an empty string yields [''] — one token — matching Spark)
+    toks_of = {i: text.split(" ") for i, text in docs}
+    counts = Counter(
+        tuple(t[j : j + W])
+        for t in toks_of.values()
+        if len(t) >= W
+        for j in range(len(t) - W + 1)
+    )
+    want = {}
+    for i, t in toks_of.items():
+        if len(t) < W:
+            continue
+        wins = [tuple(t[j : j + W]) for j in range(len(t) - W + 1)]
+        want[i] = (len(wins), sum(1 for w in wins if counts[w] > 1))
+    assert got == want

@@ -578,3 +578,60 @@ def test_oauth_tokens_unimplemented_envelope(server):
     )
     assert status == 501
     _assert_error_envelope(payload, 501, "NotImplemented")
+
+
+def test_list_projects_route(server):
+    """GET /management/v1/project (management/mod.rs:261-262): projects
+    are derived from warehouse rows, kebab-case project-id objects."""
+    status, payload, _ = _req(server, "GET", "/management/v1/project")
+    assert status == 200
+    assert payload == {"projects": [{"project-id": "p"}]}
+    # second project appears after its first warehouse
+    _req(
+        server,
+        "POST",
+        "/management/v1/warehouse",
+        {"project-id": "p2", "warehouse-name": "wh", "base-location": "s3://b/x"},
+    )
+    _, payload, _ = _req(server, "GET", "/management/v1/project")
+    assert [p["project-id"] for p in payload["projects"]] == ["p", "p2"]
+
+
+def test_x_request_id_set_and_propagated(server):
+    """api/router.rs:58-77: every response carries x-request-id — a fresh
+    uuid7 when the client sent none, the client's own value when it did."""
+    status, _, headers = _req(server, "GET", "/management/v1/project")
+    rid = headers.get("x-request-id")
+    assert rid and len(rid) == 36 and rid[14] == "7"  # uuid7 version nibble
+    status, _, headers2 = _req(
+        server,
+        "GET",
+        "/management/v1/project",
+        headers={"x-request-id": "client-chosen-id-123"},
+    )
+    assert headers2.get("x-request-id") == "client-chosen-id-123"
+
+
+def test_gzip_negotiation(server):
+    """CompressionLayer parity (api/router.rs:67): bodies gzip when the
+    client sends Accept-Encoding: gzip; clients that don't negotiate get
+    identity bytes (tiny envelopes stay uncompressed either way)."""
+    import gzip
+
+    prefix = _prefix(server)
+    _create_ns(server, prefix, "ns_gz")
+    _create_table(server, prefix, "ns_gz", "t")
+    path = f"/catalog/v1/{prefix}/namespaces/ns_gz/tables/t"
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=10)
+    conn.request("GET", path, headers={"Accept-Encoding": "gzip"})
+    resp = conn.getresponse()
+    raw = resp.read()
+    conn.close()
+    assert resp.status == 200
+    assert resp.getheader("Content-Encoding") == "gzip"
+    body = json.loads(gzip.decompress(raw))
+    assert "metadata" in body
+    # without negotiation: identity
+    status, body2, headers = _req(server, "GET", path)
+    assert status == 200 and "metadata" in body2
+    assert headers.get("Content-Encoding") is None
