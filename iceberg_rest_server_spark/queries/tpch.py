@@ -1,12 +1,15 @@
-"""TPC-H-adapted analytics suite (Q63–Q77) over the driver's star schema.
+"""TPC-H-adapted analytics suite (Q63–Q77, Q95, Q102–Q107) over the
+driver's star schema — all 22 classic plan shapes.
 
 The testdata is TPC-H-ish but reduced (no partsupp, l_commitdate,
 l_receiptdate, l_shipmode, p_container, c_phone), so each classic query
 is adapted to the available columns while keeping its canonical plan
 shape: the multi-join star topologies, the correlated/EXISTS subqueries,
 the disjunctive pushdown predicates, the group-then-regroup
-distributions. Queries needing partsupp (TPC-H 2/9/11/16/20) are
-intentionally absent rather than faked.
+distributions. The five partsupp-dependent queries (TPC-H 2/9/11/16/20,
+Q102–Q106) derive the supplier-part relationship from lineitem instead,
+and Q21 (Q107) redefines lateness from l_shipdate vs o_orderdate —
+shape-preserving adaptations, clearly labeled per query.
 
 Scale design: region/nation are explicitly broadcast (dozens of rows at
 any SF); every other join is a shuffle hash/sort-merge join on the
@@ -747,4 +750,353 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q102-Q107: the six partsupp-dependent TPC-H shapes (2/9/11/16/20/21),
+# adapted to the reduced schema. partsupp does not exist in the testdata, so
+# each query keeps its canonical PLAN shape (correlated-min subquery,
+# profit expression agg, HAVING-vs-scalar-subquery, count-distinct with
+# NOT-IN, nested semi-join with aggregate, multi-EXISTS lateness) while
+# deriving the supplier-part relationship from lineitem — the same
+# adaptation strategy q95 uses for Q12 (reference parity target:
+# the reference runs stock TPC-H through its engine; we cover every one of
+# the 22 plan shapes on the driver's star schema).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q102_tpch_q2",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+      SELECT c.l_partkey, c.supplycost, s.s_acctbal, s.s_name, n.n_name
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           e.supplycost
+    FROM part p
+    JOIN eligible e ON e.l_partkey = p.p_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+      AND e.supplycost = (
+        SELECT min(e2.supplycost) FROM eligible e2
+        WHERE e2.l_partkey = p.p_partkey
+      )
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): the correlated MIN "
+    "subquery per part, region-filtered through supplier->nation->region. "
+    "Adapted: supplycost := min lineitem price per (part, supplier) since "
+    "there is no partsupp. Spark plan: one groupBy derives the cost table, "
+    "the correlated min becomes a min-over-window on p_partkey (one "
+    "shuffle, no self-join re-scan), region/nation broadcast.",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    eligible = (
+        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        p.join(eligible, p.p_partkey == eligible.l_partkey)
+        .withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q103_tpch_q9",
+    oracle="""
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l.l_discount AS DECIMAL(12,2))
+               - CAST(0.6 AS DECIMAL(12,2))
+               * CAST(p.p_retailprice AS DECIMAL(12,2))
+               * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-type profit by nation and year): 5-way "
+    "star join with the LIKE filter pushed to the part scan, profit "
+    "expression aggregated per (supplier nation, order year). Adapted: "
+    "cost := 0.6 * p_retailprice * quantity (no ps_supplycost). All money "
+    "math decimal-exact until the final cast; nation broadcast; the "
+    "part/supplier dims broadcast under AQE at this SF.",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    amount = d12("l_extendedprice") * d12(F.lit(1) - F.col("l_discount")) - d12(
+        F.lit(0.6)
+    ) * d12("p_retailprice") * d12("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q104_tpch_q11",
+    oracle="""
+    WITH natval AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM natval
+    WHERE val > (SELECT sum(val) * 0.001 FROM natval)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    doc="TPC-H Q11 shape (important stock identification): per-part value "
+    "restricted to one nation's suppliers, kept only where it exceeds a "
+    "fraction of that nation's grand total — the HAVING-vs-scalar-subquery "
+    "shape. Adapted: value := revenue from lineitem (no ps_supplycost * "
+    "ps_availqty). Spark computes the per-part aggregate ONCE and derives "
+    "the threshold from an unpartitioned window SUM over the (small) "
+    "post-aggregate rows — ratio-to-report style, no second lineitem "
+    "scan, no cross join; the threshold comparison stays decimal-exact.",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7"))
+    natval = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(d12("l_extendedprice") * d12(F.lit(1) - F.col("l_discount"))).alias(
+                "val"
+            )
+        )
+    )
+    total = F.sum("val").over(Window.partitionBy())
+    return (
+        natval.withColumn("thr", total * F.lit(0.001))
+        .filter(F.col("val") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@register(
+    "q105_tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship count): distinct "
+    "supplier count per (brand, type, size) bucket with negated dim "
+    "filters and a NOT IN supplier exclusion. Adapted: the supplier-part "
+    "relationship comes from lineitem; 'complaint' suppliers := negative "
+    "account balance. Spark plans the NOT IN as a left-anti hash join "
+    "against the (tiny, broadcast) bad-supplier list — keys are non-null "
+    "so anti-join and NOT IN agree — and the count-distinct as a "
+    "two-phase partial/final aggregate.",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q106_tpch_q20",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 's%'
+          )
+          AND l.l_shipdate >= DATE '1998-01-01'
+          AND l.l_shipdate <  DATE '1999-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > 40
+      )
+    ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 shape (potential part promotion): the nested-IN chain — "
+    "suppliers IN (heavy shippers of parts IN (name-filtered part list)) — "
+    "with a HAVING over a windowed year. Adapted: 'more than half of "
+    "availqty' becomes a fixed >40 shipped-quantity threshold per "
+    "(supplier, part). Spark plans both INs as left-semi hash joins (part "
+    "list broadcast) feeding a partial/final aggregate, then a semi join "
+    "back to the nation-filtered supplier dim — no correlated re-execution.",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("s%")).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q107_tpch_q21",
+    oracle="""
+    WITH supp_order AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+      FROM supp_order GROUP BY l_orderkey
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM supp_order so
+    JOIN per_order po ON po.l_orderkey = so.l_orderkey
+    JOIN supplier s   ON s.s_suppkey = so.l_suppkey
+    JOIN nation n     ON n.n_nationkey = s.s_nationkey
+    WHERE po.n_supp >= 2 AND po.n_late = 1 AND so.is_late = 1
+      AND n.n_name = 'NATION_1'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "EXISTS(other supplier) AND NOT EXISTS(other late supplier) pair, "
+    "rewritten to its scalable aggregate form — per-(order, supplier) "
+    "lateness flags, then per-order supplier/late counts; an order "
+    "'waited' on exactly the supplier that is its sole late one among "
+    "2+ suppliers. Adapted: late := shipped >60 days after order date "
+    "(no commit/receipt dates). The per-order counts come from a window "
+    "over the per-(order, supplier) aggregate — ONE lineitem scan, no "
+    "self-join re-scan; supplier/nation broadcast. This decorrelation "
+    "is the 100 TB plan Spark cannot derive from the EXISTS form alone.",
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1"))
+    supp_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        supp_order.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )

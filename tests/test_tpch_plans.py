@@ -75,3 +75,49 @@ def test_q18_having_builds_semi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q75_tpch_q18")
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q2_correlated_min_is_single_window_no_self_join(spark, sf_dir):
+    """The correlated MIN subquery must become ONE window over the joined
+    frame, not a second scan+join of the cost table: lineitem is scanned
+    exactly once."""
+    plan = _plan(spark, sf_dir, "q102_tpch_q2")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q9_pushes_like_to_part_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q103_tpch_q9")
+    pushed = plan.split("PushedFilters")
+    assert any("p_name" in s[:300] for s in pushed[1:]), "LIKE not pushed to part scan"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q11_single_lineitem_scan_window_threshold(spark, sf_dir):
+    """The fraction-of-total threshold must come from a window over the
+    post-aggregate rows, not a second lineitem scan or a cross join."""
+    plan = _plan(spark, sf_dir, "q104_tpch_q11")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q16_not_in_plans_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q105_tpch_q16")
+    assert "LeftAnti" in plan
+    # distinct-count: partial/final split present
+    assert "partial_" in plan
+
+
+def test_q20_nested_in_plans_semi_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q106_tpch_q20")
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_q21_single_scan_window_counts(spark, sf_dir):
+    """per-order supplier/late counts come from a window over the
+    per-(order, supplier) aggregate: exactly one lineitem scan."""
+    plan = _plan(spark, sf_dir, "q107_tpch_q21")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
