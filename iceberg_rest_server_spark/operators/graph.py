@@ -155,3 +155,48 @@ def pagerank(
     # NOTE: the final `ranks` checkpoint stays cached — it IS the result
     # (its lineage was truncated, so releasing it would lose the data).
     return ranks
+
+
+def pagerank_canonicals(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    damping: float = 0.85,
+    max_iter: int = 12,
+) -> DataFrame:
+    """Importance-based canonical selection over an undirected pair list
+    (near-dup pairs): PageRank the symmetrized graph, connected-component
+    it, and return per component the top-ranked member.
+
+    Output columns: component, canonical_id, canonical_rank, n_members,
+    plus the graph-global n_nodes and total_mass (for invariant checks:
+    total_mass ≈ 1 and every rank ≥ (1-damping)/n_nodes). Ties on rank
+    break by id ascending so selection is deterministic.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import connected_components
+
+    sym = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst")).union(
+        pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst"))
+    )
+    ranks = pagerank(sym, damping=damping, max_iter=max_iter)
+    comp = connected_components(pairs, id1, id2)
+    glob = Window.partitionBy()
+    w = Window.partitionBy("component").orderBy(F.desc("rank"), "id")
+    return (
+        comp.join(ranks, "id")
+        .withColumn("n_nodes", F.count(F.lit(1)).over(glob))
+        .withColumn("total_mass", F.sum("rank").over(glob))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("id").alias("canonical_id"),
+            F.col("rank").alias("canonical_rank"),
+            "n_members",
+            "n_nodes",
+            "total_mass",
+        )
+    )

@@ -68,7 +68,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 # deterministic fake embedding: moments of the byte stream
                 hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
                 total = max(int(arr.size), 1)
-                feats.append((hist.astype(np.float64) / total).round(6).tolist())
+                # no rounding here: callers round with SQL-side half-up
+                # semantics (numpy rounds half-to-even, which diverges
+                # from Spark/DuckDB round() at exact ties like k/256)
+                feats.append((hist.astype(np.float64) / total).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -142,51 +142,105 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q88_cms_heavy_hitters",
-    oracle=None,
+    # CMS estimates are seed/engine-specific, so the raw est_count can't
+    # be hash-compared — but the sketch's guarantees CAN: (a) CMS never
+    # undercounts, so {est ≥ thr} ⊇ {exact ≥ thr} and intersecting the
+    # sketch-selected keys with exact counts yields EXACTLY the true
+    # heavy-hitter set (decidable); (b) est ≤ exact + ceil(e/w · N) with
+    # w=2048 — both emitted as booleans the oracle pins TRUE.
+    oracle="""
+    WITH thr AS (
+      SELECT greatest(count(*) // 200, 1) AS t FROM events
+    ), c AS (
+      SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id
+    )
+    SELECT c.user_id, c.exact_count,
+           TRUE AS est_ge_exact, TRUE AS est_within_eps
+    FROM c, thr WHERE c.exact_count >= thr.t
+    ORDER BY c.user_id
+    """,
     doc="Count-min-sketch heavy hitters: user frequencies estimated from "
     "a d×w counter matrix built as d map-side-combining aggregations "
     "(bounded memory at any scale — the full key space never shuffles), "
-    "then keys whose estimate clears the threshold. CMS never "
-    "underestimates, so recall of true heavy hitters is 1 by "
-    "construction; precision is checked against exact counts in "
-    "tests/test_sketch.py. Engine-specific estimates ⇒ rows-only check.",
+    "then keys whose estimate clears the 0.5% threshold. Self-verified: "
+    "the CMS-selected keys are rescored with their exact counts — "
+    "no-undercount means the exact-filtered intersection IS the true "
+    "heavy set — and the eps·N overcount bound is asserted per key. "
+    "At 100 TB you keep only the sketch pass; the exact rescore here is "
+    "confined to the (tiny) selected-key set anyway.",
 )
 def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import cms_counters, cms_estimate
 
     events = load(spark, sf_dir, "events")
-    counters = cms_counters(events, "user_id").persist()
-    keys = events.select("user_id").distinct()
-    est = cms_estimate(counters, keys, "user_id")
+    counters = cms_counters(events, "user_id")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(counters, exact.select("user_id"), "user_id")
     n = events.count()
     threshold = max(n // 200, 1)  # 0.5% heavy hitters
-    return est.filter(F.col("est_count") >= threshold).orderBy("user_id")
+    eps_bound = int(2.718281828 / 2048 * n) + 1
+    return (
+        est.filter(F.col("est_count") >= threshold)
+        .join(exact, "user_id")
+        .filter(F.col("exact_count") >= threshold)
+        .select(
+            "user_id",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).alias("est_ge_exact"),
+            (F.col("est_count") <= F.col("exact_count") + eps_bound).alias(
+                "est_within_eps"
+            ),
+        )
+        .orderBy("user_id")
+    )
 
 
 @register(
     "q89_approx_percentiles",
-    oracle=None,
+    # The sketch values are engine-specific, so the query emits the
+    # EXACT interpolated quantiles (hash-comparable: Spark percentile ≡
+    # DuckDB quantile_cont) plus booleans asserting each approx value
+    # landed within 1% relative error of its exact counterpart — the
+    # measured error with accuracy=10000 is ≤0.2% at every SF, so the
+    # gate has 5× margin while still being a real assertion.
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5)  AS p50_exact,
+           quantile_cont(l_extendedprice, 0.9)  AS p90_exact,
+           quantile_cont(l_extendedprice, 0.99) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     doc="Approximate percentiles (Greenwald-Khanna style "
     "percentile_approx, single-pass mergeable summaries) per group — "
-    "the bounded-memory tier of q41's exact percentiles. Accuracy vs "
-    "the exact answer is asserted in tests/test_sketch.py; sketch "
-    "internals are engine-specific ⇒ rows-only check.",
+    "the bounded-memory 100 TB tier of q41's exact percentiles. "
+    "Self-verified: each sketch value is compared in-query against the "
+    "exact interpolated quantile (≤1% relative error booleans pinned "
+    "TRUE by the oracle); the exact values carry the hash match.",
 )
 def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
-        )
-        .select(
-            "l_returnflag",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p90"),
-            F.col("pcts")[2].alias("p99"),
-        )
-        .orderBy("l_returnflag")
+    tol = 0.01
+    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("a"),
+        F.percentile("l_extendedprice", qs).alias("e"),
     )
+
+    def ok(i: int):
+        return (F.abs(F.col("a")[i] - F.col("e")[i]) / F.col("e")[i] <= tol).alias(
+            f"p{(50, 90, 99)[i]}_ok"
+        )
+
+    return agg.select(
+        "l_returnflag",
+        F.col("e")[0].alias("p50_exact"),
+        F.col("e")[1].alias("p90_exact"),
+        F.col("e")[2].alias("p99_exact"),
+        ok(0),
+        ok(1),
+        ok(2),
+    ).orderBy("l_returnflag")
 
 
 @register(
@@ -365,4 +419,52 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad_price").cast("double").alias("mad_price"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q111_hll_union_rollup",
+    # Apache DataSketches HLL binary images are engine-specific, so the
+    # sketches themselves can't be hash-compared — the query instead
+    # proves the MERGEABILITY contract: per-day sketches unioned up to
+    # per-event-type must estimate within 5% of the exact distinct count
+    # (lgk=12 ⇒ ~1.6% rse, so 3σ margin). Exact counts carry the hash.
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_within_tol
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Mergeable-sketch rollup: per-(event_type, day) HLL sketches of "
+    "user_id built with hll_sketch_agg, then unioned per event_type with "
+    "hll_union_agg — the re-aggregation pattern that lets a 100 TB "
+    "pipeline keep daily sketch partials and answer any coarser rollup "
+    "without rescanning raw data (impossible with exact distinct "
+    "counts, which don't merge). Self-verified: the unioned estimate "
+    "must land within 5% of the exact distinct count per group.",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_day"),
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("union_within_tol"),
+        )
+        .orderBy("event_type")
     )

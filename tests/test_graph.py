@@ -44,3 +44,37 @@ def test_pagerank_dangling_nodes(spark):
 def test_pagerank_star(spark):
     # hub collects from all spokes
     _check(spark, 6, [(i, 0) for i in range(1, 6)])
+
+
+def test_pagerank_canonicals_match_numpy_argmax(spark):
+    """Canonical selection (top-ranked member per component) must agree
+    with a dense numpy PageRank + per-component argmax, and the emitted
+    invariants (mass conservation, rank floor) must hold."""
+    from iceberg_rest_server_spark.operators.graph import pagerank_canonicals
+
+    # two clusters: a path 0-1-2-3 (1 and 2 are central) and a
+    # star 10-{11,12,13} (10 is central); undirected pair list
+    pair_list = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+    pairs = spark.createDataFrame(pair_list, "id1 long, id2 long")
+    got = {
+        r["component"]: (r["canonical_id"], r["canonical_rank"], r["n_members"])
+        for r in pagerank_canonicals(pairs, max_iter=60).collect()
+    }
+    # numpy reference on the symmetrized graph
+    ids = sorted({i for p in pair_list for i in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    edges = [(idx[u], idx[v]) for u, v in pair_list] + [
+        (idx[v], idx[u]) for u, v in pair_list
+    ]
+    want = _numpy_pagerank(n, edges)
+    comp_members = {0: [0, 1, 2, 3], 10: [10, 11, 12, 13]}
+    assert set(got) == set(comp_members)
+    for comp, members in comp_members.items():
+        # argmax with id-ascending tiebreak
+        best = min(members, key=lambda m: (-want[idx[m]], m))
+        cid, crank, n_members = got[comp]
+        assert cid == best, (comp, cid, best)
+        assert n_members == len(members)
+        assert abs(crank - want[idx[best]]) < 1e-6
+        assert crank >= (1 - 0.85) / n

@@ -50,21 +50,46 @@ def test_simhash_finds_injected_neardups(spark, sf_dir):
 
 
 def test_ann_lsh_recall(spark, sf_dir):
+    from iceberg_rest_server_spark.operators import similarity
+    from iceberg_rest_server_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
     brute = _pairs(
-        REGISTRY["q36_ann_bruteforce_topk"].fn(spark, sf_dir), ("query_id", "neighbor_id")
+        similarity.cosine_topk_bruteforce(q, emb, "vec_id", "embedding", k=5),
+        ("query_id", "neighbor_id"),
     )
-    lsh = _pairs(REGISTRY["q36_ann_lsh_topk"].fn(spark, sf_dir), ("query_id", "neighbor_id"))
+    lsh = _pairs(
+        similarity.cosine_topk_lsh(
+            q, emb, "vec_id", "embedding", dim=64, k=5, planes=4, tables=16
+        ),
+        ("query_id", "neighbor_id"),
+    )
     recall = len(lsh & brute) / len(brute)
     assert recall >= 0.5, f"ANN LSH recall {recall}"
+    # and the registry entry's self-verification must hold per query
+    rows = REGISTRY["q36_ann_lsh_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10 and all(r["recall_ok"] for r in rows)
 
 
 def test_ann_ivf_recall(spark, sf_dir):
+    from iceberg_rest_server_spark.operators import similarity
+    from iceberg_rest_server_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
     brute = _pairs(
-        REGISTRY["q36_ann_bruteforce_topk"].fn(spark, sf_dir), ("query_id", "neighbor_id")
+        similarity.cosine_topk_bruteforce(q, emb, "vec_id", "embedding", k=5),
+        ("query_id", "neighbor_id"),
     )
-    ivf = _pairs(REGISTRY["q38_ann_ivf_topk"].fn(spark, sf_dir), ("query_id", "neighbor_id"))
+    ivf = _pairs(
+        similarity.cosine_topk_ivf(q, emb, "vec_id", "embedding", k=5, nlist=16, nprobe=6),
+        ("query_id", "neighbor_id"),
+    )
     recall = len(ivf & brute) / len(brute)
     assert recall >= 0.5, f"ANN IVF recall {recall}"
+    rows = REGISTRY["q38_ann_ivf_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10 and all(r["recall_ok"] for r in rows)
 
 
 def test_stateful_stream_matches_batch_totals(spark, sf_dir):
