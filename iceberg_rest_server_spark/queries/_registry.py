@@ -82,6 +82,17 @@ _DRIVER_ORDER_HEAD = [
     "q99_substring_dedup",
     "q100_bloom_decontaminate",
     "q101_incremental_mv",
+    "q102_tpch_q2",
+    "q103_tpch_q9",
+    "q104_tpch_q11",
+    "q105_tpch_q16",
+    "q106_tpch_q20",
+    "q107_tpch_q21",
+    "q108_event_funnel",
+    "q109_cohort_retention",
+    "q110_weighted_sample",
+    "q111_hll_union_rollup",
+    "q112_domain_kl_drift",
     "q34_catalog_end_to_end",
     "q83_row_level_delete",
     "q06_approx_distinct",
@@ -92,17 +103,6 @@ _DRIVER_ORDER_HEAD = [
     "q32_minhash_lsh_pairs",
     "q49_dedup_clusters",
     "q16_window_ranking",
-    "q18_topk",
-    "q25_correlated_subquery",
-    "q27_udf_parity",
-    "q28_grouped_pandas_udaf",
-    "q44_pivot_profile",
-    "q47_fuzzy_brand_pairs",
-    "q51_range_join",
-    "q63_tpch_q1",
-    "q67_tpch_q6",
-    "q75_tpch_q18",
-    "q78_pii_redaction",
 ]
 
 

@@ -793,3 +793,199 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q108_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id
+      FROM events e
+      JOIN c ON c.user_id = e.user_id
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t_click AND e.ts <= v.t_view + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase within 7 days "
+    "of the first view): per-user stage timestamps via three conditional "
+    "MIN windows over ONE user_id partitioning — a single shuffle, no "
+    "self-joins, no row explosion; the oracle states the same semantics "
+    "as staged join CTEs. Strictly-after ordering between stages, "
+    "deadline anchored at the first view.",
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    week = F.expr("INTERVAL 7 DAYS")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    d = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + week),
+            F.col("ts"),
+        )
+    ).over(w)
+    d = d.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_view") + week),
+            F.col("ts"),
+        )
+    ).over(w)
+    d = d.withColumn("t_purchase", t_purchase)
+    per_user = d.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+
+
+@register(
+    "q109_cohort_retention",
+    oracle="""
+    WITH fw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INTEGER) AS week_offset,
+           count(*) AS n_users
+    FROM fw f JOIN act a ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY f.cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention: users grouped by first-activity week, "
+    "counted in every subsequent week they were active — the classic "
+    "retention triangle. Two aggregations share the user_id shuffle "
+    "(first-week agg + distinct active weeks), then a join on user_id "
+    "and a small regroup; both engines truncate weeks to Monday so "
+    "offsets are exact integers.",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fw = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    act = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    return (
+        fw.join(act, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# Shared 6-hex-digit → integer expression (identical string in the Spark
+# F.expr and the DuckDB oracle, so the sampled set is bit-identical): the
+# first 6 hex chars of md5(doc_id) as an exact BIGINT in [0, 16^6).
+_HEX6 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * {16 ** (5 - i)}"
+    for i in range(6)
+)
+
+
+@register(
+    "q110_weighted_sample",
+    oracle=f"""
+    WITH w AS (SELECT sum(n_chars) AS total FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM documents, w
+    WHERE ({_HEX6}) * w.total < 100 * n_chars * 16777216
+    ORDER BY doc_id
+    """,
+    doc="Weighted Bernoulli (Poisson) sampling, inclusion probability "
+    "proportional to document length with expected sample size 100: "
+    "include iff u < k*w/W, evaluated as the EXACT integer comparison "
+    "u6*W < k*w*16^6 with u6 = first 6 hex digits of md5(doc_id) — "
+    "deterministic, engine-identical, and reproducible. No sort, no "
+    "shuffle: a broadcast scalar total + a scan predicate, which is why "
+    "this (not exp-key reservoir ordering) is the 100 TB design — "
+    "changing k is a constant change, not a re-hash.",
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars").alias("total"))
+    # same semantics, Spark spellings: instr ≡ strpos, STRING ≡ VARCHAR
+    spark_hex6 = _HEX6.replace("strpos", "instr").replace("AS VARCHAR", "AS STRING")
+    return (
+        docs.crossJoin(F.broadcast(total))
+        .filter(F.expr(f"({spark_hex6}) * total < 100 * n_chars * 16777216"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q112_domain_kl_drift",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+    ), src AS (
+      SELECT source, sum(c) AS n FROM per GROUP BY source
+    ), corpus AS (
+      SELECT lang, sum(c) AS m FROM per GROUP BY lang
+    ), tot AS (
+      SELECT sum(c) AS big_n FROM per
+    )
+    SELECT p.source,
+           round(sum((CAST(p.c AS DOUBLE) / s.n)
+                     * ln((CAST(p.c AS DOUBLE) * t.big_n) / (CAST(s.n AS DOUBLE) * c.m))), 6)
+             AS kl_nats
+    FROM per p
+    JOIN src s ON s.source = p.source
+    JOIN corpus c ON c.lang = p.lang
+    CROSS JOIN tot t
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+    doc="Language-mixture drift per source: KL(P_source || P_corpus) over "
+    "the language distribution — the rebalancing signal a curation "
+    "pipeline watches when one crawl source skews the corpus mix. One "
+    "(source, lang) aggregate feeds every distribution via window-free "
+    "re-aggregations of the tiny post-agg frame; ratios are exact-"
+    "integer quotients so both engines feed ln() bit-identical inputs "
+    "(rounded to 6 dp to absorb libm ulp differences).",
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    src = per.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = per.groupBy("lang").agg(F.sum("c").alias("m"))
+    tot = per.agg(F.sum("c").alias("big_n"))
+    term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        (F.col("c").cast("double") * F.col("big_n"))
+        / (F.col("n").cast("double") * F.col("m"))
+    )
+    return (
+        per.join(src, "source")
+        .join(corpus, "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(F.round(F.sum(term), 6).alias("kl_nats"))
+        .orderBy("source")
+    )
