@@ -93,6 +93,8 @@ _DRIVER_ORDER_HEAD = [
     "q110_weighted_sample",
     "q111_hll_union_rollup",
     "q112_domain_kl_drift",
+    "q113_paragraph_dedup",
+    "q114_embedding_quantization",
     "q34_catalog_end_to_end",
     "q83_row_level_delete",
     "q06_approx_distinct",
@@ -100,9 +102,7 @@ _DRIVER_ORDER_HEAD = [
     # --- rotation fill: previously-green, oldest verification first ---
     "q31_exact_dedup",
     "q32_ngram_jaccard_pairs",
-    "q32_minhash_lsh_pairs",
     "q49_dedup_clusters",
-    "q16_window_ranking",
 ]
 
 

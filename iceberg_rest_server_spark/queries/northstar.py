@@ -852,3 +852,119 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_duplicate_stats(docs, "doc_id", "text", window=8).orderBy(
         "id"
     )
+
+
+@register(
+    "q113_paragraph_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(w[i*10+1 : i*10+10], ' ') AS seg
+      FROM toks, LATERAL unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS t(i)
+    ), occ AS (
+      SELECT md5(seg) AS h, count(DISTINCT doc_id) AS n_docs
+      FROM segs GROUP BY 1
+    ), flagged AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, (o.n_docs >= 3) AS boiler
+      FROM segs s JOIN occ o ON o.h = md5(s.seg)
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_removed,
+           md5(string_agg(seg, ' ' ORDER BY seg_idx)
+                 FILTER (WHERE NOT boiler)) AS cleaned_digest
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="CCNet-style segment-hash dedup, the corpus-rewriting tier: the "
+    "text is split into 10-token segments, a segment whose hash occurs "
+    "in >=3 distinct documents is boilerplate, and each document is "
+    "reassembled from its surviving segments in order (digest emitted "
+    "so the rewrite is hash-checked end-to-end, not just counted). "
+    "All JVM-side: split/slice/md5 in codegen, one segment-hash "
+    "aggregate (map-side combined - a segment shared by K docs costs K "
+    "rows, never K^2), conditional re-aggregation per document. At "
+    "100 TB the only global state is the boilerplate hash set, which is "
+    "output-sized (hashes above the occurrence threshold), not "
+    "corpus-sized.",
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    segs_col = F.expr(
+        "transform(sequence(0, CAST(ceil(size(split(text, ' '))/10.0) AS INT) - 1),"
+        " i -> array_join(slice(split(text, ' '), i*10 + 1, 10), ' '))"
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(segs_col).alias("seg_idx", "seg")
+    ).withColumn("h", F.md5("seg"))
+    occ = exploded.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    flagged = exploded.join(occ, "h").withColumn("boiler", F.col("n_docs") >= 3)
+    kept_struct = F.when(
+        ~F.col("boiler"), F.struct(F.col("seg_idx"), F.col("seg"))
+    )  # NULL (dropped by collect_list) for boilerplate segments
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("boiler").cast("long")).alias("n_removed"),
+            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_removed",
+            F.when(
+                F.size("kept") > 0,
+                F.md5(F.array_join(F.transform(F.col("kept"), lambda x: x.seg), " ")),
+            ).alias("cleaned_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q114_embedding_quantization",
+    # Quantized codes are a representation choice; what is decidable is
+    # (a) the per-dimension calibration range (exact: float32 min/max
+    # widen exactly to double) and (b) the int8 reconstruction-error
+    # guarantee |dequant(quant(x)) - x| <= step/2, which fails if the
+    # rounding, scale, or clamp math is wrong. The oracle recomputes the
+    # ranges and pins the error booleans TRUE.
+    oracle="""
+    WITH flat AS (
+      SELECT i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings, LATERAL unnest(range(64)) AS t(i)
+    )
+    SELECT dim, min(x) AS lo, max(x) AS hi, TRUE AS err_ok
+    FROM flat GROUP BY dim ORDER BY dim
+    """,
+    doc="Int8 scalar quantization of the embedding column (the storage/"
+    "bandwidth tier under ANN): per-dimension min/max calibration, "
+    "code = round((x-lo)/(hi-lo)*255), verified in-query against the "
+    "step/2 reconstruction-error bound per dimension. One posexplode + "
+    "one 64-group aggregate for calibration (map-side combined), then "
+    "the quantize/dequantize/error pass re-joins the broadcast-sized "
+    "calibration table - the same two-pass shape a 100 TB corpus "
+    "needs, with codes written back as array<tinyint> at 4x "
+    "compression.",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    calib = flat.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    code = F.round((F.col("x") - F.col("lo")) / step)
+    recon = F.col("lo") + code * step
+    err = F.abs(recon - F.col("x"))
+    bound = step / 2 * (1 + 1e-9) + 1e-12
+    return (
+        flat.join(F.broadcast(calib), "dim")
+        .groupBy("dim", "lo", "hi")
+        .agg(F.max(err <= bound).alias("err_ok"))
+        .select("dim", "lo", "hi", F.col("err_ok"))
+        .orderBy("dim")
+    )
