@@ -78,6 +78,7 @@ _DRIVER_ORDER_HEAD = [
     "q39_stream_stateful_user_totals",
     "q57_stream_static_enrich",
     "q90_stream_catalog_sink",
+    "q115_stream_ingest_dedup",
     # --- new or changed this round: verify ---
     "q99_substring_dedup",
     "q100_bloom_decontaminate",
@@ -100,7 +101,6 @@ _DRIVER_ORDER_HEAD = [
     "q06_approx_distinct",
     "q32_simhash_pairs",
     # --- rotation fill: previously-green, oldest verification first ---
-    "q31_exact_dedup",
     "q32_ngram_jaccard_pairs",
     "q49_dedup_clusters",
 ]

@@ -400,3 +400,35 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
         )
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "q115_stream_ingest_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming ingest deduplication with dropDuplicatesWithinWatermark: "
+    "the event stream is unioned with ITSELF (every event delivered "
+    "twice — the at-least-once redelivery a real ingest pipeline sees), "
+    "then deduped on event_id with only watermark-bounded state: unlike "
+    "plain dropDuplicates, per-key state is EVICTED once the key's ts "
+    "falls behind the watermark, so state is O(events per watermark "
+    "window), not O(all keys ever) — the difference between a pipeline "
+    "that runs for a day and one that runs forever. availableNow replay "
+    "of the doubled stream must equal the batch aggregate over the "
+    "original (single-delivery) events.",
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    doubled = s1.unionByName(s2).withWatermark("ts", "15 minutes")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    result = run_to_table(agg, spark, "complete")
+    return result.orderBy("event_type")
