@@ -599,3 +599,52 @@ def substring_duplicate_stats(
             "dup_fraction", F.col("n_dup_windows") / F.col("n_windows")
         )
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+    min_docs: int = 3,
+) -> DataFrame:
+    """CCNet-style segment-hash dedup: split each document's whitespace
+    tokens into fixed `seg_tokens`-token segments, mark any segment whose
+    md5 occurs in >= `min_docs` distinct documents as boilerplate, and
+    reassemble each document from its surviving segments in order.
+
+    Returns (id, n_segments, n_removed, cleaned_text); cleaned_text is
+    NULL when every segment was boilerplate. All JVM codegen (split /
+    slice / md5 / conditional collect): the only global state is the
+    per-hash document count, which map-side combines, and only hashes —
+    never text — shuffle twice. A segment shared by K documents costs K
+    rows (not K²), and the boilerplate 'set' is implicit in the join, so
+    nothing is ever collected to the driver.
+    """
+    segs_col = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(split({text_col}, ' '))/{seg_tokens}.0) AS INT) - 1),"
+        f" i -> array_join(slice(split({text_col}, ' '), i*{seg_tokens} + 1, {seg_tokens}), ' '))"
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(segs_col).alias("seg_idx", "seg")
+    ).withColumn("h", F.md5("seg"))
+    occ = exploded.groupBy("h").agg(F.count_distinct("id").alias("n_docs"))
+    flagged = exploded.join(occ, "h").withColumn("boiler", F.col("n_docs") >= min_docs)
+    kept_struct = F.when(~F.col("boiler"), F.struct(F.col("seg_idx"), F.col("seg")))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("boiler").cast("long")).alias("n_removed"),
+            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+        )
+        .select(
+            "id",
+            "n_segments",
+            "n_removed",
+            F.when(
+                F.size("kept") > 0,
+                F.array_join(F.transform(F.col("kept"), lambda x: x.seg), " "),
+            ).alias("cleaned_text"),
+        )
+    )

@@ -828,30 +828,14 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deadline anchored at the first view.",
 )
 def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import ordered_funnel
+
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    week = F.expr("INTERVAL 7 DAYS")
-    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    d = ev.withColumn("t_view", t_view)
-    t_click = F.min(
-        F.when(
-            (F.col("event_type") == "click")
-            & (F.col("ts") > F.col("t_view"))
-            & (F.col("ts") <= F.col("t_view") + week),
-            F.col("ts"),
-        )
-    ).over(w)
-    d = d.withColumn("t_click", t_click)
-    t_purchase = F.min(
-        F.when(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") > F.col("t_click"))
-            & (F.col("ts") <= F.col("t_view") + week),
-            F.col("ts"),
-        )
-    ).over(w)
-    d = d.withColumn("t_purchase", t_purchase)
-    per_user = d.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    per_user = ordered_funnel(
+        ev, "user_id", "ts", "event_type",
+        stages=["view", "click", "purchase"],
+        within=F.expr("INTERVAL 7 DAYS"),
+    )
     return per_user.agg(
         F.count("t_view").alias("n_view"),
         F.count("t_click").alias("n_click"),
@@ -899,23 +883,18 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared 6-hex-digit → integer expression (identical string in the Spark
-# F.expr and the DuckDB oracle, so the sampled set is bit-identical): the
-# first 6 hex chars of md5(doc_id) as an exact BIGINT in [0, 16^6).
-_HEX6 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-    f" * {16 ** (5 - i)}"
-    for i in range(6)
-)
+from ..operators.sampling import hex6_sql as _hex6_sql  # noqa: E402
 
 
 @register(
     "q110_weighted_sample",
+    # the oracle's uniform deviate uses the operator's own SQL fragment,
+    # so the Spark predicate and the oracle predicate cannot drift apart
     oracle=f"""
     WITH w AS (SELECT sum(n_chars) AS total FROM documents)
     SELECT doc_id, lang, n_chars
     FROM documents, w
-    WHERE ({_HEX6}) * w.total < 100 * n_chars * 16777216
+    WHERE {_hex6_sql("doc_id")} * w.total < 100 * n_chars * 16777216
     ORDER BY doc_id
     """,
     doc="Weighted Bernoulli (Poisson) sampling, inclusion probability "
@@ -928,13 +907,11 @@ _HEX6 = " + ".join(
     "changing k is a constant change, not a re-hash.",
 )
 def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_bernoulli_sample
+
     docs = load(spark, sf_dir, "documents")
-    total = docs.agg(F.sum("n_chars").alias("total"))
-    # same semantics, Spark spellings: instr ≡ strpos, STRING ≡ VARCHAR
-    spark_hex6 = _HEX6.replace("strpos", "instr").replace("AS VARCHAR", "AS STRING")
     return (
-        docs.crossJoin(F.broadcast(total))
-        .filter(F.expr(f"({spark_hex6}) * total < 100 * n_chars * 16777216"))
+        weighted_bernoulli_sample(docs, "doc_id", "n_chars", expected_k=100)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )

@@ -891,37 +891,13 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    segs_col = F.expr(
-        "transform(sequence(0, CAST(ceil(size(split(text, ' '))/10.0) AS INT) - 1),"
-        " i -> array_join(slice(split(text, ' '), i*10 + 1, 10), ' '))"
-    )
-    exploded = docs.select(
-        "doc_id", F.posexplode(segs_col).alias("seg_idx", "seg")
-    ).withColumn("h", F.md5("seg"))
-    occ = exploded.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
-    flagged = exploded.join(occ, "h").withColumn("boiler", F.col("n_docs") >= 3)
-    kept_struct = F.when(
-        ~F.col("boiler"), F.struct(F.col("seg_idx"), F.col("seg"))
-    )  # NULL (dropped by collect_list) for boilerplate segments
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.col("boiler").cast("long")).alias("n_removed"),
-            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
-        )
-        .select(
-            "doc_id",
-            "n_segments",
-            "n_removed",
-            F.when(
-                F.size("kept") > 0,
-                F.md5(F.array_join(F.transform(F.col("kept"), lambda x: x.seg), " ")),
-            ).alias("cleaned_digest"),
-        )
-        .orderBy("doc_id")
-    )
+    out = dedup.segment_dedup(docs, "doc_id", "text", seg_tokens=10, min_docs=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_segments",
+        "n_removed",
+        F.md5("cleaned_text").alias("cleaned_digest"),
+    ).orderBy("doc_id")
 
 
 @register(

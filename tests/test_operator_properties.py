@@ -348,3 +348,129 @@ def test_substring_dedup_matches_bruteforce(corpus_tokens):
         wins = [tuple(t[j : j + W]) for j in range(len(t) - W + 1)]
         want[i] = (len(wins), sum(1 for w in wins if counts[w] > 1))
     assert got == want
+
+
+# ------------------------------------------------- segment-hash dedup
+
+_corpus = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(corpus=_corpus, seg=st.integers(min_value=1, max_value=4),
+       min_docs=st.integers(min_value=2, max_value=3))
+@settings(**_SETTINGS)
+def test_segment_dedup_matches_reference(spark, corpus, seg, min_docs):
+    """Distributed segment-hash dedup == single-node reference: same
+    boilerplate set, same per-doc counts, same reassembled text
+    (including the all-boilerplate -> NULL case)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_segments"], r["n_removed"], r["cleaned_text"])
+        for r in dedup.segment_dedup(docs, "doc_id", "text", seg, min_docs).collect()
+    }
+
+    def segments(toks):
+        return [" ".join(toks[i : i + seg]) for i in range(0, len(toks), seg)]
+
+    from collections import Counter
+
+    occ = Counter()
+    for toks in corpus:
+        for s in set(segments(toks)):
+            occ[s] += 1
+    for i, toks in enumerate(corpus):
+        segs = segments(toks)
+        boiler = [occ[s] >= min_docs for s in segs]
+        keep = [s for s, b in zip(segs, boiler) if not b]
+        want = (len(segs), sum(boiler), " ".join(keep) if keep else None)
+        assert got[i] == want, (i, got[i], want)
+
+
+# ------------------------------------------------------ ordered funnel
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),            # user
+        st.sampled_from(["view", "click", "purchase"]),   # stage
+        st.integers(min_value=0, max_value=20),           # ts
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events=_funnel_events, within=st.integers(min_value=1, max_value=10))
+@settings(**_SETTINGS)
+def test_ordered_funnel_matches_reference(spark, events, within):
+    """Conditional-MIN-window funnel == per-user linear reference:
+    strictly-after stage ordering, deadline anchored at stage 1,
+    duplicate timestamps and missing stages included."""
+    from iceberg_rest_server_spark.operators.funnel import ordered_funnel
+
+    df = spark.createDataFrame(events, "user long, stage string, ts long")
+    got = {
+        r["user"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in ordered_funnel(
+            df, "user", "ts", "stage",
+            stages=["view", "click", "purchase"], within=F.lit(within),
+        ).collect()
+    }
+
+    def ref(user):
+        evs = [(s, t) for u, s, t in events if u == user]
+        tv = min((t for s, t in evs if s == "view"), default=None)
+        tc = tp = None
+        if tv is not None:
+            tc = min(
+                (t for s, t in evs if s == "click" and tv < t <= tv + within),
+                default=None,
+            )
+        if tc is not None:
+            tp = min(
+                (t for s, t in evs if s == "purchase" and tc < t <= tv + within),
+                default=None,
+            )
+        return (tv, tc, tp)
+
+    for user in {u for u, _, _ in events}:
+        assert got[user] == ref(user), (user, got[user], ref(user))
+
+
+# ------------------------------------------- weighted Bernoulli sample
+
+_weighted_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**6),   # key
+              st.integers(min_value=0, max_value=1000)),   # weight
+    min_size=1,
+    max_size=25,
+    unique_by=lambda kv: kv[0],
+)
+
+
+@given(rows=_weighted_rows, k=st.integers(min_value=1, max_value=10))
+@settings(**_SETTINGS)
+def test_weighted_bernoulli_sample_matches_reference(spark, rows, k):
+    """The exact-integer inclusion test selects precisely the set a
+    hashlib-md5 single-node reference selects (zero-weight rows never
+    included; weight >= W/k rows always included)."""
+    import hashlib
+
+    from iceberg_rest_server_spark.operators.sampling import (
+        weighted_bernoulli_sample,
+    )
+
+    df = spark.createDataFrame(rows, "key long, w long")
+    got = {r["key"] for r in weighted_bernoulli_sample(df, "key", "w", k).collect()}
+    total = sum(w for _, w in rows)
+
+    def u6(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:6], 16)
+
+    want = {key for key, w in rows if u6(key) * total < k * w * 16**6}
+    assert got == want
+    assert all(w > 0 for key, w in rows if key in got)
