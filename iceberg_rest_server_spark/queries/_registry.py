@@ -96,12 +96,12 @@ _DRIVER_ORDER_HEAD = [
     "q112_domain_kl_drift",
     "q113_paragraph_dedup",
     "q114_embedding_quantization",
+    "q116_zorder_clustering",
     "q34_catalog_end_to_end",
     "q83_row_level_delete",
     "q06_approx_distinct",
     "q32_simhash_pairs",
     # --- rotation fill: previously-green, oldest verification first ---
-    "q32_ngram_jaccard_pairs",
     "q49_dedup_clusters",
 ]
 

@@ -966,3 +966,62 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 6).alias("kl_nats"))
         .orderBy("source")
     )
+
+
+# Shared Morton-code fragment: interleave the low 8 bits of {a} (even
+# positions) and {b} (odd positions) into a 16-bit z-value. Pure &|<<>>
+# integer ops — identical text evaluates identically in Spark SQL and
+# DuckDB, so the curve order cannot drift between query and oracle.
+_ZINTERLEAVE = " | ".join(
+    f"((({{a}} >> {i}) & 1) << {2 * i}) | ((({{b}} >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+_Z_A = "(p_size * 5)"  # 1..50 -> 5..250, fills the 8-bit range
+_Z_B = "least(CAST(floor((p_retailprice - 900.0) * 2.56) AS BIGINT), 255)"
+_ZVAL = _ZINTERLEAVE.format(a=_Z_A, b=_Z_B)
+
+
+@register(
+    "q116_zorder_clustering",
+    oracle=f"""
+    WITH z AS (
+      SELECT p_partkey, p_size, p_retailprice, {_ZVAL} AS zval
+      FROM part
+    ), buck AS (
+      SELECT *, ntile(16) OVER (ORDER BY zval, p_partkey) AS bucket FROM z
+    )
+    SELECT bucket, count(*) AS n_parts,
+           max(p_size) - min(p_size) AS size_extent,
+           CAST(max(p_retailprice) - min(p_retailprice) AS DOUBLE) AS price_extent
+    FROM buck GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Z-order (Morton-curve) clustering for multi-dimension data "
+    "skipping — the lakehouse write-optimization that makes min/max "
+    "file pruning work on TWO filter columns at once: both dims are "
+    "mapped to 8-bit ranges, bit-interleaved into a 16-bit z-value in "
+    "pure codegen integer ops, and the table is range-bucketed along "
+    "the curve. The emitted per-bucket extents (max-min of each "
+    "dimension) ARE the pruning quality: under z-order every bucket "
+    "covers a small rectangle of (size, price) space, where a "
+    "single-column sort leaves the second dimension's extent at full "
+    "range. At 100 TB the ntile becomes repartitionByRange(zval) "
+    "before the file write — same curve, same skipping.",
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    z = part.select(
+        "p_partkey", "p_size", "p_retailprice", F.expr(_ZVAL).alias("zval")
+    )
+    w = Window.orderBy("zval", "p_partkey")
+    return (
+        z.withColumn("bucket", F.ntile(16).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.max("p_size") - F.min("p_size")).alias("size_extent"),
+            (F.max("p_retailprice") - F.min("p_retailprice"))
+            .cast("double")
+            .alias("price_extent"),
+        )
+        .orderBy("bucket")
+    )

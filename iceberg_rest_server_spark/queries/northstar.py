@@ -429,7 +429,9 @@ def q36_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="LSH-bucketed ANN top-k (random hyperplanes, 16 tables × 4 planes): "
     "candidates share any table bucket; exact rescoring inside the "
     "candidate set. Self-verified: per-query recall@5 vs the in-query "
-    "brute-force baseline, boolean pinned by the oracle.",
+    "brute-force baseline, boolean pinned by the oracle. The brute pass "
+    "exists only for this correctness gate — the production path is "
+    "cosine_topk_lsh alone (bucketed equi-join, no all-pairs scan).",
 )
 def q36_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -470,7 +472,8 @@ def q36_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded driver-side sample, FAISS-style), Arrow-batched list "
     "assignment, nprobe-list candidate equi-join, exact cosine rescore. "
     "Self-verified: per-query recall@5 vs the in-query brute-force "
-    "baseline, boolean pinned by the oracle.",
+    "baseline, boolean pinned by the oracle; the brute pass exists only "
+    "for this gate — the production path is cosine_topk_ivf alone.",
 )
 def q38_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -872,7 +875,7 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*) AS n_segments,
-           sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_removed,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
            md5(string_agg(seg, ' ' ORDER BY seg_idx)
                  FILTER (WHERE NOT boiler)) AS cleaned_digest
     FROM flagged GROUP BY doc_id ORDER BY doc_id
