@@ -18,5 +18,6 @@ from . import stats  # noqa: F401  (Q41+ statistics)
 from . import mixing  # noqa: F401  (Q43–Q48 corpus hygiene / data mixing)
 from . import tpch  # noqa: F401  (Q63–Q77 TPC-H-adapted suite)
 from . import packing  # noqa: F401  (Q78–Q81 training-data export ops)
+from . import sources  # noqa: F401  (Q117 source/sink format round-trips)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

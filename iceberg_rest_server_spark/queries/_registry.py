@@ -97,12 +97,11 @@ _DRIVER_ORDER_HEAD = [
     "q113_paragraph_dedup",
     "q114_embedding_quantization",
     "q116_zorder_clustering",
+    "q117_source_roundtrip",
     "q34_catalog_end_to_end",
     "q83_row_level_delete",
     "q06_approx_distinct",
     "q32_simhash_pairs",
-    # --- rotation fill: previously-green, oldest verification first ---
-    "q49_dedup_clusters",
 ]
 
 
