@@ -55,6 +55,13 @@ def main() -> None:
     _li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(20000)
     _li.groupBy("l_returnflag").agg(
         _F.sum(_F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+        # decimal×decimal product sums codegen differently (38,6 overflow
+        # checks) from the plain decimal sum — warm both, or the first
+        # money-math query (q03) absorbs its JIT
+        _F.sum(
+            _F.col("l_extendedprice").cast("decimal(18,2)")
+            * (_F.lit(1) - _F.col("l_discount")).cast("decimal(18,2)")
+        ).cast("double"),
         _F.count(_F.lit(1)),
     ).collect()
     _li.select(
