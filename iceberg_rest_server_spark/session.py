@@ -28,7 +28,12 @@ def get_spark(app_name: str = "iceberg_rest_server_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local-mode executors live inside the driver JVM: across a
+        # 137-query bench the codegen cache, broadcasts, and shuffle
+        # buffers accumulate, and a 16g heap showed 2-3x run-to-run
+        # variance on the heavy dedup queries from full-GC pauses;
+        # 48g (of the 128 GiB box) keeps GC out of the measurements
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
