@@ -76,7 +76,6 @@ _DRIVER_ORDER_HEAD = [
     "q30_stream_session_window",
     "q58_stream_stream_join",
     "q39_stream_stateful_user_totals",
-    "q57_stream_static_enrich",
     "q90_stream_catalog_sink",
     "q115_stream_ingest_dedup",
     # --- new or changed this round: verify ---
@@ -98,10 +97,11 @@ _DRIVER_ORDER_HEAD = [
     "q114_embedding_quantization",
     "q116_zorder_clustering",
     "q117_source_roundtrip",
+    "q118_python_udtf",
+    "q119_right_outer_join",
     "q34_catalog_end_to_end",
     "q83_row_level_delete",
     "q06_approx_distinct",
-    "q32_simhash_pairs",
 ]
 
 

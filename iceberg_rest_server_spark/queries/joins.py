@@ -278,3 +278,32 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull()).alias("in_both"),
     ).orderBy("custkey")
+
+
+@register(
+    "q119_right_outer_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           o.o_orderkey, o.o_totalprice
+    FROM orders o
+    RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+                               AND o.o_orderdate >= DATE '2001-01-01'
+    ORDER BY c.c_custkey, o.o_orderkey
+    """,
+    doc="Right outer join with a join-side (not WHERE) filter on the "
+    "stream side — customers preserved even when no 2001+ order "
+    "matches, NULLs on the order columns. Completes the outer-join "
+    "family (left: q10, full: q54). Spark plans the preserved side as "
+    "the build/stream choice AQE picks; the date predicate stays IN "
+    "the join condition (a WHERE would wrongly drop unmatched "
+    "customers).",
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_orderdate >= F.lit("2001-01-01"))
+    return (
+        o.join(c, cond, "right_outer")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )

@@ -122,3 +122,49 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(trimmed_mean, schema="n_name string, n_used long, trimmed_mean double")
         .orderBy("n_name")
     )
+
+
+@register(
+    "q118_python_udtf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, token, count(*) AS cnt
+    FROM toks
+    WHERE length(token) >= 6
+    GROUP BY doc_id, token
+    ORDER BY doc_id, token
+    """,
+    doc="Python user-defined TABLE function (Spark 3.5+ @udtf API): a "
+    "1-row -> N-rows tokenizer exposed through LATERAL join SQL — the "
+    "remaining Python-extension surface after scalar UDFs (q27), "
+    "grouped UDAFs (q28), and mapInPandas (q37). UDTFs run "
+    "row-at-a-time in the Python worker, so this tier is for logic "
+    "that genuinely needs per-row generators; the oracle (and the "
+    "100 TB path) is the codegen explode the planner uses everywhere "
+    "else in this repo — the entry proves API parity, not a "
+    "performance recommendation.",
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for tok in (text or "").split(" "):
+                if len(tok) >= 6:
+                    yield (tok,)
+
+    spark.udtf.register("q118_tokenize", Tokenize)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("q118_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, count(*) AS cnt
+        FROM q118_docs d, LATERAL q118_tokenize(d.text) t
+        GROUP BY d.doc_id, t.token
+        ORDER BY d.doc_id, t.token
+        """
+    )
