@@ -146,10 +146,13 @@ class CatalogHandler(BaseHTTPRequestHandler):
         parsed = urllib.parse.urlparse(self.path)
         qs = urllib.parse.parse_qs(parsed.query)
         parts = [p for p in parsed.path.split("/") if p]
-        denied = self._authorize()
-        if denied is not None:
-            self._send(*denied)
-            return
+        # /health sits outside the auth layer (api/router.rs:53 mounts it
+        # on the top-level router, not behind the token middleware)
+        if parts != ["health"]:
+            denied = self._authorize()
+            if denied is not None:
+                self._send(*denied)
+                return
         try:
             code, payload = self.route(self.command, parts, qs)
         except NotFoundError as e:
@@ -235,6 +238,9 @@ class CatalogHandler(BaseHTTPRequestHandler):
     # -------------------------------------------------------------- routes
 
     def route(self, method: str, parts: list[str], qs: dict) -> tuple[int, dict | None]:
+        if parts == ["health"] and method == "GET":
+            # api/router.rs:53 — unauthenticated liveness probe
+            return 200, {"status": "ok"}
         if parts[:2] == ["catalog", "v1"]:
             return self._catalog_route(method, parts[2:], qs)
         if parts[:2] == ["management", "v1"]:

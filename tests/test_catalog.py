@@ -491,3 +491,52 @@ def test_warehouse_delete_and_credential_routes_http():
         with pytest.raises(CatalogHTTPError) as ei:
             c._request("GET", f"/management/v1/warehouse/{wid}")
         assert ei.value.code == 404
+
+
+def test_health_route_and_cli():
+    """GET /health answers outside the auth layer (api/router.rs:53);
+    the CLI's healthcheck/version/migrate commands mirror
+    iceberg-catalog-bin (main.rs:29-39)."""
+    import json as _json
+    import urllib.request
+
+    from iceberg_rest_server_spark.catalog.__main__ import main as cli_main
+    from iceberg_rest_server_spark.catalog.server import ServerThread
+
+    with ServerThread() as server:
+        with urllib.request.urlopen(f"{server.base_url}/health") as resp:
+            assert resp.status == 200
+            assert _json.loads(resp.read())["status"] == "ok"
+        assert cli_main(["healthcheck", "--url", server.base_url]) == 0
+    assert cli_main(["healthcheck", "--url", "http://127.0.0.1:1"]) == 1
+    assert cli_main(["version"]) == 0
+    assert cli_main(["migrate"]) == 0
+
+
+def test_health_route_bypasses_token_auth():
+    """With an OIDC verifier configured every route 401s without a
+    bearer token — except /health, which the reference mounts outside
+    the middleware."""
+    import urllib.error
+    import urllib.request
+
+    from iceberg_rest_server_spark.catalog.auth import TokenVerifier
+    from iceberg_rest_server_spark.catalog.server import ServerThread
+
+    class _RejectAll(TokenVerifier):
+        def __init__(self):
+            pass
+
+        def verify(self, token):
+            from iceberg_rest_server_spark.catalog.store import UnauthorizedError
+
+            raise UnauthorizedError("no")
+
+    with ServerThread(verifier=_RejectAll()) as server:
+        with urllib.request.urlopen(f"{server.base_url}/health") as resp:
+            assert resp.status == 200
+        try:
+            urllib.request.urlopen(f"{server.base_url}/management/v1/project")
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
