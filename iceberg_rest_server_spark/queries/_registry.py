@@ -75,8 +75,6 @@ _DRIVER_ORDER_HEAD = [
     "q29_stream_tumbling_window",
     "q30_stream_session_window",
     "q58_stream_stream_join",
-    "q39_stream_stateful_user_totals",
-    "q90_stream_catalog_sink",
     "q115_stream_ingest_dedup",
     # --- new or changed this round: verify ---
     "q99_substring_dedup",
@@ -99,8 +97,10 @@ _DRIVER_ORDER_HEAD = [
     "q117_source_roundtrip",
     "q118_python_udtf",
     "q119_right_outer_join",
+    "q120_leakage_safe_split",
+    "q121_vocabulary_oov",
+    "q122_grouped_ols_trend",
     "q34_catalog_end_to_end",
-    "q83_row_level_delete",
     "q06_approx_distinct",
 ]
 

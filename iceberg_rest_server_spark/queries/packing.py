@@ -294,3 +294,134 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q120_leakage_safe_split",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2') AS is_test
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, is_test, string_split(text, ' ') AS w FROM split
+    ), runs AS (
+      SELECT doc_id, is_test,
+             unnest([md5(array_to_string(w[i:i+7], ' '))
+                     for i in range(1, len(w) - 6)]) AS h
+      FROM toks WHERE len(w) >= 8
+    ), leaked AS (
+      SELECT DISTINCT r.doc_id
+      FROM runs r
+      WHERE NOT r.is_test
+        AND r.h IN (SELECT h FROM runs WHERE is_test)
+    )
+    SELECT
+      (SELECT count(*) FROM split WHERE is_test) AS n_test,
+      (SELECT count(*) FROM split WHERE NOT is_test) AS n_train_raw,
+      (SELECT count(*) FROM leaked) AS n_leaked,
+      (SELECT count(*) FROM split WHERE NOT is_test) - (SELECT count(*) FROM leaked)
+        AS n_train_clean
+    """,
+    doc="Leakage-safe train/test split: a deterministic md5 hash split "
+    "(3/16 test) followed by 8-token-run overlap decontamination — any "
+    "train document sharing a verbatim 8-token run with ANY test "
+    "document is evicted from train, the split-hygiene step every "
+    "LM-eval pipeline needs before measuring. Composition of q45's "
+    "hash-split and q99's window-hash machinery: run hashes shuffle "
+    "once, the test-run set stays hash-sized, and the eviction is a "
+    "semi join — no text ever crosses the wire twice. Counts emitted "
+    "for the hash check; the evicted id set is the semi-join input.",
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    is_test = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2")
+    split = docs.withColumn("is_test", is_test)
+    toks = F.split(F.col("text"), " ")
+    runs_col = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 7),"
+        " i -> md5(array_join(slice(split(text, ' '), i, 8), ' ')))"
+    )
+    runs = (
+        split.filter(F.size(toks) >= 8)
+        .select("doc_id", "is_test", F.explode(runs_col).alias("h"))
+    )
+    test_runs = runs.filter(F.col("is_test")).select("h").distinct()
+    leaked = (
+        runs.filter(~F.col("is_test"))
+        .join(test_runs, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    counts = split.agg(
+        F.sum(F.col("is_test").cast("long")).alias("n_test"),
+        F.sum((~F.col("is_test")).cast("long")).alias("n_train_raw"),
+    )
+    n_leaked = leaked.agg(F.count(F.lit(1)).alias("n_leaked"))
+    return (
+        counts.crossJoin(F.broadcast(n_leaked))
+        .select(
+            "n_test",
+            "n_train_raw",
+            "n_leaked",
+            (F.col("n_train_raw") - F.col("n_leaked")).alias("n_train_clean"),
+        )
+    )
+
+
+@register(
+    "q121_vocabulary_oov",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), freq AS (
+      SELECT token, count(*) AS tf FROM toks GROUP BY token
+    ), vocab AS (
+      SELECT token FROM freq ORDER BY tf DESC, token LIMIT 32
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="Frequency-based vocabulary construction + per-document OOV "
+    "profiling: the top-V tokens by corpus frequency (deterministic "
+    "tiebreak) become the vocabulary, then every document reports its "
+    "out-of-vocabulary token count and rate — the tokenizer-prep signal "
+    "that decides V before BPE training. The vocab is output-sized (V "
+    "rows) and broadcast to the probe side; one token-frequency "
+    "aggregate (map-side combined) plus one broadcast left join — no "
+    "row ever shuffles twice. OOV rate is an exact integer ratio "
+    "rounded identically on both engines.",
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), "token")
+        .limit(32)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )

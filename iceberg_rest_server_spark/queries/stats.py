@@ -468,3 +468,53 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q122_grouped_ols_trend",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(sum(CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS DECIMAL(18,2))
+                      * CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+    FROM s ORDER BY o_orderpriority
+    """,
+    doc="Grouped least-squares trend (price drift per order priority): "
+    "closed-form OLS slope/intercept from EXACT decimal power sums in "
+    "ONE aggregate pass — the q62 pattern extended to regression. The "
+    "float division happens once per group on exact sums, so the "
+    "result is bit-deterministic under any partitioning (a naive "
+    "per-partition double accumulation is not); map-side combines like "
+    "any sum, output is group-count-sized. Day offsets from a fixed "
+    "epoch keep x integer-exact.",
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("decimal(18,2)")
+    y = F.col("o_totalprice").cast("decimal(18,2)")
+    s = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "o_orderpriority",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("o_orderpriority")
