@@ -41,13 +41,13 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 # The driver's per-round correctness run evaluates queries() in dict order
 # and covers a bounded prefix (the first 50 entries) per round. To maximize
-# cumulative driver-verified coverage, list first the 21 entries that have
-# never appeared in a driver window (everything else in the registry has a
-# green row in CORRECTNESS_r01-r03), then the streaming entries (the one
-# historical regression class — keep them warm every round), then entries
-# whose code or oracle changed this round, then a rotation fill of
-# previously-green entries for regression cover. Every entry is always
-# returned — this is ordering only, not selection.
+# cumulative driver-verified coverage, list first the entries that have
+# never appeared in a driver window (r1-r3 missed the 21 at the top), then
+# streaming regression cover (the one historical regression class), then
+# every entry added or whose oracle changed this round (q99-q123, q34,
+# q06). Entries with unchanged code and green rows in CORRECTNESS_r01-r03
+# rotate out to make room. Every entry is always returned — this is
+# ordering only, not selection.
 _DRIVER_ORDER_HEAD = [
     # --- never covered by a driver run (r1-r3 windows missed them) ---
     "q36_ann_lsh_topk",
@@ -72,7 +72,6 @@ _DRIVER_ORDER_HEAD = [
     "q97_ratio_to_report",
     "q98_median_absolute_deviation",
     # --- streaming regression cover (broke once in r02; keep warm) ---
-    "q29_stream_tumbling_window",
     "q30_stream_session_window",
     "q58_stream_stream_join",
     "q115_stream_ingest_dedup",
@@ -100,6 +99,7 @@ _DRIVER_ORDER_HEAD = [
     "q120_leakage_safe_split",
     "q121_vocabulary_oov",
     "q122_grouped_ols_trend",
+    "q123_variant_json",
     "q34_catalog_end_to_end",
     "q06_approx_distinct",
 ]

@@ -216,3 +216,41 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("c_acctbal").isNotNull().alias("bal_present"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q123_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT type over semi-structured JSON: props parsed "
+    "ONCE into the binary variant encoding (parse_json), then typed "
+    "extractions via variant_get('$.k', 'bigint') feed the aggregate, "
+    "with try_variant_get returning NULL for absent paths — the "
+    "shredded-JSON path that replaces per-access get_json_object "
+    "string re-parsing (q23's tier): at 100 TB, parse-once-extract-"
+    "many is the difference between one scan-side decode and one "
+    "decode per extraction expression.",
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    v = events.withColumn("v", F.parse_json("props"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(v, '$.missing', 'bigint')")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.sum(missing.isNull().cast("long")).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
