@@ -474,3 +474,35 @@ def test_weighted_bernoulli_sample_matches_reference(spark, rows, k):
     want = {key for key, w in rows if u6(key) * total < k * w * 16**6}
     assert got == want
     assert all(w > 0 for key, w in rows if key in got)
+
+
+# ------------------------------------------------------ z-order interleave
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=255),
+                  st.integers(min_value=0, max_value=255)),
+        min_size=1, max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_zorder_interleave_matches_python_reference(spark, pairs):
+    """The shared Morton-code SQL fragment must equal a bit-twiddling
+    Python reference for arbitrary 8-bit inputs."""
+    from iceberg_rest_server_spark.queries.mixing import _ZINTERLEAVE
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [
+        r["z"]
+        for r in df.selectExpr(f"{_ZINTERLEAVE.format(a='a', b='b')} AS z")
+        .collect()
+    ]
+
+    def ref(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [ref(a, b) for a, b in pairs]

@@ -79,3 +79,30 @@ def test_theta_join_keeps_equi_key(spark, sf_dir):
 def test_no_cartesian_product(spark, sf_dir, name):
     plan = _plan(REGISTRY[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_q110_sample_is_scan_predicate_no_sort(spark, sf_dir):
+    """Weighted Bernoulli sampling must plan as a broadcast scalar +
+    filter: no Sort, no shuffle Exchange on the documents side."""
+    plan = _plan(REGISTRY["q110_weighted_sample"].fn(spark, sf_dir))
+    # the only sort allowed is the final output orderBy
+    assert plan.count("Sort") <= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q113_segment_dedup_single_documents_scan_per_branch(spark, sf_dir):
+    """Segment dedup reads documents once for the segment explode; the
+    occurrence count and re-aggregation reuse that lineage (scan appears
+    at most twice: explode + none; exchange reuse may dedupe)."""
+    plan = _plan(REGISTRY["q113_paragraph_dedup"].fn(spark, sf_dir))
+    assert plan.count("documents.parquet") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q108_funnel_single_user_shuffle(spark, sf_dir):
+    """The three conditional MIN windows must share ONE user_id
+    partitioning: exactly one shuffle exchange below the windows."""
+    plan = _plan(REGISTRY["q108_event_funnel"].fn(spark, sf_dir))
+    assert plan.count("Window") >= 1
+    # events scanned once; no self-joins
+    assert plan.count("events.parquet") == 1
