@@ -28,6 +28,7 @@ def asof_join(
     right_ts: str,
     right_cols: dict[str, str],
     inclusive: bool = True,
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` (``<`` if ``inclusive=False``) per key.
@@ -35,6 +36,12 @@ def asof_join(
     ``right_cols`` maps right column → output alias (the as-of payload).
     Returns all left columns plus the aliased payload columns (null when
     no right row precedes the left row).
+
+    ``tolerance`` (pandas ``merge_asof``-style) bounds staleness: a
+    match older than ``left.ts - tolerance`` is treated as no match
+    (payload NULLed). Pass an interval Column, e.g.
+    ``F.expr("INTERVAL 1 HOUR")``. Same single-shuffle plan — the bound
+    is a post-window projection, not a join condition.
     """
     # Tag order inside equal timestamps decides inclusivity: with the
     # right side sorted first (tag 0 < 1), an equal-ts right row is
@@ -66,13 +73,27 @@ def asof_join(
     joined = l.unionByName(r).select(
         "__tag",
         "__left",
+        F.col("__ts"),
+        F.last(
+            F.when(F.col("__tag") == right_tag, F.col("__ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__matched_rts"),
         *[
             F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"__a_{c}")
             for c in payload_src
         ],
     )
+    fresh = (
+        F.lit(True)
+        if tolerance is None
+        else F.col("__matched_rts") >= F.col("__ts") - tolerance
+    )
     out = joined.filter(F.col("__tag") == left_tag).select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__a_{c}").alias(alias) for c, alias in right_cols.items()],
+        *[
+            F.when(fresh, F.col(f"__a_{c}")).alias(alias)
+            for c, alias in right_cols.items()
+        ],
     )
     return out

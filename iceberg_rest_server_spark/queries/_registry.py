@@ -73,7 +73,6 @@ _DRIVER_ORDER_HEAD = [
     "q98_median_absolute_deviation",
     # --- streaming regression cover (broke once in r02; keep warm) ---
     "q30_stream_session_window",
-    "q58_stream_stream_join",
     "q115_stream_ingest_dedup",
     # --- new or changed this round: verify ---
     "q99_substring_dedup",
@@ -100,6 +99,7 @@ _DRIVER_ORDER_HEAD = [
     "q121_vocabulary_oov",
     "q122_grouped_ols_trend",
     "q123_variant_json",
+    "q124_asof_attribution",
     "q34_catalog_end_to_end",
     "q06_approx_distinct",
 ]

@@ -307,3 +307,59 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .orderBy("c_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q124_asof_attribution",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    m AS (
+      SELECT p.user_id, p.ts,
+             (SELECT max(v.ts) FROM v
+              WHERE v.user_id = p.user_id AND v.ts <= p.ts) AS vts
+      FROM p
+    )
+    SELECT date_trunc('day', ts) AS day,
+           count(*) AS n_purchases,
+           CAST(sum(CASE WHEN vts IS NOT NULL
+                          AND vts >= ts - INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+    doc="Last-touch attribution via tolerance-bounded as-of join "
+    "(pandas merge_asof semantics, distributed): each purchase is "
+    "attributed to the same user's most recent view, but only if that "
+    "view is at most 1 hour stale — the staleness bound marketing/"
+    "feature-store joins need (a 3-day-old view is not a 'touch'). "
+    "Same union+window single-shuffle plan as q14; the tolerance is a "
+    "post-window projection, never a range-join condition, so skewed "
+    "users cannot explode pairs. The oracle states the same semantics "
+    "as a correlated max-subquery.",
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    matched = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="vts",
+        right_cols={"vts": "view_ts"},
+        inclusive=True,
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return (
+        matched.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("view_ts").isNotNull().cast("long")).alias("n_attributed"),
+        )
+        .orderBy("day")
+    )

@@ -506,3 +506,39 @@ def test_zorder_interleave_matches_python_reference(spark, pairs):
         return z
 
     assert got == [ref(a, b) for a, b in pairs]
+
+
+@given(left=_events, right=_events, tol=st.integers(min_value=0, max_value=8))
+@settings(**_SETTINGS)
+def test_asof_join_tolerance_matches_reference(spark, left, right, tol):
+    """merge_asof-style staleness bound: a match older than lts - tol
+    must come back NULL; within the bound, identical to the unbounded
+    as-of. (Integer timestamps; tolerance passed as a literal.)"""
+    if not left:
+        return
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "key long, lts long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(right)],
+        "key long, rts long, rid long",
+    )
+    out = asof_join(
+        ldf, rdf, on=["key"], left_ts="lts", right_ts="rts",
+        right_cols={"rid": "matched_rid"}, inclusive=True, tolerance=F.lit(tol),
+    )
+    got = {r["lid"]: r["matched_rid"] for r in out.collect()}
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, rid)
+            for (rk, rt), rid in zip(right, range(100, 100 + len(right)))
+            if rk == k and rt <= t
+        ]
+        if not cands:
+            assert got[i] is None
+            continue
+        best_ts = max(c[0] for c in cands)
+        if best_ts < t - tol:
+            assert got[i] is None, (i, k, t, tol, got[i])
+        else:
+            assert got[i] in {rid for rt, rid in cands if rt == best_ts}
