@@ -72,7 +72,6 @@ _DRIVER_ORDER_HEAD = [
     "q97_ratio_to_report",
     "q98_median_absolute_deviation",
     # --- streaming regression cover (broke once in r02; keep warm) ---
-    "q30_stream_session_window",
     "q115_stream_ingest_dedup",
     # --- new or changed this round: verify ---
     "q99_substring_dedup",
@@ -100,8 +99,9 @@ _DRIVER_ORDER_HEAD = [
     "q122_grouped_ols_trend",
     "q123_variant_json",
     "q124_asof_attribution",
+    "q125_quality_canonical",
+    "q126_pmi_collocations",
     "q34_catalog_end_to_end",
-    "q06_approx_distinct",
 ]
 
 

@@ -947,3 +947,147 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dim", "lo", "hi", F.col("err_ok"))
         .orderBy("dim")
     )
+
+
+@register(
+    "q125_quality_canonical",
+    oracle="""
+    WITH RECURSIVE grams AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+    ),
+    edges AS (
+      SELECT id1 AS u, id2 AS v FROM pairs
+      UNION
+      SELECT id2 AS u, id1 AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+    ),
+    quality AS (
+      SELECT doc_id,
+             len(list_distinct(regexp_split_to_array(text, '\\s+')))
+               * 1000000 + length(text) AS q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.q,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.q DESC, c.doc_id) AS rk
+      FROM comp c JOIN quality q ON q.doc_id = c.doc_id
+    )
+    SELECT component AS cluster_id, doc_id AS keeper_id,
+           CAST(q AS BIGINT) AS keeper_quality
+    FROM ranked WHERE rk = 1 ORDER BY cluster_id
+    """,
+    doc="Quality-aware canonical selection: within each near-dup cluster "
+    "keep the HIGHEST-QUALITY document (lexicographic key: distinct-"
+    "token count, then length — an integer, so fully decidable, unlike "
+    "q96's float PageRank scores), not the min-id. This is the rule "
+    "production corpus dedup actually ships: of N near-identical crawls "
+    "keep the richest one. Reuses the exact-Jaccard pairs + CC "
+    "machinery; the quality join adds one broadcast-sized aggregate "
+    "per clustered doc.",
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = dedup.connected_components(pairs, "id1", "id2")
+    quality = docs.select(
+        F.col("doc_id").alias("id"),
+        (
+            F.size(F.array_distinct(F.split(F.col("text"), r"\s+"))).cast("long")
+            * 1000000
+            + F.length("text")
+        ).alias("q"),
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("q"), "id")
+    return (
+        comp.join(quality, "id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("id").alias("keeper_id"),
+            F.col("q").alias("keeper_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "q126_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bigrams AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM toks, LATERAL unnest(range(1, len(w))) AS t(i)
+    ), uni AS (
+      SELECT w1 AS tok, count(*) AS c FROM bigrams GROUP BY 1
+    ), big AS (
+      SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2
+    ), tot AS (
+      SELECT count(*) AS n FROM bigrams
+    )
+    SELECT b.w1, b.w2, b.c12,
+           round(ln(CAST(b.c12 AS DOUBLE) * t.n
+                    / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+    FROM big b
+    JOIN uni u1 ON u1.tok = b.w1
+    JOIN uni u2 ON u2.tok = b.w2
+    CROSS JOIN tot t
+    WHERE b.c12 >= 5
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 50
+    """,
+    doc="PMI collocation mining (pointwise mutual information of adjacent "
+    "token bigrams, c12 >= 5 support): the association-strength signal "
+    "tokenizer/phrase-merge pipelines rank candidate merges by. One "
+    "bigram explode feeds both the unigram-position counts and the "
+    "bigram counts (map-side combined); the PMI inputs are exact "
+    "integer products inside ln() so both engines see bit-identical "
+    "doubles (q112's technique), rounded to 6 dp; top-50 with full "
+    "tiebreak.",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams_col = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> struct(element_at(split(text, ' '), i) AS w1,"
+        "            element_at(split(text, ' '), i + 1) AS w2))"
+    )
+    bigrams = docs.select(F.explode(bigrams_col).alias("bg")).select("bg.w1", "bg.w2")
+    uni = bigrams.groupBy(F.col("w1").alias("tok")).agg(F.count(F.lit(1)).alias("c"))
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tot = bigrams.agg(F.count(F.lit(1)).alias("n"))
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.col("n")
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        big.filter(F.col("c12") >= 5)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
