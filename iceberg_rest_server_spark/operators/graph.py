@@ -182,12 +182,16 @@ def pagerank_canonicals(
     )
     ranks = pagerank(sym, damping=damping, max_iter=max_iter)
     comp = connected_components(pairs, id1, id2)
-    glob = Window.partitionBy()
+    joined = comp.join(ranks, "id")
+    # The two graph-global invariants come from a partial/final aggregate
+    # broadcast back as a 1-row cross join — an unpartitioned window here
+    # would funnel every node row through a single partition.
+    glob = joined.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("rank").alias("total_mass")
+    )
     w = Window.partitionBy("component").orderBy(F.desc("rank"), "id")
     return (
-        comp.join(ranks, "id")
-        .withColumn("n_nodes", F.count(F.lit(1)).over(glob))
-        .withColumn("total_mass", F.sum("rank").over(glob))
+        joined.crossJoin(F.broadcast(glob))
         .withColumn("rk", F.row_number().over(w))
         .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
         .filter(F.col("rk") == 1)

@@ -20,8 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Shared defaults so callers deriving the eps·N overcount bound
+# (eps = e / width) stay in lockstep with the sketch geometry.
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
 
-def cms_counters(df: DataFrame, key_col: str, width: int = 2048, depth: int = 4) -> DataFrame:
+
+def cms_counters(
+    df: DataFrame, key_col: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> DataFrame:
     """Build the d×w counter matrix: rows (row, bucket, cnt)."""
     rows = []
     for i in range(depth):
@@ -40,7 +47,7 @@ def cms_counters(df: DataFrame, key_col: str, width: int = 2048, depth: int = 4)
 
 
 def cms_estimate(
-    counters: DataFrame, keys: DataFrame, key_col: str, width: int = 2048, depth: int = 4
+    counters: DataFrame, keys: DataFrame, key_col: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
 ) -> DataFrame:
     """Estimate each key's frequency: min over the d rows of its counter.
     `counters` is tiny (d·w rows max) — broadcast to the keys side."""

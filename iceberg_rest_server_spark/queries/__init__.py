@@ -19,5 +19,6 @@ from . import mixing  # noqa: F401  (Q43–Q48 corpus hygiene / data mixing)
 from . import tpch  # noqa: F401  (Q63–Q77 TPC-H-adapted suite)
 from . import packing  # noqa: F401  (Q78–Q81 training-data export ops)
 from . import sources  # noqa: F401  (Q117 source/sink format round-trips)
+from . import advanced  # noqa: F401  (Q127–Q133 round-5 tier)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

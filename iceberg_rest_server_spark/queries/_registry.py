@@ -40,67 +40,78 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 
 # The driver's per-round correctness run evaluates queries() in dict order
-# and covers a bounded prefix (the first 50 entries) per round. To maximize
-# cumulative driver-verified coverage, list first the entries that have
-# never appeared in a driver window (r1-r3 missed the 21 at the top), then
-# streaming regression cover (the one historical regression class), then
-# every entry added or whose oracle changed this round (q99-q123, q34,
-# q06). Entries with unchanged code and green rows in CORRECTNESS_r01-r03
-# rotate out to make room. Every entry is always returned — this is
-# ordering only, not selection.
+# and covers a bounded prefix (the first 50 entries) per round. Cumulative
+# driver coverage after r4 is all 146 entries (r1-r3: 97 unique green,
+# r4: the 21 never-windowed + the q99-q126 tier, 50/50 green). The round-5
+# window therefore prioritizes, in order: (1) entries added this round,
+# (2) entries whose code or oracle changed this round, (3) entries whose
+# oracle changed in r4 but rotated out before a driver run saw them
+# (q06, q32_simhash), (4) the streaming regression class (broke once in
+# r02 on replay-hash drift; keep warm every round), then (5) rotation of
+# the oldest-coverage green entries (last windowed in r1) for regression
+# cover. Every entry is always returned — this is ordering only, not
+# selection.
 _DRIVER_ORDER_HEAD = [
-    # --- never covered by a driver run (r1-r3 windows missed them) ---
+    # --- (1) new this round ---
+    "q127_kmeans_clustering",
+    "q128_edit_distance_join",
+    "q129_scd2_reconstruction",
+    "q130_interval_concurrency",
+    "q131_markov_transitions",
+    "q132_rfm_segmentation",
+    "q133_hard_negative_mining",
+    # --- (2) code changed this round ---
     "q36_ann_lsh_topk",
-    "q37_multimodal_features",
     "q38_ann_ivf_topk",
-    "q41_percentiles",
-    "q42_histogram",
-    "q45_hash_sample",
-    "q46_stratified_topk",
-    "q56_unpivot",
-    "q84_skewed_distinct_agg",
-    "q85_salted_join",
-    "q86_gap_fill_ffill",
     "q88_cms_heavy_hitters",
-    "q89_approx_percentiles",
-    "q91_equidepth_histogram",
-    "q92_trailing_window_agg",
-    "q93_data_quality_checks",
-    "q94_unicode_normalize",
-    "q95_tpch_q12",
     "q96_pagerank_canonical",
-    "q97_ratio_to_report",
-    "q98_median_absolute_deviation",
-    # --- streaming regression cover (broke once in r02; keep warm) ---
-    "q115_stream_ingest_dedup",
-    # --- new or changed this round: verify ---
-    "q99_substring_dedup",
-    "q100_bloom_decontaminate",
-    "q101_incremental_mv",
-    "q102_tpch_q2",
-    "q103_tpch_q9",
-    "q104_tpch_q11",
-    "q105_tpch_q16",
-    "q106_tpch_q20",
-    "q107_tpch_q21",
-    "q108_event_funnel",
-    "q109_cohort_retention",
-    "q110_weighted_sample",
     "q111_hll_union_rollup",
-    "q112_domain_kl_drift",
-    "q113_paragraph_dedup",
-    "q114_embedding_quantization",
-    "q116_zorder_clustering",
-    "q117_source_roundtrip",
-    "q118_python_udtf",
-    "q119_right_outer_join",
-    "q120_leakage_safe_split",
-    "q121_vocabulary_oov",
-    "q122_grouped_ols_trend",
-    "q123_variant_json",
-    "q124_asof_attribution",
-    "q125_quality_canonical",
-    "q126_pmi_collocations",
+    # --- (3) oracle changed in r4, never driver-verified since ---
+    "q06_approx_distinct",
+    "q32_simhash_pairs",
+    # --- (4) streaming regression cover ---
+    "q29_stream_tumbling_window",
+    "q30_stream_session_window",
+    "q39_stream_stateful_user_totals",
+    "q57_stream_static_enrich",
+    "q58_stream_stream_join",
+    "q90_stream_catalog_sink",
+    "q115_stream_ingest_dedup",
+    # --- (5) oldest-coverage rotation (r1-era rows; re-prove) ---
+    "q01_scan_projection",
+    "q03_hash_aggregate",
+    "q07_inner_join",
+    "q08_broadcast_join",
+    "q09_multiway_join",
+    "q14_asof_join",
+    "q15_rollup",
+    "q16_window_ranking",
+    "q18_topk",
+    "q19_intersect",
+    "q20_string_functions",
+    "q21_date_functions",
+    "q22_math_functions",
+    "q23_array_map_json",
+    "q25_correlated_subquery",
+    "q26_cte",
+    "q27_udf_parity",
+    "q28_grouped_pandas_udaf",
+    "q31_exact_dedup",
+    "q32_minhash_lsh_pairs",
+    "q32_ngram_jaccard_pairs",
+    "q33_tfidf_top_terms",
+    "q35_cosine_neardup_pairs",
+    "q40_curation_pipeline",
+    "q43_sessionize_batch",
+    "q47_fuzzy_brand_pairs",
+    "q48_decontamination",
+    "q49_dedup_clusters",
+    "q52_latest_by_key",
+    "q63_tpch_q1",
+    "q69_tpch_q8",
+    "q74_tpch_q17",
+    "q82_merge_upsert",
+    "q83_row_level_delete",
     "q34_catalog_end_to_end",
 ]
 

@@ -170,15 +170,15 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     "confined to the (tiny) selected-key set anyway.",
 )
 def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketch import cms_counters, cms_estimate
+    from ..operators.sketch import CMS_WIDTH, cms_counters, cms_estimate
 
     events = load(spark, sf_dir, "events")
-    counters = cms_counters(events, "user_id")
+    counters = cms_counters(events, "user_id", width=CMS_WIDTH)
     exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
-    est = cms_estimate(counters, exact.select("user_id"), "user_id")
+    est = cms_estimate(counters, exact.select("user_id"), "user_id", width=CMS_WIDTH)
     n = events.count()
     threshold = max(n // 200, 1)  # 0.5% heavy hitters
-    eps_bound = int(2.718281828 / 2048 * n) + 1
+    eps_bound = int(2.718281828 / CMS_WIDTH * n) + 1
     return (
         est.filter(F.col("est_count") >= threshold)
         .join(exact, "user_id")
@@ -447,7 +447,6 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_day"),
     )
     rolled = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
