@@ -155,12 +155,23 @@ def main() -> None:
             json.dump(out, fh, indent=1)
     except OSError:
         pass
-    # The driver keeps only the LAST 2000 chars of stdout and json-parses
-    # the final line — with 146 queries the full dict blows past that and
-    # the headline metric is lost (BENCH_r03/r04 both show parsed: null).
-    # Emit a final line that always fits: full summary fields, but the
-    # per-query dict greedily trimmed slowest-first to a ~1800-char line.
+    print(summary_line(out))
+    spark.stop()
+
+
+def summary_line(out: dict, budget: int = 1700) -> str:
+    """Final stdout line, guaranteed to fit the driver's tail capture.
+
+    The driver keeps only the LAST 2000 chars of stdout and json-parses
+    the final line — with 150+ queries the full dict blows past that and
+    the headline metric is lost (BENCH_r03/r04 both recorded parsed:
+    null). Keep the full summary fields but greedily trim the per-query
+    dict slowest-first to a `budget`-char line (full record is in
+    BENCH_FULL.json).
+    """
     line_out = dict(out)
+    times = out.get("queries", {})
+    errors = out.get("errors")
     if errors:
         line_out["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
     slowest = sorted(times, key=times.get, reverse=True)
@@ -170,12 +181,11 @@ def main() -> None:
     for name in slowest:
         kept[name] = round(times[name], 2)
         line_out["queries_shown"] = len(kept)
-        if len(json.dumps(line_out)) > 1700:
+        if len(json.dumps(line_out)) > budget:
             del kept[name]
             line_out["queries_shown"] = len(kept)
             break
-    print(json.dumps(line_out))
-    spark.stop()
+    return json.dumps(line_out)
 
 
 if __name__ == "__main__":

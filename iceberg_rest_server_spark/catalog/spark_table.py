@@ -328,13 +328,22 @@ class SparkCatalogTable:
 
         return self._retry_cas(attempt)
 
-    def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        branch: str = MAIN_BRANCH,
+        summary_extra: dict[str, str] | None = None,
+    ) -> int:
         """INSERT OVERWRITE / rewrite semantics: snapshot holds only the
-        new files (rewrite_data_files compaction uses this too)."""
+        new files (rewrite_data_files compaction uses this too).
+        `summary_extra` lands in the snapshot summary — the streaming
+        upsert sink records its (query-id, epoch-id) there."""
         metadata = self._load()
         new_files = self._write_files(df, metadata)
         return self._retry_cas(
-            lambda: self._commit_snapshot(self._load(), new_files, "overwrite", branch)
+            lambda: self._commit_snapshot(
+                self._load(), new_files, "overwrite", branch, summary_extra
+            )
         )
 
     def create_or_replace(self, df: DataFrame) -> int:

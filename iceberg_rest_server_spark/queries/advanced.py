@@ -1,6 +1,8 @@
-"""Q127–Q133: round-5 additions — corpus clustering, edit-distance
-similarity join, SCD2/gaps-and-islands, interval concurrency, Markov
-transitions, RFM segmentation, and hard-negative mining.
+"""Q127–Q136 (minus the streaming Q134, which lives in streaming/):
+round-5 additions — corpus clustering, edit-distance similarity join,
+SCD2/gaps-and-islands, interval concurrency, Markov transitions, RFM
+segmentation, hard-negative mining, time-weighted averages, and
+item-item co-occurrence similarity.
 
 These extend the training-data-pipeline and lakehouse-analytics tiers
 beyond the reference's own query surface (reference has no clustering /
@@ -64,50 +66,69 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q128_edit_distance_join",
-    # Same blocking semantics on both sides: candidates must share their
-    # first two name tokens (DuckDB split_part is 1-indexed, Spark's
-    # split array is 0-indexed), then exact Levenshtein ≤ 5.
+    # Multi-pass blocking: candidate name pairs share their first OR
+    # their second token (two blocking passes unioned, then deduped) —
+    # DuckDB split_part is 1-indexed, Spark's split array is 0-indexed.
     oracle="""
-    SELECT a.p_partkey AS id1, b.p_partkey AS id2,
-           levenshtein(a.p_name, b.p_name) AS dist
-    FROM part a JOIN part b
-      ON a.p_partkey < b.p_partkey
-     AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
-     AND split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
-    WHERE levenshtein(a.p_name, b.p_name) <= 5
-    ORDER BY id1, id2
+    WITH names AS (
+      SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name
+    ), pairs AS (
+      SELECT DISTINCT a.p_name AS n1, b.p_name AS n2,
+             levenshtein(a.p_name, b.p_name) AS dist,
+             a.n_parts AS n_parts1, b.n_parts AS n_parts2
+      FROM names a JOIN names b
+        ON a.p_name < b.p_name
+       AND (split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+         OR split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2))
+    )
+    SELECT n1, n2, dist, n_parts1, n_parts2
+    FROM pairs WHERE dist BETWEEN 1 AND 4
+    ORDER BY n1, n2
     """,
-    doc="Edit-distance similarity join: candidate pairs come from an "
-    "equi-join on a blocking key (first two name tokens), then exact "
-    "Levenshtein ≤ 5 — never an all-pairs cross join. Blocking turns "
-    "the O(N²) fuzzy join into sum-of-block² work, the same shape the "
-    "PPJoin/minhash dedup tiers use; the distance itself runs JVM-side "
-    "in whole-stage codegen (F.levenshtein). The typo-tolerant "
-    "record-linkage primitive for entity resolution over 100 TB "
-    "catalogs.",
+    doc="Edit-distance similarity join for entity resolution, done at "
+    "the right cardinality: the fact table first COLLAPSES to its "
+    "distinct key vocabulary (name + member count — one map-side-"
+    "combining aggregate), and only the vocabulary enters the quadratic "
+    "step. Candidates come from two blocking passes (share first token "
+    "OR share second token) unioned and deduped — never a cross join — "
+    "then exact Levenshtein ∈ [1,4] runs JVM-side in whole-stage "
+    "codegen. Joining the fuzzy pairs back to entities stays an "
+    "aggregate (member counts), never a pair explosion: at 100 TB the "
+    "cost scales with vocabulary², not corpus².",
 )
 def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     toks = F.split(F.col("p_name"), " ")
-    keyed = part.select(
-        F.col("p_partkey").alias("pk"),
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts")).select(
         F.col("p_name").alias("name"),
+        "n_parts",
         toks.getItem(0).alias("t1"),
         toks.getItem(1).alias("t2"),
     )
-    a = keyed.select(
-        F.col("pk").alias("id1"), F.col("name").alias("n1"), "t1", "t2"
+    a = names.select(
+        F.col("name").alias("n1"), F.col("n_parts").alias("n_parts1"),
+        F.col("t1").alias("a_t1"), F.col("t2").alias("a_t2"),
     )
-    b = keyed.select(
-        F.col("pk").alias("id2"), F.col("name").alias("n2"), "t1", "t2"
+    b = names.select(
+        F.col("name").alias("n2"), F.col("n_parts").alias("n_parts2"),
+        F.col("t1").alias("b_t1"), F.col("t2").alias("b_t2"),
+    )
+    # two single-key blocking passes, unioned then deduped: each pass is
+    # an equi-join (hash-partitionable); OR inside one join condition
+    # would degrade to a cross product
+    pass1 = a.join(b, F.col("a_t1") == F.col("b_t1"))
+    pass2 = a.join(b, F.col("a_t2") == F.col("b_t2"))
+    cands = (
+        pass1.unionByName(pass2)
+        .filter(F.col("n1") < F.col("n2"))
+        .select("n1", "n2", "n_parts1", "n_parts2")
+        .distinct()
     )
     return (
-        a.join(b, ["t1", "t2"])
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("dist", F.levenshtein("n1", "n2"))
-        .filter(F.col("dist") <= 5)
-        .select("id1", "id2", "dist")
-        .orderBy("id1", "id2")
+        cands.withColumn("dist", F.levenshtein("n1", "n2"))
+        .filter(F.col("dist").between(1, 4))
+        .select("n1", "n2", "dist", "n_parts1", "n_parts2")
+        .orderBy("n1", "n2")
     )
 
 
@@ -388,4 +409,128 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q135_time_weighted_average",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, value,
+             date_diff('second', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS dt
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             sum(CAST(value AS DECIMAL(18,2)) * dt) AS wsum,
+             sum(dt) AS tsum,
+             count(*) AS n_spans
+      FROM spans WHERE dt IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id,
+           round(CAST(wsum AS DOUBLE) / tsum, 6) AS twap,
+           CAST(n_spans AS BIGINT) AS n_spans
+    FROM agg WHERE tsum > 0
+    ORDER BY user_id
+    """,
+    doc="Time-weighted average (TWAP) per user: each reading is weighted "
+    "by how long it was in effect (seconds until the next event, lead() "
+    "over one user_id shuffle). The weighted sum stays exact — "
+    "decimal(18,2) value × integer seconds — and converts to double "
+    "once after aggregation, so the result is bit-stable under "
+    "repartitioning. The sensor/price-feed aggregation where a plain "
+    "AVG is simply wrong (irregular sampling), shaped as one window + "
+    "one map-side-combining aggregate.",
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    agg = spans.groupBy("user_id").agg(
+        F.sum(dec("value") * F.col("dt")).alias("wsum"),
+        F.sum("dt").alias("tsum"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return (
+        agg.filter(F.col("tsum") > 0)
+        .select(
+            "user_id",
+            F.round(F.col("wsum").cast("double") / F.col("tsum"), 6).alias("twap"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q136_cooccurrence_similarity",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), norms AS (
+      SELECT event_type, sum(c * c) AS ss FROM m GROUP BY 1
+    ), dots AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             sum(a.c * b.c) AS dot
+      FROM m a JOIN m b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, CAST(dot AS BIGINT) AS dot,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(n1.ss AS DOUBLE)) * sqrt(CAST(n2.ss AS DOUBLE))),
+                 6) AS cosine
+    FROM dots JOIN norms n1 ON n1.event_type = t1
+              JOIN norms n2 ON n2.event_type = t2
+    ORDER BY t1, t2
+    """,
+    doc="Item-item co-occurrence (collaborative-filtering) similarity: "
+    "cosine between event types over per-user count vectors. The "
+    "(user, item) matrix aggregates once; pair dot products come from "
+    "a per-user self-join whose fan-out is bounded by items-per-user "
+    "(never corpus²) and pre-aggregates map-side; norms re-aggregate "
+    "the same matrix. All dot/norm inputs are exact integers, so the "
+    "final doubles are bit-identical across engines. At 100 TB the "
+    "standard refinement is capping each user's item list (top-T by "
+    "count) before the self-join — the shape is unchanged.",
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    norms = m.groupBy("event_type").agg(F.sum(F.col("c") * F.col("c")).alias("ss"))
+    a = m.select("user_id", F.col("event_type").alias("t1"), F.col("c").alias("c1"))
+    b = m.select("user_id", F.col("event_type").alias("t2"), F.col("c").alias("c2"))
+    dots = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("dot"))
+    )
+    n1 = norms.select(F.col("event_type").alias("t1"), F.col("ss").alias("ss1"))
+    n2 = norms.select(F.col("event_type").alias("t2"), F.col("ss").alias("ss2"))
+    return (
+        dots.join(F.broadcast(n1), "t1")
+        .join(F.broadcast(n2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("ss1").cast("double"))
+                    * F.sqrt(F.col("ss2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("t1", "t2")
     )

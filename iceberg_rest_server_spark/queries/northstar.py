@@ -1074,16 +1074,20 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
     bigrams_col = F.expr(
         "transform(sequence(1, size(split(text, ' ')) - 1),"
         " i -> struct(element_at(split(text, ' '), i) AS w1,"
         "            element_at(split(text, ' '), i + 1) AS w2))"
     )
     bigrams = docs.select(F.explode(bigrams_col).alias("bg")).select("bg.w1", "bg.w2")
-    uni = bigrams.groupBy(F.col("w1").alias("tok")).agg(F.count(F.lit(1)).alias("c"))
+    # ONE scan+explode+shuffle: unigram-position counts and the grand
+    # total are re-aggregations of the (vocab²-sized) bigram-count table,
+    # not separate passes over the corpus — c(w1) = Σ_w2 c12, N = Σ c12.
+    # The three branches share the same Exchange subplan, so Spark's
+    # ReuseExchange runs the expensive explode+partial-agg once.
     big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    tot = bigrams.agg(F.count(F.lit(1)).alias("n"))
+    uni = big.groupBy(F.col("w1").alias("tok")).agg(F.sum("c12").alias("c"))
+    tot = big.agg(F.sum("c12").alias("n"))
     pmi = F.round(
         F.log(
             F.col("c12").cast("double")

@@ -432,3 +432,93 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_table(agg, spark, "complete")
     return result.orderBy("event_type")
+
+
+@register(
+    "q134_stream_cdc_upsert",
+    # Final-state determinism is the point: latest-wins upsert is
+    # idempotent and commutative over the change set, so however the
+    # feed is batched (and however often it is replayed), the table
+    # must equal the batch "latest row per user" query — which is
+    # exactly what the oracle computes from the raw events.
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM latest WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming CDC upsert into a live catalog table: the event feed "
+    "drains in multiple micro-batches, each applied as a latest-wins "
+    "MERGE (per-key max (ts, event_id)) committing ONE overwrite "
+    "snapshot stamped with (query-id, epoch-id); a replay from a fresh "
+    "checkpoint must commit ZERO new snapshots. The mutable-dimension "
+    "complement of q90's append-only sink — together they cover both "
+    "halves of a lakehouse ingest plane. Final table = per-user latest "
+    "event, aggregated per type and checked against the batch window "
+    "oracle.",
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..catalog.client import RestCatalogClient
+    from ..catalog.server import ServerThread
+    from ..catalog.spark_table import SparkCatalogTable, iceberg_schema_from_spark
+    from ..tables import load as _load
+    from .sink import stream_upsert_to_table
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    with ServerThread() as server, _tf.TemporaryDirectory() as tmp:
+        src_dir = os.path.join(tmp, "src")
+        events.repartition(4).write.parquet(src_dir)
+        client = RestCatalogClient(server.base_url)
+        client.create_warehouse("proj-u", "wh", os.path.join(tmp, "wh"))
+        client.configure("proj-u", "wh")
+        client.create_namespace(["cdc"])
+        client.create_table(["cdc"], "users", iceberg_schema_from_spark(events.schema))
+        table = SparkCatalogTable(spark, client, ["cdc"], "users")
+
+        def _stream():
+            return (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .format("parquet")
+                .load(src_dir)
+            )
+
+        n1 = stream_upsert_to_table(
+            _stream(), table, ["user_id"], ["ts", "event_id"],
+            os.path.join(tmp, "ckpt1"), "q134-upsert",
+        )
+        assert n1 >= 2, f"expected multiple micro-batches, got {n1}"
+        state_rows = table.read().count()
+
+        # replay: every epoch re-delivered from a fresh checkpoint; all
+        # already committed -> zero new snapshots, state unchanged
+        n2 = stream_upsert_to_table(
+            _stream(), table, ["user_id"], ["ts", "event_id"],
+            os.path.join(tmp, "ckpt2"), "q134-upsert",
+        )
+        assert n2 == 0, f"replayed batches must be skipped, committed {n2}"
+        assert table.read().count() == state_rows
+
+        out = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)

@@ -66,3 +66,67 @@ def stream_to_table(
     )
     q.awaitTermination()
     return committed_count[0]
+
+
+def stream_upsert_to_table(
+    stream_df: DataFrame,
+    table: SparkCatalogTable,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint_dir: str,
+    query_id: str = "stream-upsert",
+) -> int:
+    """Streaming CDC upsert (MERGE-per-micro-batch): drain `stream_df`
+    keeping, per `keys`, the row with the greatest `order_cols` — the
+    foreachBatch mirror of SQL ``MERGE INTO ... WHEN MATCHED AND
+    source.newer THEN UPDATE``.
+
+    Each micro-batch first collapses ITSELF to its latest row per key
+    (a batch can carry many changes for one key), then merges against
+    the table with the same latest-wins rule, committing ONE overwrite
+    snapshot stamped with (query-id, epoch-id). Already-committed epochs
+    are skipped on replay, so redelivery can't regress a key to an older
+    value — and because latest-wins is idempotent and commutative over
+    the change set, the final table state is independent of how the feed
+    was batched. Returns the number of batches actually committed.
+
+    At 100 TB the per-batch merge is the standard CDC-apply shape: one
+    key-shuffle of (table ∪ batch) sized by the TABLE, with the batch
+    side map-side reduced first. For huge tables a real deployment would
+    partition the table and rewrite only touched partitions; the commit
+    protocol here is identical either way.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    committed_count = [0]
+
+    def _latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_epochs(table, query_id):
+            return
+        merged = _latest(table.read().unionByName(_latest(batch_df)))
+        table.overwrite(
+            merged,
+            summary_extra={
+                "streaming-query-id": query_id,
+                "streaming-epoch-id": str(epoch_id),
+            },
+        )
+        committed_count[0] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return committed_count[0]

@@ -32,33 +32,29 @@ def test_edit_distance_pairs_match_bruteforce(spark):
 
     from iceberg_rest_server_spark.tables import load
 
-    part = load(spark, SF, "part").limit(300)
-    a = part.select(F.col("p_partkey").alias("id1"), F.col("p_name").alias("n1"))
-    b = part.select(F.col("p_partkey").alias("id2"), F.col("p_name").alias("n2"))
-    brute = (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("dist", F.levenshtein("n1", "n2"))
-        .filter(F.col("dist") <= 5)
-    )
-    # brute pairs that share the first two tokens == blocked result on
-    # the same slice (blocking is the declared semantics, so compare
-    # under it)
+    names = load(spark, SF, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("n1"))
+    b = names.select(F.col("p_name").alias("n2"))
     t = F.split(F.col("n1"), " ")
     u = F.split(F.col("n2"), " ")
-    brute_blocked = brute.filter(
-        (t.getItem(0) == u.getItem(0)) & (t.getItem(1) == u.getItem(1))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("n1") < F.col("n2"))
+        # blocking (share first or second token) is the declared
+        # semantics — compare under it
+        .filter(
+            (t.getItem(0) == u.getItem(0)) | (t.getItem(1) == u.getItem(1))
+        )
+        .withColumn("dist", F.levenshtein("n1", "n2"))
+        .filter(F.col("dist").between(1, 4))
     )
     got = {
-        (r.id1, r.id2, r.dist)
-        for r in REGISTRY["q128_edit_distance_join"]
-        .fn(spark, SF)
-        .collect()
-        if r.id1 <= 300 and r.id2 <= 300
+        (r.n1, r.n2, r.dist)
+        for r in REGISTRY["q128_edit_distance_join"].fn(spark, SF).collect()
     }
-    expect = {(r.id1, r.id2, r.dist) for r in brute_blocked.collect()}
-    # restrict brute side to the same limited id range
-    assert {p for p in got if p[0] <= 300 and p[1] <= 300} >= expect
+    expect = {(r.n1, r.n2, r.dist) for r in brute.collect()}
+    assert got == expect
+    assert expect, "expected non-empty fuzzy pair set"
 
 
 def test_kmeans_invariants(spark):

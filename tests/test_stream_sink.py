@@ -63,3 +63,69 @@ def test_distinct_queries_append_independently(spark, sf_dir, sink_table):
         stream_to_table(read_events_stream(spark, sf_dir), sink_table, ckpt, "writer-b")
     # different query ids are different writers: both land their data
     assert sink_table.read().count() == 2 * expected
+
+
+def test_upsert_late_batch_cannot_regress(spark):
+    """A micro-batch carrying OLDER changes applied after a newer one
+    must not regress the key — latest-wins is on (ts, event_id), not on
+    arrival order."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from iceberg_rest_server_spark.streaming.sink import stream_upsert_to_table
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("val", StringType()),
+        ]
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    newer = spark.createDataFrame(
+        [(2, t0 + datetime.timedelta(hours=2), 1, "new")], schema
+    )
+    older = spark.createDataFrame([(1, t0, 1, "old")], schema)
+    with ServerThread() as server, tempfile.TemporaryDirectory() as tmp:
+        client = RestCatalogClient(server.base_url)
+        client.create_warehouse("p2", "wh", os.path.join(tmp, "wh"))
+        client.configure("p2", "wh")
+        client.create_namespace(["cdc"])
+        client.create_table(["cdc"], "t", iceberg_schema_from_spark(schema))
+        table = SparkCatalogTable(spark, client, ["cdc"], "t")
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        # file source lists lexicographically: the NEWER change arrives
+        # in batch 0, the OLDER one in batch 1
+        import glob
+        import shutil
+
+        for name, df in (("a.parquet", newer), ("b.parquet", older)):
+            stage = os.path.join(tmp, f"stage_{name}")
+            df.coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            shutil.copy(part, os.path.join(src, name))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src)
+        )
+        n = stream_upsert_to_table(
+            stream, table, ["user_id"], ["ts", "event_id"],
+            os.path.join(tmp, "ckpt"), "late-test",
+        )
+        assert n == 2
+        rows = table.read().collect()
+        assert len(rows) == 1
+        assert rows[0]["val"] == "new"  # the late-arriving older row lost
