@@ -133,6 +133,13 @@ def main() -> None:
         # drop them so 59 queries' caches don't accumulate into executor
         # memory pressure that distorts later timings
         spark.catalog.clearCache()
+        # ... and force a full GC so one query's heap garbage (collect_list
+        # buffers, codegen classes) isn't paid for by whoever runs next:
+        # measured 3x distortion on q126 when it follows the document-heavy
+        # q125 without this (10.8 s vs 3.2 s after System.gc()). The GC
+        # runs between the timers, so it costs the bench wall-clock but
+        # never a query's reported time.
+        spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

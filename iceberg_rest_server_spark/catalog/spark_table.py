@@ -676,6 +676,49 @@ class SparkCatalogTable:
             [update],
         )
 
+    def rollback_to(self, snapshot_id: int, branch: str = MAIN_BRANCH) -> None:
+        """`CALL rollback_to_snapshot(...)` semantics: move the branch
+        head back to an ancestor snapshot. Pure metadata — one
+        SetSnapshotRef commit CAS-guarded on the current head; no data
+        files move, and the abandoned snapshots stay until
+        expire_snapshots (so a roll-forward is equally one commit).
+        The target must be a current ancestor of the branch head —
+        rolling back to an unrelated snapshot would silently splice
+        histories."""
+        metadata = self._load()
+        head = metadata["refs"].get(branch)
+        if head is None:
+            raise ValueError(f"branch {branch!r} has no snapshots")
+        by_id = {s["snapshot-id"]: s for s in metadata["snapshots"]}
+        cur: int | None = head["snapshot-id"]
+        ancestors = set()
+        while cur is not None:
+            ancestors.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        if snapshot_id not in ancestors:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of {branch!r}"
+            )
+        self.client.commit_table(
+            self.namespace,
+            self.name,
+            [
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": branch,
+                    "snapshot-id": head["snapshot-id"],
+                }
+            ],
+            [
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": branch,
+                    "snapshot-id": snapshot_id,
+                    "type": "branch",
+                }
+            ],
+        )
+
     def create_branch(
         self,
         branch: str,

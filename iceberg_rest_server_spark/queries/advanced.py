@@ -168,38 +168,12 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lakehouse needs.",
 )
 def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import scd2_islands
+
     ev = load(spark, sf_dir, "events")
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    numbered = ev.select(
-        "user_id",
-        "event_type",
-        "ts",
-        "event_id",
-        F.row_number().over(w_all).alias("rn_all"),
-        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
-    )
-    islands = numbered.groupBy("user_id", "event_type", "grp").agg(
-        F.min("ts").alias("valid_from"),
-        # island_ord is the tie-break: equal timestamps across adjacent
-        # islands would make ORDER BY valid_from ambiguous and the lead()
-        # non-deterministic; min(rn_all) is a unique per-island ordinal.
-        F.min("rn_all").alias("island_ord"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    w_next = Window.partitionBy("user_id").orderBy("island_ord")
-    return (
-        islands.withColumn("valid_to", F.lead("valid_from").over(w_next))
-        .select(
-            "user_id",
-            "event_type",
-            "valid_from",
-            "valid_to",
-            "n_events",
-            F.col("valid_to").isNull().alias("is_current"),
-        )
-        .orderBy("user_id", "valid_from", "event_type")
-    )
+    return scd2_islands(
+        ev, "user_id", "event_type", ["ts", "event_id"], ts_col="ts"
+    ).orderBy("user_id", "valid_from", "event_type")
 
 
 @register(
@@ -444,29 +418,12 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one map-side-combining aggregate.",
 )
 def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import time_weighted_avg
+
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    spans = ev.select(
-        "user_id",
-        "value",
-        (
-            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
-        ).alias("dt"),
-    ).filter(F.col("dt").isNotNull())
-    agg = spans.groupBy("user_id").agg(
-        F.sum(dec("value") * F.col("dt")).alias("wsum"),
-        F.sum("dt").alias("tsum"),
-        F.count(F.lit(1)).alias("n_spans"),
-    )
-    return (
-        agg.filter(F.col("tsum") > 0)
-        .select(
-            "user_id",
-            F.round(F.col("wsum").cast("double") / F.col("tsum"), 6).alias("twap"),
-            F.col("n_spans").cast("long").alias("n_spans"),
-        )
-        .orderBy("user_id")
-    )
+    return time_weighted_avg(
+        ev, "user_id", "ts", dec("value"), ["ts", "event_id"]
+    ).orderBy("user_id")
 
 
 @register(

@@ -422,3 +422,38 @@ def test_partition_pruned_read(table_env):
     assert len(p2.inputFiles()) < len(table.read().inputFiles())
     # no-match partition value → empty, zero files when all prunable
     assert table.read_where({"k": -1}).count() == 0
+
+
+def test_rollback_to_snapshot(table_env):
+    """rollback_to moves the branch head back to an ancestor: pure
+    metadata, data files untouched, roll-forward equally possible."""
+    spark, client, table, df = table_env
+    table.append(df)                      # snap 1: 5 rows
+    snap1 = table.metadata()["current-snapshot-id"]
+    table.append(df)                      # snap 2: 10 rows
+    snap2 = table.metadata()["current-snapshot-id"]
+    assert table.read().count() == 10
+    table.rollback_to(snap1)
+    assert table.read().count() == 5
+    assert table.metadata()["current-snapshot-id"] == snap1
+    # abandoned snapshot still present until expire_snapshots
+    assert snap2 in {s["snapshot-id"] for s in table.metadata()["snapshots"]}
+    # roll FORWARD is rejected: snap2 is no longer an ancestor of main
+    # (its parent chain is, but the head moved back), so re-attaching it
+    # must go through a normal commit, not rollback
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not an ancestor"):
+        table.rollback_to(snap2)
+    # appends continue from the rolled-back head
+    table.append(df)
+    assert table.read().count() == 10
+
+
+def test_rollback_rejects_unrelated_snapshot(table_env):
+    spark, client, table, df = table_env
+    table.append(df)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not an ancestor"):
+        table.rollback_to(123456789)

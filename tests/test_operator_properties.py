@@ -542,3 +542,94 @@ def test_asof_join_tolerance_matches_reference(spark, left, right, tol):
             assert got[i] is None, (i, k, t, tol, got[i])
         else:
             assert got[i] in {rid for rt, rid in cands if rt == best_ts}
+
+
+# ----------------------------------------------------- temporal (r5)
+
+_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=15),  # ts (seconds; ties allowed)
+        st.integers(min_value=0, max_value=2),   # attr value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(rows=_changes)
+@settings(**_SETTINGS)
+def test_scd2_islands_match_reference(spark, rows):
+    """gaps-and-islands SCD2 == a per-key linear scan, including
+    timestamp ties (broken by the unique event id) and single-event
+    keys."""
+    import datetime
+
+    from iceberg_rest_server_spark.operators.temporal import scd2_islands
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (k, base + datetime.timedelta(seconds=t), i, f"a{a}")
+        for i, (k, t, a) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "key long, ts timestamp, eid long, attr string")
+    got = {
+        (r.key, r.attr, r.valid_from, r.valid_to, r.n_events, r.is_current)
+        for r in scd2_islands(df, "key", "attr", ["ts", "eid"], ts_col="ts").collect()
+    }
+
+    # reference: per key, walk events in (ts, eid) order, cut islands on
+    # attr change
+    expect = set()
+    bykey: dict = {}
+    for k, ts, eid, attr in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        bykey.setdefault(k, []).append((ts, eid, attr))
+    for k, evs in bykey.items():
+        islands = []
+        for ts, eid, attr in evs:
+            if islands and islands[-1][0] == attr:
+                islands[-1][2] += 1
+            else:
+                islands.append([attr, ts, 1])
+        for i, (attr, vfrom, n) in enumerate(islands):
+            vto = islands[i + 1][1] if i + 1 < len(islands) else None
+            expect.add((k, attr, vfrom, vto, n, vto is None))
+    assert got == expect
+
+
+@given(rows=_changes)
+@settings(**_SETTINGS)
+def test_time_weighted_avg_matches_reference(spark, rows):
+    """lead()-weighted TWAP == per-key linear scan; zero-span keys
+    (all readings at one instant) are dropped on both sides."""
+    import datetime
+
+    from iceberg_rest_server_spark.operators.temporal import time_weighted_avg
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (k, base + datetime.timedelta(seconds=t), i, float(v))
+        for i, (k, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "key long, ts timestamp, eid long, v double")
+    got = {
+        (r.key, r.twap, r.n_spans)
+        for r in time_weighted_avg(
+            df, "key", "ts", F.col("v").cast("decimal(18,2)"), ["ts", "eid"]
+        ).collect()
+    }
+
+    bykey: dict = {}
+    for k, ts, eid, v in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        bykey.setdefault(k, []).append((ts, v))
+    expect = set()
+    for k, evs in bykey.items():
+        wsum = tsum = n = 0
+        for (ts, v), (nts, _) in zip(evs, evs[1:]):
+            dt = int((nts - ts).total_seconds())
+            wsum += v * dt
+            tsum += dt
+            n += 1
+        if tsum > 0:
+            expect.add((k, round(wsum / tsum, 6), n))
+    assert got == expect
