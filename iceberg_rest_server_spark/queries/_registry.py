@@ -63,6 +63,8 @@ _DRIVER_ORDER_HEAD = [
     "q134_stream_cdc_upsert",
     "q135_time_weighted_average",
     "q136_cooccurrence_similarity",
+    "q137_observed_metrics",
+    "q138_quantile_bucket_scores",
     # --- (2) code changed this round ---
     "q36_ann_lsh_topk",
     "q38_ann_ivf_topk",

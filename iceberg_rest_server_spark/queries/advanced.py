@@ -1,8 +1,8 @@
-"""Q127–Q136 (minus the streaming Q134, which lives in streaming/):
+"""Q127–Q137 (minus the streaming Q134, which lives in streaming/):
 round-5 additions — corpus clustering, edit-distance similarity join,
 SCD2/gaps-and-islands, interval concurrency, Markov transitions, RFM
-segmentation, hard-negative mining, time-weighted averages, and
-item-item co-occurrence similarity.
+segmentation, hard-negative mining, time-weighted averages, item-item
+co-occurrence similarity, and observed pipeline metrics.
 
 These extend the training-data-pipeline and lakehouse-analytics tiers
 beyond the reference's own query surface (reference has no clustering /
@@ -298,7 +298,11 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label each dimension, and segments aggregate the quintile cube. "
     "The ntile windows sort only the customer-level profile (orders "
     "cardinality already collapsed), and monetary stays exact decimal "
-    "until the final cast — bit-stable under repartitioning.",
+    "until the final cast — bit-stable under repartitioning. ntile's "
+    "equal-count contract forces a single-partition sort of the "
+    "profile; when even the PROFILE outgrows one task, switch to "
+    "quantile-boundary bucketing (q138) — boundaries broadcast, rows "
+    "never leave their partitions.",
 )
 def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
@@ -490,4 +494,128 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
         .orderBy("t1", "t2")
+    )
+
+
+@register(
+    "q137_observed_metrics",
+    # The observation rides the SAME job as the aggregate (no second
+    # scan); the oracle pins the cross-check booleans TRUE and the
+    # per-group aggregate carries the hash.
+    oracle="""
+    SELECT l_returnflag, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           TRUE AS metrics_rows_ok, TRUE AS metrics_qty_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Pipeline observability via df.observe(): row-count and exact "
+    "decimal quantity-sum metrics are collected ON the scan that feeds "
+    "the per-flag aggregate — one pass, no audit re-scan. The driver "
+    "then cross-checks the observed totals against the aggregate's own "
+    "group sums (exact decimal equality) and emits the verdict "
+    "booleans. At 100 TB this is how a pipeline gets its "
+    "rows-in/rows-out accounting for free; the alternative (a separate "
+    "COUNT(*) job) doubles the scan cost.",
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("q137")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(dec("l_quantity")).alias("qty_sum"),
+    )
+    agg = (
+        observed.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("l_quantity")).alias("sum_qty_dec"),
+        )
+        .orderBy("l_returnflag")
+    )
+    rows = agg.collect()  # action fills the observation
+    metrics = obs.get
+    rows_ok = metrics["rows_seen"] == sum(r["cnt"] for r in rows)
+    qty_ok = metrics["qty_sum"] == sum(r["sum_qty_dec"] for r in rows)
+    out = spark.createDataFrame(
+        [
+            (r["l_returnflag"], r["cnt"], r["sum_qty_dec"], bool(rows_ok), bool(qty_ok))
+            for r in rows
+        ],
+        "l_returnflag string, cnt long, sum_qty_dec decimal(28,2), "
+        "metrics_rows_ok boolean, metrics_qty_ok boolean",
+    )
+    return out.select(
+        "l_returnflag",
+        "cnt",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        "metrics_rows_ok",
+        "metrics_qty_ok",
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q138_quantile_bucket_scores",
+    oracle="""
+    WITH profile AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), bounds AS (
+      SELECT quantile_cont(monetary, 0.2) AS b1,
+             quantile_cont(monetary, 0.4) AS b2,
+             quantile_cont(monetary, 0.6) AS b3,
+             quantile_cont(monetary, 0.8) AS b4
+      FROM profile
+    )
+    SELECT 1 + CAST(monetary > b1 AS INT) + CAST(monetary > b2 AS INT)
+             + CAST(monetary > b3 AS INT) + CAST(monetary > b4 AS INT) AS m_score,
+           count(*) AS n_customers,
+           round(sum(monetary), 2) AS total_monetary
+    FROM profile, bounds
+    GROUP BY 1 ORDER BY m_score
+    """,
+    doc="Quantile bucketing WITHOUT a global window — the 100 TB "
+    "alternative to q132's ntile: quintile BOUNDARIES come from one "
+    "percentile aggregate (exact interpolated, ≡ quantile_cont), "
+    "broadcast back as a 1-row cross join, and every row scores itself "
+    "with four comparisons in codegen. ntile must funnel all rows "
+    "through a single-partition sort to assign equal-COUNT buckets; "
+    "value-boundary buckets need only the boundary row, so the fact "
+    "side never leaves its partitions. (Bucket populations differ from "
+    "ntile only at boundary ties.)",
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    profile = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("monetary")
+    )
+    bounds = profile.agg(
+        F.percentile(
+            "monetary", F.array(F.lit(0.2), F.lit(0.4), F.lit(0.6), F.lit(0.8))
+        ).alias("bs")
+    ).select(
+        F.col("bs")[0].alias("b1"),
+        F.col("bs")[1].alias("b2"),
+        F.col("bs")[2].alias("b3"),
+        F.col("bs")[3].alias("b4"),
+    )
+    score = (
+        F.lit(1)
+        + (F.col("monetary") > F.col("b1")).cast("int")
+        + (F.col("monetary") > F.col("b2")).cast("int")
+        + (F.col("monetary") > F.col("b3")).cast("int")
+        + (F.col("monetary") > F.col("b4")).cast("int")
+    )
+    return (
+        profile.crossJoin(F.broadcast(bounds))
+        .select(score.alias("m_score"), "monetary")
+        .groupBy("m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+        .orderBy("m_score")
     )
