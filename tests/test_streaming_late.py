@@ -67,3 +67,19 @@ def test_late_rows_dropped_after_watermark(spark, tmp_path):
     }
     assert final[0] == 1, f"late row for window 00 must be dropped: {final}"
     assert final[2] == 2, f"timely row for window 02 must be counted: {final}"
+
+
+def test_transform_with_state_gated_on_protobuf(spark):
+    """q140 (transformWithStateInPandas) requires google.protobuf for the
+    TWS driver-worker protocol; the entry must register exactly when the
+    dependency exists — never fake the capability, never crash the
+    registry import."""
+    from iceberg_rest_server_spark.queries import REGISTRY
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    assert ("q140_stream_transform_with_state" in REGISTRY) == has_protobuf
