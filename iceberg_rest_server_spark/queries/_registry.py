@@ -67,6 +67,7 @@ _DRIVER_ORDER_HEAD = [
     "q138_quantile_bucket_scores",
     "q139_xml_roundtrip",
     "q140_stream_transform_with_state",  # registers only where protobuf exists
+    "q141_python_datasource",
     # --- (2) code changed this round ---
     "q36_ann_lsh_topk",
     "q38_ann_ivf_topk",

@@ -13,6 +13,7 @@ in-flow assertions additionally fail fast on any isolation violation.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -302,4 +303,80 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_dec").cast("double").alias("total"),
         ).orderBy("o_orderstatus")
         # materialize before the server/warehouse teardown
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "q141_python_datasource",
+    # two reads: snapshot_id time travel pinned at the first append
+    # (even event_ids only) and the current snapshot (all rows)
+    oracle="""
+    SELECT 'snapshot1' AS phase, event_type, count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+    UNION ALL
+    SELECT 'current' AS phase, event_type, count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events GROUP BY event_type
+    ORDER BY phase, event_type
+    """,
+    doc="Spark 4 Python Data Source over the REST catalog "
+    "(catalog/datasource.py): spark.read.format('iceberg_rest') resolves "
+    "table metadata through the same REST client as every other "
+    "consumer, ships one InputPartition per data file, and reads "
+    "executor-side as Arrow RecordBatches with field-id column mapping "
+    "— the `USING iceberg` read UX without any Java connector. The "
+    "entry appends even event_ids, snapshots, appends the rest, then "
+    "aggregates BOTH a snapshot_id time-travel read and the current "
+    "read; each must hash-match the corresponding batch oracle.",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..catalog.client import RestCatalogClient
+    from ..catalog.datasource import IcebergRestDataSource
+    from ..catalog.server import ServerThread
+    from ..catalog.spark_table import SparkCatalogTable, iceberg_schema_from_spark
+    from ..tables import load as _load
+
+    spark.dataSource.register(IcebergRestDataSource)
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    with ServerThread() as server, _tf.TemporaryDirectory() as tmp:
+        client = RestCatalogClient(server.base_url)
+        client.create_warehouse("p-ds", "wh", os.path.join(tmp, "wh"))
+        client.configure("p-ds", "wh")
+        client.create_namespace(["ds"])
+        client.create_table(["ds"], "events", iceberg_schema_from_spark(ev.schema))
+        table = SparkCatalogTable(spark, client, ["ds"], "events")
+        table.append(ev.filter(F.col("event_id") % 2 == 0))
+        snap1 = table.metadata()["current-snapshot-id"]
+        table.append(ev.filter(F.col("event_id") % 2 == 1))
+
+        def read_via_ds(**extra):
+            r = (
+                spark.read.format("iceberg_rest")
+                .option("uri", server.base_url)
+                .option("project", "p-ds")
+                .option("warehouse", "wh")
+                .option("namespace", "ds")
+                .option("table", "events")
+            )
+            for k, v in extra.items():
+                r = r.option(k, v)
+            return r.load()
+
+        frames = []
+        for phase, df in (
+            ("snapshot1", read_via_ds(snapshot_id=str(snap1))),
+            ("current", read_via_ds()),
+        ):
+            frames.append(
+                df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum("user_id").alias("sum_user"),
+                )
+                .select(F.lit(phase).alias("phase"), "event_type", "cnt", "sum_user")
+            )
+        out = frames[0].unionByName(frames[1]).orderBy("phase", "event_type")
         return spark.createDataFrame(out.collect(), out.schema)
