@@ -32,7 +32,13 @@ import json
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql import types as T
 
 _ICEBERG_TO_ARROW = {
@@ -181,3 +187,157 @@ class IcebergRestDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return IcebergRestReader(self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return IcebergRestWriter(self.options, overwrite)
+
+
+# --------------------------------------------------------------- write path
+
+class _FilesCommitMessage(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class IcebergRestWriter(DataSourceArrowWriter):
+    """`df.write.format("iceberg_rest").mode("append"|"overwrite")` —
+    the Iceberg two-phase commit protocol in its native shape:
+
+    1. *Executors* each write their partition as one parquet data file
+       (Arrow batches straight to disk, display names mapped to f<id>
+       field-id columns exactly like SparkCatalogTable._write_files) and
+       return only the file PATH as their commit message — data never
+       moves to the driver.
+    2. The *driver's* commit() makes ONE CAS-guarded REST commit:
+       manifest of (head files + new files) for append, or new files
+       only for overwrite, then add-snapshot + set-snapshot-ref. A
+       concurrent committer's CAS failure surfaces as the standard 409
+       and Spark retries/aborts the job — exactly the reference's
+       optimistic-concurrency contract (rest/table.rs:153-189).
+    3. abort() deletes the orphaned files (and remove_orphan_files
+       would reap any leak after a crash, same as Iceberg).
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        from .client import RestCatalogClient
+
+        self._options = dict(options)
+        self._overwrite = overwrite
+        client = RestCatalogClient(options["uri"])
+        client.configure(options.get("project", "p"), options.get("warehouse", "wh"))
+        meta = client.load_table(options["namespace"].split("."), options["table"])[
+            "metadata"
+        ]
+        schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        self._fields = schema["fields"]
+        loc = meta["location"]
+        loc = loc[len("file://"):] if loc.startswith("file://") else loc
+        self._location = loc
+        import uuid as _uuid
+
+        self._data_dir = os.path.join(loc, "data", _uuid.uuid4().hex)
+
+    # executor-side
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def target_type(ice: str) -> "pa.DataType":
+            if ice == "timestamp":
+                return pa.timestamp("us")
+            return pa.type_for_alias(_ICEBERG_TO_ARROW[ice])
+
+        fid_schema = pa.schema(
+            [pa.field(f"f{f['id']}", target_type(f["type"])) for f in self._fields]
+        )
+        batches = []
+        for batch in iterator:
+            arrays = []
+            for f in self._fields:
+                col = batch.column(batch.schema.get_field_index(f["name"]))
+                arrays.append(col.cast(target_type(f["type"])))
+            batches.append(
+                pa.RecordBatch.from_arrays(arrays, schema=fid_schema)
+            )
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _FilesCommitMessage([])  # empty partition → no file
+        os.makedirs(self._data_dir, exist_ok=True)
+        path = os.path.join(self._data_dir, f"part-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_batches(batches, schema=fid_schema), path)
+        return _FilesCommitMessage([path])
+
+    # driver-side
+    def commit(self, messages) -> None:
+        import time as _time
+        import uuid as _uuid
+
+        from .client import RestCatalogClient
+
+        new_files = [p for m in messages for p in m.files]
+        client = RestCatalogClient(self._options["uri"])
+        client.configure(
+            self._options.get("project", "p"), self._options.get("warehouse", "wh")
+        )
+        ns = self._options["namespace"].split(".")
+        tbl = self._options["table"]
+        meta = client.load_table(ns, tbl)["metadata"]
+        head_ref = meta["refs"].get("main")
+        parent_id = None if head_ref is None else head_ref["snapshot-id"]
+        existing: list[str] = []
+        if not self._overwrite and parent_id is not None:
+            head = next(s for s in meta["snapshots"] if s["snapshot-id"] == parent_id)
+            manifest = head["manifest-list"]
+            mp = manifest[len("file://"):] if manifest.startswith("file://") else manifest
+            with open(mp) as fh:
+                existing = json.load(fh)["files"]
+        snapshot_id = _uuid.uuid4().int % (1 << 62)
+        manifest_path = os.path.join(
+            self._location, "metadata", f"manifest-{snapshot_id}.json"
+        )
+        os.makedirs(os.path.dirname(manifest_path), exist_ok=True)
+        files = existing + new_files
+        with open(manifest_path, "w") as fh:
+            json.dump({"files": files}, fh)
+        operation = "overwrite" if self._overwrite else "append"
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": parent_id,
+            "timestamp-ms": int(_time.time() * 1000),
+            "operation": operation,
+            "manifest-list": manifest_path,
+            "summary": {
+                "operation": operation,
+                "added-files": str(len(new_files)),
+                "writer": "python-datasource",
+            },
+        }
+        client.commit_table(
+            ns,
+            tbl,
+            # CAS on the branch head: a concurrent commit ⇒ 409, Spark
+            # surfaces the failure — optimistic concurrency, not lost data
+            [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": parent_id}],
+            [
+                {"action": "add-snapshot", "snapshot": snapshot},
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "snapshot-id": snapshot_id,
+                    "type": "branch",
+                },
+            ],
+        )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for p in m.files:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass

@@ -350,7 +350,19 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = SparkCatalogTable(spark, client, ["ds"], "events")
         table.append(ev.filter(F.col("event_id") % 2 == 0))
         snap1 = table.metadata()["current-snapshot-id"]
-        table.append(ev.filter(F.col("event_id") % 2 == 1))
+        # the odd half goes through the Data Source WRITE path (executor
+        # parquet writes + one driver-side CAS snapshot commit), so both
+        # halves of the format("iceberg_rest") surface are driver-checked
+        writer = (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .write.format("iceberg_rest")
+            .option("uri", server.base_url)
+            .option("project", "p-ds")
+            .option("warehouse", "wh")
+            .option("namespace", "ds")
+            .option("table", "events")
+        )
+        writer.mode("append").save()
 
         def read_via_ds(**extra):
             r = (

@@ -104,3 +104,63 @@ def test_one_partition_per_data_file(ds_env):
     parts = reader.partitions()
     assert len(parts) >= 2  # two appends ⇒ at least two files
     assert all(p.path.endswith(".parquet") for p in parts)
+
+
+def test_write_append_and_overwrite(ds_env):
+    spark, server, client, table, df = ds_env
+
+    def w(frame, mode):
+        x = (
+            frame.write.format("iceberg_rest")
+            .option("uri", server.base_url)
+            .option("project", "p")
+            .option("warehouse", "wh")
+            .option("namespace", "ns")
+            .option("table", "t")
+        )
+        x.mode(mode).save()
+
+    w(df.repartition(4), "append")
+    assert table.read().count() == 10
+    assert table.read().agg(F.sum("k")).collect()[0][0] == sum(range(10))
+    w(df, "append")
+    assert table.read().count() == 20
+    w(df.limit(3), "overwrite")
+    assert table.read().count() == 3
+    # every write is one snapshot; history intact
+    assert len(table.metadata()["snapshots"]) == 3
+    summaries = [s["summary"]["writer"] for s in table.metadata()["snapshots"]]
+    assert summaries == ["python-datasource"] * 3
+
+
+def test_write_empty_partitions_produce_no_files(ds_env):
+    spark, server, client, table, df = ds_env
+    x = (
+        df.repartition(32)  # most partitions empty at 10 rows
+        .write.format("iceberg_rest")
+        .option("uri", server.base_url)
+        .option("project", "p")
+        .option("warehouse", "wh")
+        .option("namespace", "ns")
+        .option("table", "t")
+    )
+    x.mode("append").save()
+    assert table.read().count() == 10
+    snap = table.metadata()["snapshots"][-1]
+    assert int(snap["summary"]["added-files"]) <= 10  # no empty-file spam
+
+
+def test_datasource_write_readable_by_catalog_and_datasource(ds_env):
+    spark, server, client, table, df = ds_env
+    x = (
+        df.write.format("iceberg_rest")
+        .option("uri", server.base_url)
+        .option("project", "p")
+        .option("warehouse", "wh")
+        .option("namespace", "ns")
+        .option("table", "t")
+    )
+    x.mode("append").save()
+    via_catalog = {tuple(r) for r in table.read().collect()}
+    via_ds = {tuple(r) for r in _read(spark, server).collect()}
+    assert via_catalog == via_ds == {(i, i * 2.0) for i in range(10)}
