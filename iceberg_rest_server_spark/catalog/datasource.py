@@ -115,17 +115,78 @@ def _load_table_state(options: dict) -> tuple[list[dict], list[str]]:
         path = manifest[len("file://"):] if manifest.startswith("file://") else manifest
         with open(path) as fh:
             files = json.load(fh)["files"]
-    return fields, files
+    # field definitions across every schema version + partition specs,
+    # for path-encoded partition pruning (see pushFilters)
+    fields_by_id: dict[int, dict] = {}
+    for s in sorted(meta["schemas"], key=lambda s: s["schema-id"]):
+        for f in s["fields"]:
+            fields_by_id[f["id"]] = f
+    return fields, files, meta.get("partition-specs", []), fields_by_id
 
 
 class IcebergRestReader(DataSourceReader):
     def __init__(self, options: dict):
-        self._fields, self._files = _load_table_state(options)
+        self._fields, self._files, self._specs, self._fields_by_id = (
+            _load_table_state(options)
+        )
+        self._eq: dict[str, object] = {}
+
+    def pushFilters(self, filters):
+        """File-level partition pruning — Iceberg's manifest pruning
+        surfaced through the Spark 4 pushdown hook: equality predicates
+        on columns that feed any partition-spec field drop non-matching
+        files (path-encoded ``p<field-id>=<transformed>`` tuples, same
+        rule as SparkCatalogTable.read_where, robust to spec evolution:
+        files missing the segment are conservatively kept). Pruning is
+        file-granular, not row-exact, so EVERY filter is returned for
+        Spark to re-apply post-scan — results stay exact, the scan just
+        touches fewer files."""
+        from pyspark.sql.datasource import EqualTo
+
+        partition_sources = {
+            self._fields_by_id[pf["source-id"]]["name"]
+            for spec in self._specs
+            for pf in spec.get("fields", [])
+            if pf["source-id"] in self._fields_by_id
+        }
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[0] in partition_sources
+            ):
+                self._eq[f.attribute[0]] = f.value
+        return filters  # file pruning only — Spark still filters rows
+
+    def _pruned_files(self) -> list[str]:
+        if not self._eq:
+            return self._files
+        from .spark_table import SparkCatalogTable
+
+        expect: dict[int, str] = {}
+        for spec in self._specs:
+            for pf in spec.get("fields", []):
+                src = self._fields_by_id.get(pf["source-id"])
+                if src is None or src["name"] not in self._eq:
+                    continue
+                expect[pf["field-id"]] = SparkCatalogTable._transform_literal(
+                    pf["transform"], self._eq[src["name"]], src["type"]
+                )
+        return [
+            f
+            for f in self._files
+            if all(
+                got is None or got == want
+                for fid, want in expect.items()
+                for got in [SparkCatalogTable._file_partition_values(f).get(fid)]
+            )
+        ]
 
     def partitions(self) -> list[InputPartition]:
-        # one partition per data file — the unit the manifests track and
-        # the unit Spark schedules; empty tables read as zero partitions
-        return [_FilePartition(p, self._fields) for p in self._files] or [
+        # one partition per (pruned) data file — the unit the manifests
+        # track and the unit Spark schedules; empty reads as one no-op
+        files = self._pruned_files()
+        return [_FilePartition(p, self._fields) for p in files] or [
             _FilePartition("", self._fields)
         ]
 
@@ -175,7 +236,7 @@ class IcebergRestDataSource(DataSource):
         return "iceberg_rest"
 
     def schema(self) -> T.StructType:
-        fields, _ = _load_table_state(self.options)
+        fields = _load_table_state(self.options)[0]
         return T.StructType(
             [
                 T.StructField(

@@ -340,6 +340,11 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load as _load
 
     spark.dataSource.register(IcebergRestDataSource)
+    # the reader implements pushFilters(), which Spark refuses to plan
+    # unless this (runtime-settable, default-false in 4.1) flag is on —
+    # set it here so the entry works on ANY caller's session, not just
+    # ones built by session.get_spark
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     with ServerThread() as server, _tf.TemporaryDirectory() as tmp:
         client = RestCatalogClient(server.base_url)

@@ -28,6 +28,9 @@ def get_spark(app_name: str = "iceberg_rest_server_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # opt-in (Spark 4.1) pushdown hook for Python Data Sources —
+        # lets catalog/datasource.py prune partition files pre-scan
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # local-mode executors live inside the driver JVM: across a
         # 137-query bench the codegen cache, broadcasts, and shuffle
         # buffers accumulate, and a 16g heap showed 2-3x run-to-run

@@ -164,3 +164,51 @@ def test_datasource_write_readable_by_catalog_and_datasource(ds_env):
     via_catalog = {tuple(r) for r in table.read().collect()}
     via_ds = {tuple(r) for r in _read(spark, server).collect()}
     assert via_catalog == via_ds == {(i, i * 2.0) for i in range(10)}
+
+
+def test_push_filters_prune_partition_files(spark):
+    """Equality filters on partition-source columns prune InputPartitions
+    (manifest-level file skipping through the Spark 4 pushdown hook);
+    results stay exact because Spark re-applies every filter."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    spark.dataSource.register(IcebergRestDataSource)
+    with ServerThread() as server, tempfile.TemporaryDirectory() as wh:
+        client = RestCatalogClient(server.base_url)
+        client.create_warehouse("p", "wh", wh)
+        client.configure("p", "wh")
+        client.create_namespace(["ns"])
+        df = spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("bucket_col"),
+        )
+        client.create_table(["ns"], "t", iceberg_schema_from_spark(df.schema))
+        table = SparkCatalogTable(spark, client, ["ns"], "t")
+        table.add_partition_field("bucket_col", "identity", "bucket_col_part")
+        table.append(df)
+
+        opts = {
+            "uri": server.base_url,
+            "project": "p",
+            "warehouse": "wh",
+            "namespace": "ns",
+            "table": "t",
+        }
+        reader = IcebergRestReader(opts)
+        all_parts = len(reader.partitions())
+        assert all_parts >= 4  # one file per partition value at least
+
+        pruned = IcebergRestReader(opts)
+        leftover = list(
+            pruned.pushFilters([EqualTo(("bucket_col",), 2), GreaterThan(("k",), 10)])
+        )
+        # every filter is returned for Spark to re-apply
+        assert len(leftover) == 2
+        assert len(pruned.partitions()) < all_parts
+
+        # end-to-end: filtered read through Spark matches the truth
+        r = spark.read.format("iceberg_rest")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        got = r.load().filter("bucket_col = 2 and k > 10").count()
+        assert got == sum(1 for i in range(100) if i % 4 == 2 and i > 10)
