@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -70,7 +71,9 @@ class _FilePartition(InputPartition):
         self.fields = fields  # [{"id", "name", "type"}...]
 
 
-def _load_table_state(options: dict) -> tuple[list[dict], list[str]]:
+def _load_table_state(
+    options: dict,
+) -> tuple[list[dict], list[str], list[dict], dict[int, dict]]:
     """Driver-side metadata resolution: (schema fields, data file paths).
     Goes through the same RestCatalogClient every other consumer uses —
     config round-trip for the prefix, 0x1F namespace separator, error
@@ -252,6 +255,9 @@ class IcebergRestDataSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool):
         return IcebergRestWriter(self.options, overwrite)
 
+    def streamReader(self, schema: T.StructType):
+        return IcebergRestStreamReader(self.options)
+
 
 # --------------------------------------------------------------- write path
 
@@ -402,3 +408,93 @@ class IcebergRestWriter(DataSourceArrowWriter):
                     os.remove(p)
                 except OSError:
                     pass
+
+
+# ------------------------------------------------------------- stream read
+
+class IcebergRestStreamReader(DataSourceStreamReader):
+    """`spark.readStream.format("iceberg_rest")` — incremental snapshot
+    tailing (Iceberg's streaming read): each micro-batch is the set of
+    data files APPENDED between two snapshots on the parent chain.
+
+    - Offsets are snapshot ids ({"snapshot_id": N}; -1 = before any
+      snapshot, so the first batch reads the whole current table then
+      the query tails new commits — file-source semantics).
+    - partitions(start, end) is metadata-only on the driver: walk the
+      parent chain end→start and diff each append snapshot's file list
+      against its parent (manifest reads). One InputPartition per added
+      file, read executor-side exactly like the batch path.
+    - An overwrite/replace snapshot inside the range raises — its
+      row-level delta is not recoverable from an append-only file diff
+      (same contract as SparkCatalogTable.read_incremental and
+      Iceberg's own streaming source).
+    - Offset persistence in the checkpoint gives exactly-once batches
+      across restarts; commit() is a no-op because snapshots are
+      immutable.
+    """
+
+    def __init__(self, options: dict):
+        self._options = dict(options)
+        self._fields, _, _, _ = _load_table_state(options)
+
+    def _meta(self) -> dict:
+        from .client import RestCatalogClient
+
+        client = RestCatalogClient(self._options["uri"])
+        client.configure(
+            self._options.get("project", "p"), self._options.get("warehouse", "wh")
+        )
+        return client.load_table(
+            self._options["namespace"].split("."), self._options["table"]
+        )["metadata"]
+
+    @staticmethod
+    def _files_of(snap: dict) -> list[str]:
+        manifest = snap["manifest-list"]
+        path = manifest[len("file://"):] if manifest.startswith("file://") else manifest
+        with open(path) as fh:
+            return json.load(fh)["files"]
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": -1}
+
+    def latestOffset(self) -> dict:
+        meta = self._meta()
+        cur = meta.get("current-snapshot-id")
+        return {"snapshot_id": -1 if cur is None else cur}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        start_id, end_id = start["snapshot_id"], end["snapshot_id"]
+        if end_id == -1 or start_id == end_id:
+            return []
+        meta = self._meta()
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        added: list[str] = []
+        cur: int | None = end_id
+        while cur is not None and cur != start_id:
+            snap = by_id.get(cur)
+            if snap is None:
+                raise ValueError(
+                    f"snapshot {cur} expired from history before the stream read it"
+                )
+            parent = snap.get("parent-snapshot-id")
+            op = snap.get("operation", snap.get("summary", {}).get("operation"))
+            if op not in (None, "append"):
+                raise ValueError(
+                    f"snapshot {cur} is {op!r}; streaming reads require an "
+                    "append-only history (Iceberg streaming contract)"
+                )
+            parent_files = set() if parent is None else set(
+                self._files_of(by_id[parent])
+            )
+            added.extend(
+                f for f in self._files_of(snap) if f not in parent_files
+            )
+            cur = parent
+        return [_FilePartition(p, self._fields) for p in added]
+
+    def read(self, partition: _FilePartition):
+        return IcebergRestReader.read(self, partition)  # same Arrow path
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are immutable; the checkpoint holds the offset

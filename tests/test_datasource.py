@@ -212,3 +212,69 @@ def test_push_filters_prune_partition_files(spark):
             r = r.option(k, v)
         got = r.load().filter("bucket_col = 2 and k > 10").count()
         assert got == sum(1 for i in range(100) if i % 4 == 2 and i > 10)
+
+
+def test_stream_read_tails_snapshots(ds_env):
+    """readStream.format('iceberg_rest'): first drain reads the current
+    table, a second drain from the same checkpoint reads ONLY snapshots
+    committed since — exactly-once incremental tailing by snapshot id."""
+    spark, server, client, table, df = ds_env
+    table.append(df)  # 0..9
+    with tempfile.TemporaryDirectory() as tmp:
+        out_dir = os.path.join(tmp, "out")
+
+        def drain():
+            r = spark.readStream.format("iceberg_rest")
+            for k, v in {
+                "uri": server.base_url,
+                "project": "p",
+                "warehouse": "wh",
+                "namespace": "ns",
+                "table": "t",
+            }.items():
+                r = r.option(k, v)
+            q = (
+                r.load()
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(r.k for r in spark.read.parquet(out_dir).collect())
+
+        assert drain() == list(range(10))
+        table.append(
+            spark.range(100, 105).select(
+                F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+            )
+        )
+        # same checkpoint: only the delta lands — no re-read, no dupes
+        assert drain() == list(range(10)) + list(range(100, 105))
+
+
+def test_stream_read_rejects_overwrite_in_range(ds_env):
+    """An overwrite snapshot inside the offset range must fail the
+    stream (its row-level delta is not an append-only file diff) —
+    Iceberg's streaming contract, same as read_incremental."""
+    from iceberg_rest_server_spark.catalog.datasource import (
+        IcebergRestStreamReader,
+    )
+
+    spark, server, client, table, df = ds_env
+    table.append(df)
+    first = table.metadata()["current-snapshot-id"]
+    table.overwrite(df.limit(3))
+    reader = IcebergRestStreamReader(
+        {
+            "uri": server.base_url,
+            "project": "p",
+            "warehouse": "wh",
+            "namespace": "ns",
+            "table": "t",
+        }
+    )
+    head = reader.latestOffset()
+    with pytest.raises(ValueError, match="append-only"):
+        reader.partitions({"snapshot_id": first}, head)
