@@ -278,3 +278,28 @@ def test_stream_read_rejects_overwrite_in_range(ds_env):
     head = reader.latestOffset()
     with pytest.raises(ValueError, match="append-only"):
         reader.partitions({"snapshot_id": first}, head)
+
+
+def test_failed_write_commits_nothing(ds_env):
+    """A write job that fails on any task must leave the table untouched:
+    no snapshot, no visible rows — the commit is all-or-nothing because
+    only the driver's commit() publishes files."""
+    spark, server, client, table, df = ds_env
+
+    @F.udf("double")
+    def boom(v):
+        raise RuntimeError("task failure")
+
+    bad = df.withColumn("v", boom(F.col("v")))
+    x = (
+        bad.write.format("iceberg_rest")
+        .option("uri", server.base_url)
+        .option("project", "p")
+        .option("warehouse", "wh")
+        .option("namespace", "ns")
+        .option("table", "t")
+    )
+    with pytest.raises(Exception):
+        x.mode("append").save()
+    assert table.read().count() == 0
+    assert table.metadata()["snapshots"] == []
