@@ -12,10 +12,11 @@ Design for 100 TB:
   is one Arrow-batched matmul per batch (``(batch × dim) · (dim × k)``).
 - The update step never shuffles vectors: each partition emits k partial
   (sum_vec, count, inertia) rows via mapInPandas — map-side combining by
-  construction — and only ``num_partitions × k`` metadata-scale rows
-  reach the driver, which finalizes the k × dim centroid matrix and
-  re-broadcasts it. This is the same partial/final split Spark's own
-  hash aggregate performs, expressed at the vector level.
+  construction — and those partials are reduced DISTRIBUTEDLY (component
+  sums via posexplode aggregate) so exactly ``k × dim + k`` rows reach
+  the driver per iteration, independent of both corpus size and cluster
+  size. This is the same partial/final split Spark's own hash aggregate
+  performs, expressed at the vector level.
 - Centroids and the inertia history are bounded by k·dim doubles per
   iteration regardless of corpus size; no step materializes an
   O(N)-wide structure on the driver.
@@ -91,15 +92,35 @@ def kmeans_fit_assign(
                 partials,
                 schema="cluster int, sum_vec array<double>, cnt long, inertia double",
             )
-            # num_partitions × k rows — bounded, independent of corpus size
-            rows = part.collect()
+            # The per-partition partials are num_partitions × k rows — on a
+            # 1000-executor cluster that grows with the CLUSTER, not the
+            # data, so reduce them distributedly before anything reaches
+            # the driver: component sums via posexplode → (cluster, dim)
+            # aggregate, counts/inertia via a k-row aggregate. The driver
+            # then receives exactly k×dim + k rows regardless of scale.
             kk, dim = C.shape
+            part = part.persist()
+            comp_rows = (
+                part.select(
+                    "cluster", F.posexplode("sum_vec").alias("dim", "val")
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.sum("val").alias("s"))
+                .collect()
+            )
+            meta_rows = (
+                part.groupBy("cluster")
+                .agg(F.sum("cnt").alias("cnt"), F.sum("inertia").alias("inertia"))
+                .collect()
+            )
+            part.unpersist()
             sums = np.zeros((kk, dim))
             counts = np.zeros(kk, dtype=np.int64)
             total_inertia = 0.0
-            for r in rows:
-                sums[r["cluster"]] += np.asarray(r["sum_vec"])
-                counts[r["cluster"]] += r["cnt"]
+            for r in comp_rows:
+                sums[r["cluster"], r["dim"]] = r["s"]
+            for r in meta_rows:
+                counts[r["cluster"]] = r["cnt"]
                 total_inertia += r["inertia"]
             history.append(total_inertia)
             nonempty = counts > 0
