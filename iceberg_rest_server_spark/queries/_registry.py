@@ -68,6 +68,8 @@ _DRIVER_ORDER_HEAD = [
     "q139_xml_roundtrip",
     "q140_stream_transform_with_state",  # registers only where protobuf exists
     "q141_python_datasource",
+    "q142_zscore_outliers",
+    "q143_basket_affinity",
     # --- (2) code changed this round ---
     "q36_ann_lsh_topk",
     "q38_ann_ivf_topk",

@@ -1,8 +1,10 @@
-"""Q127–Q137 (minus the streaming Q134, which lives in streaming/):
-round-5 additions — corpus clustering, edit-distance similarity join,
-SCD2/gaps-and-islands, interval concurrency, Markov transitions, RFM
-segmentation, hard-negative mining, time-weighted averages, item-item
-co-occurrence similarity, and observed pipeline metrics.
+"""Q127–Q143 (minus Q134/Q139/Q140/Q141, which live in streaming/,
+sources, and catalog_e2e): round-5 additions — corpus clustering,
+edit-distance similarity join, SCD2/gaps-and-islands, interval
+concurrency, Markov transitions, RFM segmentation + quantile
+bucketing, hard-negative mining, time-weighted averages, item-item
+co-occurrence similarity, observed pipeline metrics, z-score outliers,
+and market-basket affinity.
 
 These extend the training-data-pipeline and lakehouse-analytics tiers
 beyond the reference's own query surface (reference has no clustering /
@@ -618,4 +620,133 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("monetary"), 2).alias("total_monetary"),
         )
         .orderBy("m_score")
+    )
+
+
+@register(
+    "q142_zscore_outliers",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, event_type,
+             sum(CAST(value AS DECIMAL(18,2))) AS total_dec
+      FROM events GROUP BY user_id, event_type
+    ), stats AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(total_dec) AS DOUBLE) AS sx,
+             CAST(sum(total_dec * total_dec) AS DOUBLE) AS sxx
+      FROM per_user GROUP BY event_type
+    )
+    SELECT p.event_type, p.user_id,
+           CAST(p.total_dec AS DOUBLE) AS total,
+           round((CAST(p.total_dec AS DOUBLE) - s.sx / s.n)
+                 / sqrt(greatest(1e-12, (s.sxx - s.sx * s.sx / s.n) / (s.n - 1))),
+                 4) AS z
+    FROM per_user p JOIN stats s ON p.event_type = s.event_type
+    WHERE abs((CAST(p.total_dec AS DOUBLE) - s.sx / s.n)
+              / sqrt(greatest(1e-12, (s.sxx - s.sx * s.sx / s.n) / (s.n - 1)))) > 3
+    ORDER BY p.event_type, p.user_id
+    """,
+    doc="Per-group z-score outlier detection (|z| > 3 on per-user value "
+    "totals): the anomaly-flagging pass every metrics pipeline runs. "
+    "Totals stay exact decimal until one double cast; group mean and "
+    "variance come from exact power sums computed ONCE per group (the "
+    "q62 technique — native stddev accumulates doubles in partition "
+    "order and is not reproducible at scale), then broadcast back via "
+    "a tiny stats join. Two map-side-combining aggregates + one "
+    "broadcast join; nothing funnels through a single partition.",
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # power sums stay EXACT decimal until one double cast per group —
+    # summing doubles would make z depend on partition combine order
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.sum(dec("value")).alias("total_dec")
+    )
+    stats = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("total_dec").cast("double").alias("sx"),
+        F.sum(F.col("total_dec") * F.col("total_dec")).cast("double").alias("sxx"),
+    )
+    total = F.col("total_dec").cast("double")
+    z = (total - F.col("sx") / F.col("n")) / F.sqrt(
+        F.greatest(
+            F.lit(1e-12),
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1),
+        )
+    )
+    return (
+        per_user.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_type",
+            "user_id",
+            total.alias("total"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+@register(
+    "q143_basket_affinity",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT count(DISTINCT l_orderkey) AS n FROM lineitem
+    ), item AS (
+      SELECT l_partkey, count(*) AS c FROM baskets GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS c12
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p1, p2, c12,
+           round(CAST(c12 AS DOUBLE) * t.n
+                 / (CAST(i1.c AS DOUBLE) * i2.c), 6) AS lift
+    FROM pair JOIN item i1 ON i1.l_partkey = p1
+              JOIN item i2 ON i2.l_partkey = p2
+              CROSS JOIN n_orders t
+    ORDER BY lift DESC, p1, p2
+    LIMIT 100
+    """,
+    doc="Market-basket affinity (co-occurrence lift of part pairs within "
+    "orders, support ≥ 3): pairs come from an equi-join on the ORDER "
+    "key, so the expansion is Σ(basket size²) — bounded by the ~7-item "
+    "TPC-H basket, never corpus² — and the pair aggregate map-side "
+    "combines. Item supports and the order total re-aggregate the same "
+    "deduped basket relation; lift's inputs are exact integers inside "
+    "one double expression, so both engines emit identical values. "
+    "Top-100 by lift with full tiebreak.",
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 3)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    lift = F.round(
+        F.col("c12").cast("double")
+        * F.lit(n_orders)
+        / (F.col("c1").cast("double") * F.col("c2")),
+        6,
+    )
+    return (
+        pair.join(i1, "p1")
+        .join(i2, "p2")
+        .select("p1", "p2", "c12", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(100)
     )
