@@ -1,4 +1,4 @@
-"""Round-5 tier (Q127–Q133): plan-shape and property tests.
+"""Round-5 tier (Q127–Q143): plan-shape and property tests.
 
 Plan assertions follow tests/test_plans.py's model: the scale posture
 (no cartesian products, blocking joins are equi-joins) is enforced, not
@@ -155,3 +155,70 @@ def test_scd2_islands_cover_all_events(spark):
         df.filter(F.col("is_current")).groupBy("user_id").count().collect()
     )
     assert all(r["count"] == 1 for r in open_counts)
+
+
+def test_zscore_outliers_match_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_server_spark.tables import load
+
+    got = {
+        (r.event_type, r.user_id): r.z
+        for r in REGISTRY["q142_zscore_outliers"].fn(spark, SF).collect()
+    }
+    totals = (
+        load(spark, SF, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("t"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in totals:
+        by_type.setdefault(r.event_type, []).append((r.user_id, r.t))
+    expect = {}
+    for et, rows in by_type.items():
+        vals = np.array([t for _, t in rows])
+        mu = vals.mean()
+        sd = vals.std(ddof=1)
+        for uid, t in rows:
+            z = (t - mu) / max(sd, 1e-6)
+            if abs(z) > 3:
+                expect[(et, uid)] = z
+    assert set(got) == set(expect)
+    for k, z in expect.items():
+        assert got[k] == pytest.approx(z, abs=1e-3)
+
+
+def test_basket_affinity_matches_bruteforce(spark):
+    import collections
+
+    from iceberg_rest_server_spark.tables import load
+
+    rows = (
+        load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").distinct().collect()
+    )
+    baskets: dict = collections.defaultdict(set)
+    for r in rows:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    item = collections.Counter()
+    pair = collections.Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item[p] += 1
+        sp = sorted(parts)
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                pair[(sp[i], sp[j])] += 1
+    n = len(baskets)
+    scored = [
+        (round(c * n / (item[a] * item[b]), 6), a, b, c)
+        for (a, b), c in pair.items()
+        if c >= 3
+    ]
+    expect = sorted(scored, key=lambda t: (-t[0], t[1], t[2]))[:100]
+    got = [
+        (r.lift, r.p1, r.p2, r.c12)
+        for r in REGISTRY["q143_basket_affinity"].fn(spark, SF).collect()
+    ]
+    assert got == expect
