@@ -70,6 +70,8 @@ _DRIVER_ORDER_HEAD = [
     "q141_python_datasource",
     "q142_zscore_outliers",
     "q143_basket_affinity",
+    "q144_theta_set_operations",
+    "q145_kll_quantile_rollup",
     # --- (2) code changed this round ---
     "q36_ann_lsh_topk",
     "q38_ann_ivf_topk",

@@ -517,3 +517,135 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "q144_theta_set_operations",
+    # Sketch images are engine-specific; the exact set-algebra counts
+    # carry the hash and the ≤5%-error booleans (lgk=12 ⇒ ~1.6% rse,
+    # 3σ margin) are pinned TRUE by the oracle.
+    oracle="""
+    WITH t AS (SELECT min(event_type) AS a,
+                      max(event_type) AS b FROM events),
+    ua AS (SELECT DISTINCT user_id FROM events, t WHERE event_type = t.a),
+    ub AS (SELECT DISTINCT user_id FROM events, t WHERE event_type = t.b)
+    SELECT (SELECT count(*) FROM (SELECT user_id FROM ua UNION
+                                  SELECT user_id FROM ub)) AS exact_union,
+           (SELECT count(*) FROM (SELECT user_id FROM ua INTERSECT
+                                  SELECT user_id FROM ub)) AS exact_intersect,
+           (SELECT count(*) FROM (SELECT user_id FROM ua EXCEPT
+                                  SELECT user_id FROM ub)) AS exact_diff,
+           TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS diff_ok
+    """,
+    doc="Theta-sketch set algebra (Apache DataSketches via Spark 4 "
+    "theta_sketch_agg / theta_union / theta_intersection / "
+    "theta_difference): user-set overlap between two event types "
+    "estimated from two mergeable sketches — the capability HLL "
+    "fundamentally lacks (HLL unions but cannot intersect). At 100 TB "
+    "you keep one small sketch per segment and answer any "
+    "overlap/exclusion question without rescanning or shuffling the "
+    "raw key sets. Self-verified: each estimate must land within 5% "
+    "of the exact distinct-set computation run in the same job.",
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    ab = events.agg(
+        F.min("event_type").alias("a"), F.max("event_type").alias("b")
+    ).collect()[0]
+    a_users = events.filter(F.col("event_type") == ab["a"]).select("user_id")
+    b_users = events.filter(F.col("event_type") == ab["b"]).select("user_id")
+    sk = (
+        a_users.agg(F.theta_sketch_agg("user_id").alias("ska"))
+        .crossJoin(b_users.agg(F.theta_sketch_agg("user_id").alias("skb")))
+        .select(
+            F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("est_union"),
+            F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias(
+                "est_intersect"
+            ),
+            F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias(
+                "est_diff"
+            ),
+        )
+        .collect()[0]
+    )
+    exact_union = a_users.union(b_users).distinct().count()
+    exact_intersect = a_users.distinct().intersect(b_users.distinct()).count()
+    exact_diff = a_users.distinct().exceptAll(b_users.distinct()).count()
+
+    def ok(est: float, exact: int) -> bool:
+        return exact == 0 or abs(est - exact) / exact <= 0.05
+
+    return spark.createDataFrame(
+        [
+            (
+                exact_union,
+                exact_intersect,
+                exact_diff,
+                ok(sk["est_union"], exact_union),
+                ok(sk["est_intersect"], exact_intersect),
+                ok(sk["est_diff"], exact_diff),
+            )
+        ],
+        "exact_union long, exact_intersect long, exact_diff long, "
+        "union_ok boolean, intersect_ok boolean, diff_ok boolean",
+    )
+
+
+@register(
+    "q145_kll_quantile_rollup",
+    # Same mergeability contract as q111's HLL rollup, for QUANTILES:
+    # per-day KLL partials merged up to per-event-type must estimate the
+    # median within 2% relative error of the exact interpolated value
+    # (k=200 ⇒ ~1.65% rank error at 99% confidence; value-error margin
+    # holds on this distribution with room to spare). Exact quantiles
+    # carry the hash.
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           TRUE AS p50_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Mergeable quantile rollup (Apache DataSketches KLL via Spark 4 "
+    "kll_sketch_agg_double / kll_sketch_merge_double): per-(event_type, "
+    "day) sketches of value merged up to per-event-type, then the "
+    "median read from the merged sketch — the re-aggregation pattern "
+    "that lets a 100 TB pipeline keep daily quantile partials and "
+    "answer any coarser rollup without rescanning raw data (exact "
+    "percentiles don't merge; GK percentile_approx merges but is not "
+    "exposed as a storable partial). Self-verified: the merged-sketch "
+    "median must land within 2% of the exact interpolated median.",
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    # kll_sketch_merge_double is a binary scalar (not an aggregate), so
+    # the per-day partials fold pairwise: collect the (days-per-type,
+    # bounded) sketch list, sort it for a deterministic merge order, and
+    # left-fold with the merge function
+    skl = F.sort_array(F.collect_list("sk"))
+    merged = F.aggregate(
+        F.slice(skl, 2, F.greatest(F.size(skl) - 1, F.lit(0))),
+        F.element_at(skl, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.5)).alias("p50_est")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "p50_exact",
+            (
+                F.abs(F.col("p50_est") - F.col("p50_exact"))
+                / F.abs(F.col("p50_exact"))
+                <= 0.02
+            ).alias("p50_ok"),
+        )
+        .orderBy("event_type")
+    )
