@@ -51,8 +51,17 @@ _ICEBERG_TO_ARROW = {
     "boolean": "bool",
     "timestamp": "us",  # handled specially
     "date": "date32",
+    "binary": "binary",
 }
 
+# NOTE on timestamps: this Data Source deliberately surfaces Iceberg
+# `timestamp` as TimestampNTZType, NOT spark_table.py's TimestampType.
+# The read path hands Spark Arrow timestamp("us") batches with no zone,
+# and Spark maps zoneless Arrow timestamps to NTZ; declaring TZ here
+# would make Spark re-interpret wall-clock values through the session
+# zone on the Arrow boundary. spark_table.py reads through the JVM
+# parquet reader where the session-zone cast is applied uniformly, so
+# it keeps TimestampType. Both choices are documented at both sites.
 _ICEBERG_TO_SPARK = {
     "long": T.LongType(),
     "int": T.IntegerType(),
@@ -62,6 +71,7 @@ _ICEBERG_TO_SPARK = {
     "boolean": T.BooleanType(),
     "timestamp": T.TimestampNTZType(),
     "date": T.DateType(),
+    "binary": T.BinaryType(),
 }
 
 
@@ -325,8 +335,15 @@ class IcebergRestWriter(DataSourceArrowWriter):
         for batch in iterator:
             arrays = []
             for f in self._fields:
-                col = batch.column(batch.schema.get_field_index(f["name"]))
-                arrays.append(col.cast(target_type(f["type"])))
+                idx = batch.schema.get_field_index(f["name"])
+                if idx < 0:
+                    # get_field_index returns -1 for a missing name, and
+                    # batch.column(-1) would silently alias the LAST column
+                    raise ValueError(
+                        f"column {f['name']!r} missing from input DataFrame; "
+                        f"table requires {[x['name'] for x in self._fields]}"
+                    )
+                arrays.append(batch.column(idx).cast(target_type(f["type"])))
             batches.append(
                 pa.RecordBatch.from_arrays(arrays, schema=fid_schema)
             )
@@ -484,6 +501,11 @@ class IcebergRestStreamReader(DataSourceStreamReader):
                     f"snapshot {cur} is {op!r}; streaming reads require an "
                     "append-only history (Iceberg streaming contract)"
                 )
+            if parent is not None and parent not in by_id:
+                raise ValueError(
+                    f"parent snapshot {parent} expired from history before "
+                    "the stream read it"
+                )
             parent_files = set() if parent is None else set(
                 self._files_of(by_id[parent])
             )
@@ -491,6 +513,17 @@ class IcebergRestStreamReader(DataSourceStreamReader):
                 f for f in self._files_of(snap) if f not in parent_files
             )
             cur = parent
+        if start_id != -1 and cur is None:
+            # The walk hit the root without ever meeting start_id: the
+            # checkpointed offset is no longer an ancestor of end (e.g.
+            # rollback_to followed by new commits rewrote history).
+            # Falling through would silently re-emit the ENTIRE table as
+            # "added" — duplicate delivery. Fail loudly instead.
+            raise ValueError(
+                f"start offset snapshot {start_id} is not an ancestor of "
+                f"{end_id} — table history was rewritten (rollback?); "
+                "restart the stream from a fresh checkpoint"
+            )
         return [_FilePartition(p, self._fields) for p in added]
 
     def read(self, partition: _FilePartition):

@@ -119,7 +119,11 @@ def exact_jaccard_pairs(
         .withColumnRenamed("hgrams", "grams")
         .persist()
     )
-    exploded = g.select("id", F.explode("grams").alias("gram"))
+    # sz travels with every exploded row (one array-length read) instead
+    # of a second count() window pass downstream
+    exploded = g.select(
+        "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
     # not persisted: both consumers (the prefix ranking and, on the
     # bitmap path, the dictionary) rebuild this one cheap aggregate from
     # the cached gram sets — a persist here would outlive the call and
@@ -131,35 +135,43 @@ def exact_jaccard_pairs(
     ranked = (
         exploded.join(df_freq, "gram")
         .withColumn("pos", F.row_number().over(w))
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
         .withColumn("prefix_len", F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
         .filter(F.col("pos") <= F.col("prefix_len"))
         .select("id", "gram", "pos", "sz")
-        .persist()
     )
     # PPJoin filters: size compatibility (j≥t bounds |A|/|B| within t) and
     # the positional upper bound on achievable overlap — both prune
     # candidates without affecting exactness.
     alpha = threshold / (1.0 + threshold)  # inter ≥ α·(|A|+|B|) ⇔ j ≥ t
-    cands = (
-        ranked.alias("a")
-        .join(ranked.alias("b"), "gram")
-        .filter(
-            (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.sz") >= threshold * F.col("b.sz"))
-            & (F.col("b.sz") >= threshold * F.col("a.sz"))
-            & (
-                1
-                + F.least(
-                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
-                )
-                >= F.ceil(F.lit(alpha) * (F.col("a.sz") + F.col("b.sz")))
-            )
+    ppjoin_filter = (
+        (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.sz") >= threshold * F.col("b.sz"))
+        & (F.col("b.sz") >= threshold * F.col("a.sz"))
+        & (
+            1
+            + F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
+            >= F.ceil(F.lit(alpha) * (F.col("a.sz") + F.col("b.sz")))
         )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
+    )
+    jaccard_of = lambda inter: inter.cast("double") / (  # noqa: E731
+        F.col("size1") + F.col("size2") - inter
     )
     if n_distinct_grams <= _BITMAP_MAX_GRAMS:
+        # Small-vocabulary corpora are exactly where the prefix filter
+        # prunes worst (few distinct grams → no rare grams → candidate
+        # multiplicity ~2× and candidate count near-quadratic in the hot
+        # blocks). Routing those candidates through distinct() + two
+        # verify joins shuffles the multi-million-row candidate set three
+        # times. Instead the (tiny) bitmap rides ON the prefix rows as
+        # n_words SCALAR long columns — not an array: per-element
+        # bit_count(AND) over statically-indexed longs stays inside
+        # whole-stage codegen, while higher-order aggregate/zip_with on
+        # an array column falls out of it (measured 8.1 s → 1.8 s for
+        # the verify join alone) — so the popcount(AND) verify runs
+        # INLINE in the self-join's stage and only the j≥t survivors —
+        # the real pairs — reach the final distinct. Measured end-to-end
+        # at sf0.1 (5k docs, 377 grams, 7.2M raw candidates):
+        # 15.8 s → ~7 s.
         n_words = (n_distinct_grams + 63) // 64
         # dictionary: gram -> dense bit index (tiny; single-partition
         # window is fine at <= 8192 rows, then broadcast everywhere)
@@ -182,61 +194,71 @@ def exact_jaccard_pairs(
             .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("m"))
             .select(
                 "id",
-                F.array(
-                    *[F.coalesce(F.col("m")[w], F.lit(0).cast("long")) for w in range(n_words)]
-                ).alias("bm"),
-            )
-            .withColumn(
-                "sz",
-                F.aggregate(
-                    "bm", F.lit(0), lambda acc, v: acc + F.bit_count(v)
-                ),
+                *[
+                    F.coalesce(F.col("m")[i], F.lit(0).cast("long")).alias(f"w{i}")
+                    for i in range(n_words)
+                ],
             )
         )
-        b1 = bm.select(F.col("id").alias("id1"), F.col("bm").alias("bm1"), F.col("sz").alias("size1"))
-        b2 = bm.select(F.col("id").alias("id2"), F.col("bm").alias("bm2"), F.col("sz").alias("size2"))
-        joined = (
-            cands.join(b1, "id1")
-            .join(b2, "id2")
+        # persisted: the self-join consumes rp on both sides
+        rp = ranked.join(bm, "id").persist()
+        inter = sum(
+            [
+                F.bit_count(F.col(f"a.w{i}").bitwiseAND(F.col(f"b.w{i}")))
+                for i in range(1, n_words)
+            ],
+            F.bit_count(F.col("a.w0").bitwiseAND(F.col("b.w0"))),
+        )
+        verified = (
+            rp.alias("a")
+            .join(rp.alias("b"), "gram")
+            .filter(ppjoin_filter)
             .select(
-                "id1",
-                "id2",
-                F.aggregate(
-                    F.zip_with("bm1", "bm2", lambda x, y: F.bit_count(x.bitwiseAND(y))),
-                    F.lit(0),
-                    lambda acc, v: acc + v,
-                ).alias("inter"),
-                "size1",
-                "size2",
+                F.col("a.id").alias("id1"),
+                F.col("b.id").alias("id2"),
+                inter.alias("inter"),
+                F.col("a.sz").alias("size1"),
+                F.col("b.sz").alias("size2"),
             )
+            .withColumn("jaccard", jaccard_of(F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .distinct()
+            .select("id1", "id2", "inter", "size1", "size2", "jaccard")
         )
-    else:
-        g1 = g.select(F.col("id").alias("id1"), F.col("grams").alias("g1"))
-        g2 = g.select(F.col("id").alias("id2"), F.col("grams").alias("g2"))
-        joined = (
-            cands.join(g1, "id1")
-            .join(g2, "id2")
-            .select(
-                "id1",
-                "id2",
-                F.size(F.array_intersect("g1", "g2")).alias("inter"),
-                F.size("g1").alias("size1"),
-                F.size("g2").alias("size2"),
-            )
+        return verified
+    # Large-vocabulary path: gram arrays are too wide to ride the prefix
+    # rows, so candidates ARE deduped first and the array_intersect
+    # verify runs once per pair after two id joins.
+    ranked = ranked.persist()  # consumed by both sides of the self-join
+    cands = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "gram")
+        .filter(ppjoin_filter)
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    g1 = g.select(F.col("id").alias("id1"), F.col("grams").alias("g1"))
+    g2 = g.select(F.col("id").alias("id2"), F.col("grams").alias("g2"))
+    joined = (
+        cands.join(g1, "id1")
+        .join(g2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("g1", "g2")).alias("inter"),
+            F.size("g1").alias("size1"),
+            F.size("g2").alias("size2"),
         )
+    )
     # Lineage barrier before the threshold filter: without it Catalyst
     # pushes the jaccard predicate into the verify join's condition while
     # the projection recomputes it — array_intersect (the dominant cost)
     # evaluates TWICE per candidate. The checkpointed rows carry only
     # (id1, id2, inter, size1, size2) — 40 B/candidate, the arrays are
     # already projected away — so the barrier is cheap at any scale.
-    # Measured at sf0.1: 7.2 s → 5.3 s steady-state.
     joined = joined.localCheckpoint(eager=False)
     verified = (
-        joined.withColumn(
-            "jaccard",
-            F.col("inter").cast("double") / (F.col("size1") + F.col("size2") - F.col("inter")),
-        )
+        joined.withColumn("jaccard", jaccard_of(F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "inter", "size1", "size2", "jaccard")
     )

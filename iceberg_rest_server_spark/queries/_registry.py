@@ -41,94 +41,83 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 # The driver's per-round correctness run evaluates queries() in dict order
 # and covers a bounded prefix (the first 50 entries) per round. Cumulative
-# driver coverage after r4 is all 146 entries (r1-r3: 97 unique green,
-# r4: the 21 never-windowed + the q99-q126 tier, 50/50 green). The round-5
-# window therefore prioritizes, in order: (1) entries added this round,
-# (2) entries whose code or oracle changed this round, (3) entries whose
-# oracle changed in r4 but rotated out before a driver run saw them
-# (q06, q32_simhash), (4) the streaming regression class (broke once in
-# r02 on replay-hash drift; keep warm every round), then (5) rotation of
-# the oldest-coverage green entries (last windowed in r1) for regression
-# cover. Every entry is always returned — this is ordering only, not
-# selection.
+# driver coverage after r5 is all 164 entries, 163 green (q32_simhash was
+# rows-only until its r6 exact oracle). The round-6 window prioritizes, in
+# order: (1) entries whose code or oracle changed this round
+# (q32_simhash's new md5-exact oracle, the q126/q96 perf work, the q128
+# blocking-key coalesce, the Data Source fixes behind q141), (2) the
+# stalest evidence — the 3 entries last green in r01 and all 29 last
+# green in r02 (VERDICT r5 item 5: no entry's latest green row should be
+# older than r04), (3) streaming regression cover (broke once in r02;
+# keep warm every round), then (4) the oldest r03-era rows that fit.
+# Every entry is always returned — this is ordering only, not selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (1) new this round ---
-    "q127_kmeans_clustering",
-    "q128_edit_distance_join",
-    "q129_scd2_reconstruction",
-    "q130_interval_concurrency",
-    "q131_markov_transitions",
-    "q132_rfm_segmentation",
-    "q133_hard_negative_mining",
-    "q134_stream_cdc_upsert",
-    "q135_time_weighted_average",
-    "q136_cooccurrence_similarity",
-    "q137_observed_metrics",
-    "q138_quantile_bucket_scores",
-    "q139_xml_roundtrip",
-    "q140_stream_transform_with_state",  # registers only where protobuf exists
-    "q141_python_datasource",
-    "q142_zscore_outliers",
-    "q143_basket_affinity",
-    "q144_theta_set_operations",
-    "q145_kll_quantile_rollup",
-    # --- (2) code changed this round ---
-    "q36_ann_lsh_topk",
-    "q38_ann_ivf_topk",
-    "q88_cms_heavy_hitters",
-    "q96_pagerank_canonical",
-    "q111_hll_union_rollup",
-    # --- (3) oracle changed in r4, never driver-verified since ---
-    "q06_approx_distinct",
+    # --- (1) code or oracle changed in r6 ---
     "q32_simhash_pairs",
-    # --- (4) streaming regression cover ---
-    "q29_stream_tumbling_window",
-    "q30_stream_session_window",
-    "q39_stream_stateful_user_totals",
-    "q57_stream_static_enrich",
-    "q58_stream_stream_join",
-    "q90_stream_catalog_sink",
-    "q115_stream_ingest_dedup",
-    # --- (5) oldest-coverage rotation (r1-era rows; re-prove) ---
-    # catalog plane + TPC-H flagships first: these must stay inside the
-    # 50-entry window even as section (1) grows
-    "q34_catalog_end_to_end",
-    "q82_merge_upsert",
-    "q83_row_level_delete",
-    "q63_tpch_q1",
-    "q69_tpch_q8",
-    "q74_tpch_q17",
-    "q01_scan_projection",
-    "q03_hash_aggregate",
-    "q07_inner_join",
-    "q08_broadcast_join",
-    "q09_multiway_join",
-    "q14_asof_join",
-    "q15_rollup",
-    "q16_window_ranking",
-    "q18_topk",
-    "q31_exact_dedup",
-    "q32_minhash_lsh_pairs",
-    "q32_ngram_jaccard_pairs",
-    "q33_tfidf_top_terms",
-    "q35_cosine_neardup_pairs",
-    "q40_curation_pipeline",
-    "q43_sessionize_batch",
-    "q47_fuzzy_brand_pairs",
-    "q49_dedup_clusters",
-    "q52_latest_by_key",
-    "q27_udf_parity",
-    # below here typically falls outside the 50-entry window — low-risk
-    # r1-proven function/setop entries kept for ordering stability
-    "q48_decontamination",
-    "q28_grouped_pandas_udaf",
+    "q126_pmi_collocations",
+    "q96_pagerank_canonical",
+    "q128_edit_distance_join",
+    "q141_python_datasource",
+    # --- (2) stalest evidence: last green r01 ---
+    "q33_lang_id",
+    "q33_fingerprint",
+    "q33_top_terms",
+    # --- (2) stalest evidence: last green r02 (all 29) ---
+    "q02_filter",
+    "q04_global_aggregate",
+    "q05_distinct_aggregate",
+    "q10_left_outer_join",
+    "q11_left_semi_join",
+    "q12_left_anti_join",
+    "q13_theta_join",
+    "q15_cube",
+    "q15_grouping_sets",
+    "q17_window_frames",
+    "q19_except",
     "q19_intersect",
+    "q19_union_all",
+    "q19_union_distinct",
     "q20_string_functions",
     "q21_date_functions",
     "q22_math_functions",
     "q23_array_map_json",
+    "q23_explode_json",
+    "q24_conditional_null",
     "q25_correlated_subquery",
+    "q25_subqueries",
     "q26_cte",
+    "q27_udf_parity",
+    "q28_grouped_pandas_udaf",
+    "q49_dedup_clusters",
+    "q54_full_outer_join",
+    "q55_window_navigation",
+    "q61_grouping_id",
+    # --- (3) streaming regression cover ---
+    "q29_stream_tumbling_window",
+    "q30_stream_session_window",
+    "q134_stream_cdc_upsert",
+    # --- (4) oldest remaining (r03-era) to fill the window ---
+    "q15_sliding_window",
+    "q23_get_json",
+    "q33_bpe_token_count",
+    "q33_quality_score",
+    "q33_token_stats",
+    "q35_cosine_neardup_pairs",
+    "q36_ann_bruteforce_topk",
+    "q37_multimodal_metadata",
+    "q37_multimodal_frames",
+    "q40_curation_pipeline",
+    "q44_pivot_profile",
+    "q47_fuzzy_brand_pairs",
+    "q50_repetition_quality",
+    "q51_range_join",
+    # --- below here typically falls outside the 50-entry window ---
+    "q52_latest_by_key",
+    "q53_domain_mixture",
+    "q59_semantic_dedup",
+    "q60_embedding_centroids",
+    "q62_stats_moments",
+    "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 
 

@@ -105,7 +105,10 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name"),
         "n_parts",
         toks.getItem(0).alias("t1"),
-        toks.getItem(1).alias("t2"),
+        # single-token names: Spark getItem(1) yields NULL (never joins)
+        # while DuckDB split_part(..,2) yields '' (all block together) —
+        # coalesce to '' so both engines block one-token names identically
+        F.coalesce(toks.getItem(1), F.lit("")).alias("t2"),
     )
     a = names.select(
         F.col("name").alias("n1"), F.col("n_parts").alias("n_parts1"),

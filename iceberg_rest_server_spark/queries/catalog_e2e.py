@@ -23,6 +23,7 @@ from ..catalog.client import RestCatalogClient
 from ..catalog.server import ServerThread
 from ..catalog.spark_table import SparkCatalogTable, iceberg_schema_from_spark
 from ..tables import load
+from ._materialize import driver_sized
 from ._registry import register
 
 
@@ -189,7 +190,7 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.merge(source_rows, on=["c_custkey"])
         out = table.read().orderBy("c_custkey")
         # materialize before the temp warehouse disappears
-        return spark.createDataFrame(out.collect(), out.schema)
+        return driver_sized(out)
 
 
 @register(
@@ -235,7 +236,7 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("o_orderstatus")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return driver_sized(out)
 
 
 @register(
@@ -303,7 +304,7 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_dec").cast("double").alias("total"),
         ).orderBy("o_orderstatus")
         # materialize before the server/warehouse teardown
-        return spark.createDataFrame(out.collect(), out.schema)
+        return driver_sized(out)
 
 
 @register(
@@ -396,4 +397,4 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit(phase).alias("phase"), "event_type", "cnt", "sum_user")
             )
         out = frames[0].unionByName(frames[1]).orderBy("phase", "event_type")
-        return spark.createDataFrame(out.collect(), out.schema)
+        return driver_sized(out)

@@ -97,16 +97,57 @@ def q32_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q32_simhash_pairs",
-    # Signature-specific (xxhash64-based simhash has no DuckDB analog) so
-    # the pair set can't be hash-compared — instead every emitted pair is
-    # rescored with its EXACT character-trigram Jaccard in the same query,
-    # making the rows self-verifying: a reviewer (or the driver's rows-only
-    # record) sees hamming ≤ 3 AND the measured text similarity per pair.
-    oracle=None,
+    # The signature IS engine-independent: token hash = first 8 bytes of
+    # md5 (operators/dedup.py:_simhash64), so DuckDB recomputes the exact
+    # 64-bit signature (md5 hex → UBIGINT, ±1 bit votes, sign) and the
+    # exact pair set (hamming ≤ 3) — a full value-hash oracle, not just
+    # rows-only. Tokenization parity: pandas str.split() ≡ split on \s+
+    # with empty tokens dropped.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th, (SELECT unnest(range(64)) AS b) bb(b)
+      GROUP BY doc_id, b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             bit_or(CASE WHEN vote > 0
+                         THEN 1::UBIGINT << CAST(b AS INT)
+                         ELSE 0::UBIGINT END) AS sig
+      FROM bits GROUP BY doc_id
+    ),
+    ph AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             bit_count(xor(a.sig, b.sig)) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS g
+      FROM documents
+    )
+    SELECT p.id1, p.id2, p.hamming,
+           CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard3
+    FROM ph p
+    JOIN grams ga ON ga.doc_id = p.id1
+    JOIN grams gb ON gb.doc_id = p.id2
+    ORDER BY id1, id2
+    """,
     doc="SimHash(64-bit) near-dup pairs within Hamming distance 3, via "
     "pigeonhole chunk banding + exact popcount verify; each pair carries "
-    "its exact trigram Jaccard so the rows-only result is self-evidently "
-    "correct (tests additionally assert recall on injected dups).",
+    "its exact trigram Jaccard. md5-based token hashing makes the "
+    "signature engine-independent, so the oracle recomputes it exactly.",
 )
 def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -1083,9 +1124,13 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE scan+explode+shuffle: unigram-position counts and the grand
     # total are re-aggregations of the (vocab²-sized) bigram-count table,
     # not separate passes over the corpus — c(w1) = Σ_w2 c12, N = Σ c12.
-    # The three branches share the same Exchange subplan, so Spark's
-    # ReuseExchange runs the expensive explode+partial-agg once.
-    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # ReuseExchange alone does NOT pin this (the c12>=5 branch's filter
+    # placement breaks subplan equality — the r5 audit measured 7 corpus
+    # scans), so the bigram-count table is persisted explicitly: the
+    # corpus-sized explode+partial-agg runs exactly once and the three
+    # consumers re-read the vocab²-sized cache (tests/test_plans.py
+    # asserts the single-scan shape).
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
     uni = big.groupBy(F.col("w1").alias("tok")).agg(F.sum("c12").alias("c"))
     tot = big.agg(F.sum("c12").alias("n"))
     pmi = F.round(

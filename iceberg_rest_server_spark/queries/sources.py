@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
+from ._materialize import driver_sized
 from ._registry import register
 
 
@@ -71,10 +72,7 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in frames[1:]:
             out = out.unionByName(f)
         # materialize before the temp dirs disappear
-        result = spark.createDataFrame(
-            out.orderBy("fmt", "event_type").collect(), out.schema
-        )
-        return result
+        return driver_sized(out.orderBy("fmt", "event_type"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -120,6 +118,6 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_type")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return driver_sized(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

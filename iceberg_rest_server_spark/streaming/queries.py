@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..queries._materialize import driver_sized
 from ._registry_hook import register
 
 def _events_raw_schema(ts_type) -> StructType:
@@ -399,7 +400,7 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_type")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return driver_sized(out)
 
 
 @register(
@@ -521,7 +522,7 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_type")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return driver_sized(out)
 
 
 # transformWithStateInPandas's driver worker speaks protobuf to the JVM
@@ -571,8 +572,13 @@ _Q140_DOC = (
 )
 
 
-@_register_q140
-def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+def make_user_totals_processor():
+    """The q140 StatefulProcessor, importable WITHOUT protobuf: only the
+    TWS *runtime* (the driver worker's JVM state-server channel) needs
+    google.protobuf — the processor's state-transition logic is plain
+    pandas and is unit-tested in-container against a fake handle
+    (tests/test_streaming_late.py), so the single untested-here part is
+    the Spark wiring below."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -607,6 +613,11 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return UserTotals()
+
+
+@_register_q140
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     rocksdb = (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -616,7 +627,7 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = read_events_stream(spark, sf_dir)
         out = stream.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=UserTotals(),
+            statefulProcessor=make_user_totals_processor(),
             outputStructType="user_id long, n_events long, min_value double, max_value double",
             outputMode="Update",
             timeMode="None",

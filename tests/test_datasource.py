@@ -303,3 +303,57 @@ def test_failed_write_commits_nothing(ds_env):
         x.mode("append").save()
     assert table.read().count() == 0
     assert table.metadata()["snapshots"] == []
+
+
+def test_stream_read_rejects_rewritten_history(ds_env):
+    """If the checkpointed start offset is no longer an ancestor of end
+    (rollback_to followed by new commits), the ancestor walk must fail
+    loudly — NOT silently re-emit the whole table as newly-added files
+    (duplicate delivery)."""
+    from iceberg_rest_server_spark.catalog.datasource import (
+        IcebergRestStreamReader,
+    )
+
+    spark, server, client, table, df = ds_env
+    table.append(df)
+    base = table.metadata()["current-snapshot-id"]
+    table.append(df)
+    orphaned = table.metadata()["current-snapshot-id"]
+    table.rollback_to(base)
+    table.append(df)  # history rewritten: `orphaned` is no longer an ancestor
+    reader = IcebergRestStreamReader(
+        {
+            "uri": server.base_url,
+            "project": "p",
+            "warehouse": "wh",
+            "namespace": "ns",
+            "table": "t",
+        }
+    )
+    head = reader.latestOffset()
+    with pytest.raises(ValueError, match="not an ancestor"):
+        reader.partitions({"snapshot_id": orphaned}, head)
+    # the full initial read (start=-1) still works on the new history
+    parts = reader.partitions({"snapshot_id": -1}, head)
+    assert len(parts) >= 1
+
+
+def test_write_missing_column_raises(ds_env):
+    """A DataFrame missing a table column must fail with a clear error —
+    pyarrow's get_field_index returns -1 for a missing name and
+    batch.column(-1) would silently write the LAST column's data into
+    the missing field."""
+    spark, server, client, table, df = ds_env
+    bad = df.select("k")  # drops required column v
+    x = (
+        bad.write.format("iceberg_rest")
+        .option("uri", server.base_url)
+        .option("project", "p")
+        .option("warehouse", "wh")
+        .option("namespace", "ns")
+        .option("table", "t")
+    )
+    with pytest.raises(Exception, match="missing from input DataFrame"):
+        x.mode("append").save()
+    # and nothing was committed
+    assert table.metadata().get("current-snapshot-id") in (None, -1)

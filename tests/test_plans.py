@@ -106,3 +106,47 @@ def test_q108_funnel_single_user_shuffle(spark, sf_dir):
     assert plan.count("Window") >= 1
     # events scanned once; no self-joins
     assert plan.count("events.parquet") == 1
+
+
+def test_q126_bigram_explode_runs_once(spark, sf_dir):
+    """q126's corpus-sized explode must be pinned by an explicit persist
+    (ReuseExchange does NOT cover the c12>=5 branch — the r5 verdict
+    measured 7 corpus scans without it): every consumer of the bigram
+    counts reads the InMemoryRelation, and no consumer re-derives it
+    from a raw documents scan."""
+    df = REGISTRY["q126_pmi_collocations"].fn(spark, sf_dir)
+    try:
+        plan = _plan(df)
+        assert "InMemoryTableScan" in plan, "bigram counts not cached"
+        # Every appearance of the documents scan must be INSIDE the
+        # cached relation's stored build plan — on the live execution
+        # side of each InMemoryTableScan there is no other path to the
+        # corpus, so pre-cache-build the plan shows exactly the one
+        # explode subtree, repeated per cached-scan print.
+        segments = plan.split("InMemoryTableScan")
+        assert "documents.parquet" not in segments[0], (
+            "a consumer still scans the corpus directly above the cache"
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_no_unguarded_driver_collect_sites():
+    """Every createDataFrame(<df>.collect(), ...) round-trip must go
+    through queries/_materialize.driver_sized (bounded LIMIT + row-count
+    guard) — a raw site silently ships a data-sized result through the
+    driver."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "iceberg_rest_server_spark"
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        if path.name == "_materialize.py":
+            continue
+        src = path.read_text()
+        # literal-rows createDataFrame([...], schema) is fine; flag only
+        # .collect() feeding createDataFrame
+        if re.search(r"createDataFrame\(\s*\w+(\.\w+\(.*?\))*\.collect\(\)", src):
+            offenders.append(str(path))
+    assert not offenders, f"unguarded driver materialization: {offenders}"

@@ -635,3 +635,236 @@ def test_gzip_negotiation(server):
     status, body2, headers = _req(server, "GET", path)
     assert status == 200 and "metadata" in body2
     assert headers.get("Content-Encoding") is None
+
+
+# ---------------------------------------------------------------------------
+# pyiceberg surface replays (reference tests/python/tests/test_pyiceberg.py
+# :6-116). pyiceberg's RESTCatalog emits slightly different request shapes
+# than the Java client: properties always present on namespace create, the
+# create-table body carries identifier-field-ids / partition-spec /
+# write-order even when defaulted, and drop_table sends no purgeRequested
+# param. Each case replays those exact shapes raw.
+# ---------------------------------------------------------------------------
+
+_PYICEBERG_SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "identifier-field-ids": [],
+    "fields": [
+        {"id": 1, "name": "my_ints", "required": False, "type": "long"},
+        {"id": 2, "name": "my_floats", "required": False, "type": "double"},
+        {"id": 3, "name": "strings", "required": False, "type": "string"},
+    ],
+}
+
+
+def _py_create_table(server, prefix, ns, name, properties=None):
+    """The create-table body pyiceberg's RESTCatalog._create_table builds:
+    fully-spelled empty partition-spec and write-order, stage-create
+    false, vended-credentials delegation header."""
+    return _req(
+        server,
+        "POST",
+        f"/catalog/v1/{prefix}/namespaces/{ns}/tables",
+        {
+            "name": name,
+            "schema": _PYICEBERG_SCHEMA,
+            "partition-spec": {"spec-id": 0, "fields": []},
+            "write-order": {"order-id": 0, "fields": []},
+            "stage-create": False,
+            "properties": properties or {},
+        },
+        headers={"X-Iceberg-Access-Delegation": "vended-credentials"},
+    )
+
+
+def test_pyiceberg_create_namespace(server):
+    """test_pyiceberg.py:6-11 create_namespace → POST + list contains it."""
+    prefix = _prefix(server)
+    status, payload, _ = _req(
+        server,
+        "POST",
+        f"/catalog/v1/{prefix}/namespaces",
+        {"namespace": ["test_create_namespace"], "properties": {}},
+    )
+    assert status == 200
+    assert payload["namespace"] == ["test_create_namespace"]
+    status, listing, _ = _req(server, "GET", f"/catalog/v1/{prefix}/namespaces")
+    assert ["test_create_namespace"] in listing["namespaces"]
+
+
+def test_pyiceberg_list_namespaces(server):
+    """test_pyiceberg.py:13-19 — both created namespaces listed."""
+    prefix = _prefix(server)
+    for ns in ("test_list_namespaces_1", "test_list_namespaces_2"):
+        status, _, _ = _req(
+            server,
+            "POST",
+            f"/catalog/v1/{prefix}/namespaces",
+            {"namespace": [ns], "properties": {}},
+        )
+        assert status == 200
+    status, listing, _ = _req(server, "GET", f"/catalog/v1/{prefix}/namespaces")
+    assert status == 200
+    assert ["test_list_namespaces_1"] in listing["namespaces"]
+    assert ["test_list_namespaces_2"] in listing["namespaces"]
+
+
+def test_pyiceberg_namespace_properties(server):
+    """test_pyiceberg.py:22-28 — properties round-trip exactly."""
+    prefix = _prefix(server)
+    props = {"key-1": "value-1", "key2": "value2"}
+    status, _, _ = _req(
+        server,
+        "POST",
+        f"/catalog/v1/{prefix}/namespaces",
+        {"namespace": ["test_namespace_properties"], "properties": props},
+    )
+    assert status == 200
+    status, loaded, _ = _req(
+        server, "GET", f"/catalog/v1/{prefix}/namespaces/test_namespace_properties"
+    )
+    assert status == 200
+    assert loaded["properties"] == props
+
+
+def test_pyiceberg_drop_namespace(server):
+    """test_pyiceberg.py:31-37 — DELETE then absent from the listing."""
+    prefix = _prefix(server)
+    _create_ns(server, prefix, "test_drop_namespace")
+    status, listing, _ = _req(server, "GET", f"/catalog/v1/{prefix}/namespaces")
+    assert ["test_drop_namespace"] in listing["namespaces"]
+    status, _, _ = _req(
+        server, "DELETE", f"/catalog/v1/{prefix}/namespaces/test_drop_namespace"
+    )
+    assert status == 204
+    status, listing, _ = _req(server, "GET", f"/catalog/v1/{prefix}/namespaces")
+    assert ["test_drop_namespace"] not in listing["namespaces"]
+
+
+def test_pyiceberg_create_table(server):
+    """test_pyiceberg.py:40-59 — create into a missing namespace fails
+    with the 404 envelope pyiceberg maps to NoSuchNamespaceError; after
+    create_namespace the table loads with 3 schema fields."""
+    prefix = _prefix(server)
+    status, payload, _ = _py_create_table(
+        server, prefix, "test_create_table", "my_table"
+    )
+    assert status == 404
+    _assert_error_envelope(payload, 404, "NoSuchNamespaceException")
+    _create_ns(server, prefix, "test_create_table")
+    status, payload, _ = _py_create_table(
+        server, prefix, "test_create_table", "my_table"
+    )
+    assert status == 200
+    assert "metadata-location" in payload and "metadata" in payload
+    status, loaded, _ = _req(
+        server,
+        "GET",
+        f"/catalog/v1/{prefix}/namespaces/test_create_table/tables/my_table",
+    )
+    assert status == 200
+    meta = loaded["metadata"]
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert len(schema["fields"]) == 3
+
+
+def test_pyiceberg_drop_table(server):
+    """test_pyiceberg.py:62-78 — pyiceberg's drop_table sends DELETE with
+    NO purgeRequested param; subsequent load is the 404 it surfaces as
+    NoSuchTableError."""
+    prefix = _prefix(server)
+    _create_ns(server, prefix, "ns_pydt")
+    status, _, _ = _py_create_table(server, prefix, "ns_pydt", "my_table")
+    assert status == 200
+    path = f"/catalog/v1/{prefix}/namespaces/ns_pydt/tables/my_table"
+    status, loaded, _ = _req(server, "GET", path)
+    assert status == 200
+    status, _, _ = _req(server, "DELETE", path)
+    assert status == 204
+    status, payload, _ = _req(server, "GET", path)
+    assert status == 404
+    _assert_error_envelope(payload, 404, "NoSuchTableException")
+
+
+def test_pyiceberg_table_properties(server):
+    """test_pyiceberg.py:81-96 — properties given at create load back
+    exactly (pyiceberg asserts table.properties == properties)."""
+    prefix = _prefix(server)
+    _create_ns(server, prefix, "ns_pyprops")
+    props = {"key-1": "value-1", "key2": "value2"}
+    status, _, _ = _py_create_table(
+        server, prefix, "ns_pyprops", "my_table", properties=props
+    )
+    assert status == 200
+    status, loaded, _ = _req(
+        server,
+        "GET",
+        f"/catalog/v1/{prefix}/namespaces/ns_pyprops/tables/my_table",
+    )
+    assert status == 200
+    assert loaded["metadata"]["properties"] == props
+
+
+def test_pyiceberg_list_tables(server):
+    """test_pyiceberg.py:99-116 — empty listing first, then both tables
+    as {namespace, name} identifiers."""
+    prefix = _prefix(server)
+    _create_ns(server, prefix, "ns_pylt")
+    path = f"/catalog/v1/{prefix}/namespaces/ns_pylt/tables"
+    status, listing, _ = _req(server, "GET", path)
+    assert status == 200 and listing["identifiers"] == []
+    for name in ("my_table_1", "my_table_2"):
+        status, _, _ = _py_create_table(server, prefix, "ns_pylt", name)
+        assert status == 200
+    status, listing, _ = _req(server, "GET", path)
+    assert status == 200
+    idents = listing["identifiers"]
+    assert {"namespace": ["ns_pylt"], "name": "my_table_1"} in idents
+    assert {"namespace": ["ns_pylt"], "name": "my_table_2"} in idents
+
+
+def test_create_warehouse_route_validates_storage(tmp_path):
+    """management route: the storage write-probe failure surfaces as the
+    400 ValidationError envelope, and an unknown scheme likewise — the
+    route-level cover for store._validate_base_location
+    (storage/s3.rs:96-174 write-read-delete profile validation)."""
+    with ServerThread() as s:
+        status, payload, _ = _req(
+            s,
+            "POST",
+            "/management/v1/warehouse",
+            {
+                "project-id": "p",
+                "warehouse-name": "bad",
+                "base-location": "/proc/definitely-not-writable",
+            },
+        )
+        assert status == 400
+        _assert_error_envelope(payload, 400)
+        status, payload, _ = _req(
+            s,
+            "POST",
+            "/management/v1/warehouse",
+            {
+                "project-id": "p",
+                "warehouse-name": "bad2",
+                "base-location": "gcs://bucket/prefix",
+            },
+        )
+        assert status == 400
+        _assert_error_envelope(payload, 400)
+        # a writable location still succeeds through the same route
+        status, payload, _ = _req(
+            s,
+            "POST",
+            "/management/v1/warehouse",
+            {
+                "project-id": "p",
+                "warehouse-name": "good",
+                "base-location": f"file://{tmp_path}/wh2",
+            },
+        )
+        assert status == 201 and "warehouse-id" in payload

@@ -83,3 +83,74 @@ def test_transform_with_state_gated_on_protobuf(spark):
     except ImportError:
         has_protobuf = False
     assert ("q140_stream_transform_with_state" in REGISTRY) == has_protobuf
+
+
+def test_q140_processor_logic_without_tws_runtime():
+    """The q140 StatefulProcessor's state transitions, unit-tested with a
+    fake ValueState handle — the TWS runtime (protobuf-gated) is the ONLY
+    part not exercised in this container. Replays two micro-batches per
+    key and checks count/min/max fold across them plus per-key state
+    isolation."""
+    import pandas as pd
+
+    from iceberg_rest_server_spark.streaming.queries import (
+        make_user_totals_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = make_user_totals_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    # batch 1, key (7,): three events
+    out1 = list(
+        proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [5.0, -2.0, 3.0]})]), None
+        )
+    )
+    assert len(out1) == 1
+    row = out1[0].iloc[0]
+    assert (row.user_id, row.n_events, row.min_value, row.max_value) == (7, 3, -2.0, 5.0)
+
+    # batch 2, same key: state folds across batches (and empty chunks are
+    # ignored)
+    out2 = list(
+        proc.handleInputRows(
+            (7,),
+            iter([pd.DataFrame({"value": []}), pd.DataFrame({"value": [10.0]})]),
+            None,
+        )
+    )
+    row = out2[0].iloc[0]
+    assert (row.n_events, row.min_value, row.max_value) == (4, -2.0, 10.0)
+
+    # a different key gets fresh state in the real runtime (one state
+    # object per key); simulate by a fresh processor+handle
+    proc2 = make_user_totals_processor()
+    proc2.init(FakeHandle())
+    out3 = list(
+        proc2.handleInputRows((8,), iter([pd.DataFrame({"value": [1.0]})]), None)
+    )
+    row = out3[0].iloc[0]
+    assert (row.user_id, row.n_events, row.min_value, row.max_value) == (8, 1, 1.0, 1.0)
+    proc.close()
+    proc2.close()

@@ -45,6 +45,59 @@ HEADLINE = [
     ("q138_quantile_bucket_scores", "quantile bucketing: broadcast boundaries, no global window"),
     ("q142_zscore_outliers", "z-score outliers: exact power sums + broadcast stats join"),
     ("q143_basket_affinity", "basket affinity: order-key join bounds the pair expansion"),
+    # --- the bench top-5 cost queries (r5 verdict item 3: the plan
+    # evidence must cover the expensive queries, not only cheap ones) ---
+    (
+        "q126_pmi_collocations",
+        "PMI: ONE corpus explode pinned by persist — every consumer is an "
+        "InMemoryTableScan over the bigram counts (r5 measured 7 corpus "
+        "scans without the persist; the c12>=5 branch's filter placement "
+        "defeats ReuseExchange), then two vocab-sized shuffle joins and a "
+        "TakeOrdered(50). tests/test_plans.py::test_q126_bigram_explode_"
+        "runs_once pins the shape.",
+    ),
+    (
+        "q125_quality_canonical",
+        "quality canonical: the near-dup pair list is persisted and feeds "
+        "both the CC label propagation and the quality argmax; the final "
+        "plan joins the (localCheckpoint-truncated) component labels to "
+        "the curation columns — corpus is scanned once for grams, once "
+        "for quality columns; no pair re-verify in the tail.",
+    ),
+    (
+        "q49_dedup_clusters",
+        "dedup clusters: the tail plan aggregates the localCheckpointed "
+        "CC labels (Scan ExistingRDD — lineage truncated per pointer-"
+        "jumping round, each round one bounded edge shuffle); the "
+        "expensive PPJoin pair generation ran once, upstream of the "
+        "checkpoint, and does NOT reappear in this plan.",
+    ),
+    (
+        "q40_curation_pipeline",
+        "curation pipeline: quality gate + CJK filter are pushed into the "
+        "documents scan side; near-dup removal is a left-anti join "
+        "against the (bucketed, never all-pairs) pair list; survivors "
+        "re-aggregate map-side. Inherits q32's verify plan.",
+    ),
+    (
+        "q96_pagerank_canonical",
+        "PageRank canonicals: the tail joins component labels (Scan "
+        "ExistingRDD after CC) to the final rank vector (Scan "
+        "ExistingRDD after 8 power-iteration rounds, each one adjacency "
+        "join + one dst aggregate, lineage truncated per round) — one "
+        "component-partitioned window picks the argmax; graph-global "
+        "invariants come from a broadcast 1-row aggregate, NOT an "
+        "unpartitioned window.",
+    ),
+    (
+        "q141_python_datasource",
+        "Python Data Source e2e: the returned plan is a driver-sized "
+        "materialization of the read-back aggregate; the interesting "
+        "plan property — BatchScan over one InputPartition per data "
+        "file with pushFilters pruning file groups — is asserted in "
+        "tests/test_datasource.py (pruned-files count) since the Python "
+        "data-source scan node prints opaquely.",
+    ),
 ]
 
 
