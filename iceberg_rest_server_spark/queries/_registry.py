@@ -52,6 +52,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # keep warm every round), then (4) the oldest r03-era rows that fit.
 # Every entry is always returned — this is ordering only, not selection.
 _DRIVER_ORDER_HEAD = [
+    # --- (0) new in r6: the corpus-modeling tier ---
+    "q146_bigram_lm_perplexity",
+    "q147_bm25_topk",
+    "q148_vocab_growth",
     # --- (1) code or oracle changed in r6 ---
     "q32_simhash_pairs",
     "q126_pmi_collocations",

@@ -131,6 +131,33 @@ def test_q126_bigram_explode_runs_once(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_q147_bm25_is_broadcast_probe(spark, sf_dir):
+    """BM25's scale shape: the corpus-sized tf table is probed by
+    BROADCAST query terms and scalars — no shuffle of the corpus against
+    the 5-row query side, no cartesian fallback beyond the two 1-row
+    scalar cross joins."""
+    df = REGISTRY["q147_bm25_topk"].fn(spark, sf_dir)
+    try:
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_q146_model_join_broadcasts_and_counts_cached(spark, sf_dir):
+    """q146: the vocab²-sized model table broadcasts onto the corpus
+    explode, and the bigram counts are persisted (the model derivations
+    must not re-explode the corpus)."""
+    df = REGISTRY["q146_bigram_lm_perplexity"].fn(spark, sf_dir)
+    try:
+        plan = _plan(df)
+        assert "InMemoryTableScan" in plan
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_no_unguarded_driver_collect_sites():
     """Every createDataFrame(<df>.collect(), ...) round-trip must go
     through queries/_materialize.driver_sized (bounded LIMIT + row-count

@@ -90,6 +90,19 @@ HEADLINE = [
         "unpartitioned window.",
     ),
     (
+        "q146_bigram_lm_perplexity",
+        "bigram-LM perplexity: ONE persisted bigram-count build; ln() "
+        "evaluated on the vocab²-sized model table which then BROADCASTS "
+        "onto the corpus explode; per-doc NLL is a map-side-combining "
+        "decimal aggregate; TakeOrdered(50) tail.",
+    ),
+    (
+        "q147_bm25_topk",
+        "BM25: inverted-index probe — tf shuffles once on token, the "
+        "5-row query-term table and both corpus scalars broadcast; no "
+        "SortMergeJoin anywhere (tests/test_plans.py asserts).",
+    ),
+    (
         "q141_python_datasource",
         "Python Data Source e2e: the returned plan is a driver-sized "
         "materialization of the read-back aggregate; the interesting "
