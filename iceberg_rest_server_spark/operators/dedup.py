@@ -643,12 +643,17 @@ def segment_dedup(
     rows (not K²), and the boilerplate 'set' is implicit in the join, so
     nothing is ever collected to the driver.
     """
-    segs_col = F.expr(
-        f"transform(sequence(0, CAST(ceil(size(split({text_col}, ' '))/{seg_tokens}.0) AS INT) - 1),"
-        f" i -> array_join(slice(split({text_col}, ' '), i*{seg_tokens} + 1, {seg_tokens}), ' '))"
+    # tokenize ONCE into a column: split() referenced inside the lambda
+    # re-evaluates per element access (q149's measured lesson)
+    base = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
     )
-    exploded = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(segs_col).alias("seg_idx", "seg")
+    segs_col = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(w)/{seg_tokens}.0) AS INT) - 1),"
+        f" i -> array_join(slice(w, i*{seg_tokens} + 1, {seg_tokens}), ' '))"
+    )
+    exploded = base.select(
+        "id", F.posexplode(segs_col).alias("seg_idx", "seg")
     ).withColumn("h", F.md5("seg"))
     occ = exploded.groupBy("h").agg(F.count_distinct("id").alias("n_docs"))
     flagged = exploded.join(occ, "h").withColumn("boiler", F.col("n_docs") >= min_docs)

@@ -56,6 +56,8 @@ _DRIVER_ORDER_HEAD = [
     "q146_bigram_lm_perplexity",
     "q147_bm25_topk",
     "q148_vocab_growth",
+    "q149_skipgram_associations",
+    "q150_winsorized_stats",
     # --- (1) code or oracle changed in r6 ---
     "q32_simhash_pairs",
     "q126_pmi_collocations",

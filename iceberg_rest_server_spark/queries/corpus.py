@@ -1,4 +1,4 @@
-"""Q146–Q148: corpus modeling round — the statistical-language-model
+"""Q146–Q149: corpus modeling round — the statistical-language-model
 side of a training-data pipeline (SURVEY.md §2F extensions).
 
 - Q146: bigram-LM perplexity scoring (the classic LM-based quality
@@ -10,6 +10,11 @@ side of a training-data pipeline (SURVEY.md §2F extensions).
 - Q148: vocabulary-growth (Heaps' law) curve (corpus health statistic:
   sublinear vocab growth distinguishes natural text from templated or
   degenerate corpora).
+- Q149: skip-gram association mining (windowed PMI, the word2vec-style
+  context that catches non-adjacent collocations).
+
+(Q150, winsorized robust moments, lives with the other distributional
+statistics in stats.py.)
 
 Determinism (driver hash-match contract): every libm call (ln) takes an
 exact-integer-derived double and is rounded to 6 dp on BOTH engines
@@ -72,12 +77,14 @@ from ._registry import register
 )
 def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # tokenize ONCE into a column (q149's lesson: split() inside the
+    # lambda re-evaluates per element access)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     bigrams_col = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> struct(element_at(split(text, ' '), i) AS w1,"
-        "            element_at(split(text, ' '), i + 1) AS w2))"
+        "transform(sequence(1, size(w) - 1),"
+        " i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
     )
-    doc_bigrams = docs.select(
+    doc_bigrams = toks.select(
         "doc_id", F.explode(bigrams_col).alias("bg")
     ).select("doc_id", "bg.w1", "bg.w2")
     # model tables re-aggregate from the bigram counts — vocab²-sized,
@@ -290,3 +297,84 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(cum_types.cast("double")) / F.log(cum_tokens.cast("double")), 6
         ).alias("heaps_exponent"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------- Q149
+
+
+@register(
+    "q149_skipgram_associations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ), pairs AS (
+      SELECT w[i] AS w1, w[j] AS w2
+      FROM toks,
+           LATERAL unnest(range(1, len(w))) AS t(i),
+           LATERAL unnest(range(i + 1, least(i + 4, len(w)) + 1)) AS u(j)
+    ), pc AS (
+      SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2
+    ), lc AS (
+      SELECT w1, sum(c) AS cl FROM pc GROUP BY 1
+    ), rc AS (
+      SELECT w2, sum(c) AS cr FROM pc GROUP BY 1
+    ), tot AS (
+      SELECT sum(c) AS t FROM pc
+    )
+    SELECT p.w1, p.w2, p.c,
+           round(ln(CAST(p.c AS DOUBLE) * tot.t
+                    / (CAST(lc.cl AS DOUBLE) * rc.cr)), 6) AS pmi
+    FROM pc p
+    JOIN lc ON lc.w1 = p.w1
+    JOIN rc ON rc.w2 = p.w2
+    CROSS JOIN tot
+    WHERE p.c >= 10
+    ORDER BY pmi DESC, p.w1, p.w2
+    LIMIT 50
+    """,
+    doc="Skip-gram association mining: PMI over ORDERED token pairs "
+    "within a 4-token forward window (the word2vec-style context, vs "
+    "q126's adjacent bigrams) — surfaces collocations that tokenizer "
+    "merges and phrase dictionaries miss because the words aren't "
+    "adjacent. One corpus explode (positions × ≤4 offsets) feeds a "
+    "persisted pair-count table; left/right marginals and the grand "
+    "total re-aggregate from it (q126's derivation), so the corpus is "
+    "never re-read. PMI inputs are exact integer products inside ln(), "
+    "rounded at 6 dp. 100 TB: pair counts are vocab²-bounded; the "
+    "explode fans out ≤4× the token count, map-side combined before "
+    "the one shuffle.",
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # tokenize ONCE into a column — referencing split(...) inside the
+    # nested pair lambdas re-evaluates the split per element access
+    # (measured 17 s → 4 s at sf0.1)
+    toks = docs.select(F.split(F.col("text"), " ").alias("w"))
+    pairs_col = F.expr(
+        "flatten(transform(sequence(1, size(w) - 1),"
+        " i -> transform(sequence(i + 1, least(i + 4, size(w))),"
+        "      j -> struct(element_at(w, i) AS w1,"
+        "                 element_at(w, j) AS w2))))"
+    )
+    pairs = toks.select(F.explode(pairs_col).alias("p")).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    lc = pc.groupBy("w1").agg(F.sum("c").alias("cl"))
+    rc = pc.groupBy("w2").agg(F.sum("c").alias("cr"))
+    tot = pc.agg(F.sum("c").alias("t"))
+    pmi = F.round(
+        F.log(
+            F.col("c").cast("double")
+            * F.col("t")
+            / (F.col("cl").cast("double") * F.col("cr"))
+        ),
+        6,
+    )
+    return (
+        pc.filter(F.col("c") >= 10)
+        .join(lc, "w1")
+        .join(rc, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )

@@ -1115,12 +1115,15 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # tokenize ONCE into a column — split(...) referenced inside the
+    # transform lambda re-evaluates per element access (q149's measured
+    # 17 s → 4 s lesson applies to every bigram explode)
+    toks = docs.select(F.split(F.col("text"), " ").alias("w"))
     bigrams_col = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> struct(element_at(split(text, ' '), i) AS w1,"
-        "            element_at(split(text, ' '), i + 1) AS w2))"
+        "transform(sequence(1, size(w) - 1),"
+        " i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
     )
-    bigrams = docs.select(F.explode(bigrams_col).alias("bg")).select("bg.w1", "bg.w2")
+    bigrams = toks.select(F.explode(bigrams_col).alias("bg")).select("bg.w1", "bg.w2")
     # ONE scan+explode+shuffle: unigram-position counts and the grand
     # total are re-aggregations of the (vocab²-sized) bigram-count table,
     # not separate passes over the corpus — c(w1) = Σ_w2 c12, N = Σ c12.

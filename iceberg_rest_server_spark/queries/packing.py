@@ -338,12 +338,15 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_test = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2")
     split = docs.withColumn("is_test", is_test)
     toks = F.split(F.col("text"), " ")
+    # tokenize ONCE into a column: split() referenced inside the lambda
+    # re-evaluates per position (q149's measured lesson)
     runs_col = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 7),"
-        " i -> md5(array_join(slice(split(text, ' '), i, 8), ' ')))"
+        "transform(sequence(1, size(w) - 7),"
+        " i -> md5(array_join(slice(w, i, 8), ' ')))"
     )
     runs = (
         split.filter(F.size(toks) >= 8)
+        .select("doc_id", "is_test", toks.alias("w"))
         .select("doc_id", "is_test", F.explode(runs_col).alias("h"))
     )
     test_runs = runs.filter(F.col("is_test")).select("h").distinct()

@@ -649,3 +649,83 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q150_winsorized_stats",
+    # Cutoffs are exact interpolated percentiles (Spark `percentile` ≡
+    # DuckDB quantile_cont bit-for-bit — proven by q41's hash match);
+    # clamped values are rounded to 2 dp and summed as decimals so the
+    # winsorized moments are partition-order-independent.
+    oracle="""
+    WITH cut AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    ), w AS (
+      SELECT e.event_type,
+             CAST(round(least(greatest(e.value, c.lo), c.hi), 2)
+                  AS DECIMAL(18,2)) AS wv,
+             CASE WHEN e.value < c.lo THEN 1 ELSE 0 END AS clo,
+             CASE WHEN e.value > c.hi THEN 1 ELSE 0 END AS chi
+      FROM events e JOIN cut c ON c.event_type = e.event_type
+    ), agg AS (
+      SELECT event_type, count(*) AS n,
+             sum(wv) AS s1, sum(wv * wv) AS s2,
+             sum(clo) AS n_lo, sum(chi) AS n_hi
+      FROM w GROUP BY event_type
+    )
+    SELECT event_type, n, n_lo, n_hi,
+           round(CAST(s1 AS DOUBLE) / n, 6) AS win_mean,
+           round(sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)), 6) AS win_std
+    FROM agg
+    ORDER BY event_type
+    """,
+    doc="Winsorized (5%/95%-clamped) robust moments per event type — the "
+    "outlier-resistant feature normalization a training pipeline applies "
+    "before z-scoring heavy-tailed signals (complements q142's raw "
+    "z-scores and q98's MAD). One exact-percentile aggregate produces "
+    "the cutoff table (group-cardinality-sized, broadcast back); the "
+    "clamp + decimal power sums are one map-side-combining pass — two "
+    "corpus scans total, no window over the fact table. 100 TB: "
+    "percentile buffers per-group values (q89's sketch path is the "
+    "swap-in when groups outgrow memory); everything else is "
+    "aggregate-shaped.",
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    cut = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    wv = F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 2).cast(
+        "decimal(18,2)"
+    )
+    w = events.join(F.broadcast(cut), "event_type").select(
+        "event_type",
+        wv.alias("wv"),
+        F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("clo"),
+        F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("chi"),
+    )
+    agg = w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wv").alias("s1"),
+        F.sum(F.col("wv") * F.col("wv")).alias("s2"),
+        F.sum("clo").alias("n_lo"),
+        F.sum("chi").alias("n_hi"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    return agg.select(
+        "event_type",
+        "n",
+        "n_lo",
+        "n_hi",
+        F.round(s1d / F.col("n"), 6).alias("win_mean"),
+        F.round(
+            F.sqrt((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)), 6
+        ).alias("win_std"),
+    ).orderBy("event_type")
