@@ -38,6 +38,7 @@ import json
 import re
 import threading
 import urllib.parse
+from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .auth import TokenVerifier, UnauthorizedError
@@ -89,6 +90,13 @@ def _ns_from_path(segment: str) -> list[str]:
 class CatalogHandler(BaseHTTPRequestHandler):
     store: CatalogStore  # injected by make_server
     verifier: "TokenVerifier | None" = None  # optional OIDC middleware
+    # Config-time token exchange hook (config.rs:115-139
+    # exchange_token_for_warehouse): called with (headers, project_id,
+    # warehouse_id); a returned string becomes overrides["token"] in the
+    # GET /config response. The reference's only shipped implementation
+    # (implementations/authz.rs:37-44, AllowAllAuthZHandler) returns
+    # None — same default here; deployments plug in their exchanger.
+    token_exchanger: "Callable[[dict, str, str], str | None] | None" = None
     server_version = "iceberg-rest-server-spark/0.1"
 
     def log_message(self, *args) -> None:  # silence request logging
@@ -263,12 +271,25 @@ class CatalogHandler(BaseHTTPRequestHandler):
                 return _error(400, "warehouse must be '{project}/{name}'", "ValidationException")
             project, name = wh_arg.split("/", 1)
             wh = store.get_warehouse_by_name(project, name)
-            overrides = {"prefix": wh["warehouse_id"]}
+            overrides = {}
+            # Give the auth handler a chance to exchange / enrich the
+            # token (config.rs:115-130): a returned token lands in
+            # overrides BEFORE prefix/uri so it can never clobber them.
+            if self.token_exchanger is not None:
+                new_token = self.token_exchanger(
+                    dict(self.headers), project, wh["warehouse_id"]
+                )
+                if new_token is not None:
+                    overrides["token"] = new_token
+            overrides["prefix"] = wh["warehouse_id"]
+            host = self.headers.get("Host") or "127.0.0.1"
+            # config.rs:137-139 — clients are redirected to this server's
+            # base uri (reference default ends in /catalog/, config.rs:85)
+            overrides["uri"] = f"http://{host}/catalog/"
             if wh.get("storage_profile"):
                 # warehouse-scoped signer base; the client appends
                 # v1/aws/s3/sign (storage/s3.rs:278-288,
                 # config.rs s3_signer_uri_for_warehouse)
-                host = self.headers.get("Host") or "127.0.0.1"
                 overrides["s3.signer.uri"] = (
                     f"http://{host}/catalog/v1/{wh['warehouse_id']}"
                 )
@@ -496,10 +517,23 @@ class CatalogHandler(BaseHTTPRequestHandler):
 
 
 def make_server(
-    store: CatalogStore, port: int = 0, verifier: "TokenVerifier | None" = None
+    store: CatalogStore,
+    port: int = 0,
+    verifier: "TokenVerifier | None" = None,
+    token_exchanger: "Callable[[dict, str, str], str | None] | None" = None,
 ) -> ThreadingHTTPServer:
     handler = type(
-        "BoundCatalogHandler", (CatalogHandler,), {"store": store, "verifier": verifier}
+        "BoundCatalogHandler",
+        (CatalogHandler,),
+        {
+            "store": store,
+            "verifier": verifier,
+            # staticmethod: a bare function stored on the class would
+            # bind as a method and receive the handler as first arg
+            "token_exchanger": (
+                staticmethod(token_exchanger) if token_exchanger is not None else None
+            ),
+        },
     )
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 
@@ -512,9 +546,10 @@ class ServerThread:
         store: CatalogStore | None = None,
         port: int = 0,
         verifier: "TokenVerifier | None" = None,
+        token_exchanger: "Callable[[dict, str, str], str | None] | None" = None,
     ):
         self.store = store or CatalogStore()
-        self.httpd = make_server(self.store, port, verifier)
+        self.httpd = make_server(self.store, port, verifier, token_exchanger)
         self.port = self.httpd.server_address[1]
         self.base_url = f"http://127.0.0.1:{self.port}"
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)

@@ -239,8 +239,9 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT first_decile AS decile, count(*) AS n_new FROM first_seen GROUP BY 1
     )
     SELECT p.decile,
-           sum(p.n_tokens) OVER (ORDER BY p.decile) AS cum_tokens,
-           sum(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.decile) AS cum_types,
+           CAST(sum(p.n_tokens) OVER (ORDER BY p.decile) AS BIGINT) AS cum_tokens,
+           CAST(sum(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.decile) AS BIGINT)
+             AS cum_types,
            round(ln(CAST(sum(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.decile) AS DOUBLE))
                  / ln(CAST(sum(p.n_tokens) OVER (ORDER BY p.decile) AS DOUBLE)), 6)
              AS heaps_exponent

@@ -680,7 +680,8 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(clo) AS n_lo, sum(chi) AS n_hi
       FROM w GROUP BY event_type
     )
-    SELECT event_type, n, n_lo, n_hi,
+    SELECT event_type, n,
+           CAST(n_lo AS BIGINT) AS n_lo, CAST(n_hi AS BIGINT) AS n_hi,
            round(CAST(s1 AS DOUBLE) / n, 6) AS win_mean,
            round(sqrt((CAST(s2 AS DOUBLE)
                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)

@@ -868,3 +868,64 @@ def test_create_warehouse_route_validates_storage(tmp_path):
             },
         )
         assert status == 201 and "warehouse-id" in payload
+
+
+def test_config_uri_override_and_token_exchange(tmp_path):
+    """GET /config carries a `uri` override pointing clients at this
+    server's base (config.rs:137-139; default base_uri ends in /catalog/,
+    config.rs:85), and the auth handler gets a chance to exchange the
+    token (config.rs:115-130 exchange_token_for_warehouse): a returned
+    token lands in overrides["token"]; the shipped default (None — same
+    as AllowAllAuthZHandler, implementations/authz.rs:37-44) omits it."""
+    seen = []
+
+    def exchanger(headers, project_id, warehouse_id):
+        seen.append((headers.get("Authorization"), project_id, warehouse_id))
+        return f"exchanged-{project_id}"
+
+    with ServerThread(token_exchanger=exchanger) as s:
+        status, _, _ = _req(
+            s,
+            "POST",
+            "/management/v1/warehouse",
+            {
+                "project-id": "p",
+                "warehouse-name": "wh",
+                "base-location": f"file://{tmp_path}/wh",
+            },
+        )
+        assert status == 201
+        q = urllib.parse.quote("p/wh")
+        status, cfg, _ = _req(
+            s,
+            "GET",
+            f"/catalog/v1/config?warehouse={q}",
+            headers={"Authorization": "Bearer original"},
+        )
+        assert status == 200
+        ov = cfg["overrides"]
+        assert ov["token"] == "exchanged-p"
+        assert ov["uri"].startswith("http://") and ov["uri"].endswith("/catalog/")
+        # prefix wins over anything the exchanger might set (insert order
+        # in config.rs: token first, then prefix/uri)
+        assert ov["prefix"]
+        # the hook saw the original bearer + resolved warehouse identity
+        assert seen == [("Bearer original", "p", ov["prefix"])]
+
+    # default posture: no exchanger -> no token key, uri still present
+    with ServerThread() as s:
+        status, _, _ = _req(
+            s,
+            "POST",
+            "/management/v1/warehouse",
+            {
+                "project-id": "p",
+                "warehouse-name": "wh",
+                "base-location": f"file://{tmp_path}/wh2",
+            },
+        )
+        assert status == 201
+        status, cfg, _ = _req(s, "GET", f"/catalog/v1/config?warehouse={urllib.parse.quote('p/wh')}")
+        assert status == 200
+        assert "token" not in cfg["overrides"]
+        assert cfg["overrides"]["uri"].endswith("/catalog/")
