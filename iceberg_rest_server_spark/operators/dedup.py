@@ -528,49 +528,72 @@ def connected_components(
     each round's cost is bounded by one edge-list shuffle (same cost
     class as one LSH banding round, run ~log(diameter) times).
     """
+    from ._iterconf import cached_rdd_ids, iteration_conf, release_rdds
+
+    spark = edges.sparkSession
     # materialize the directed edge list ONCE before symmetrizing: the
     # union's two branches would otherwise each re-evaluate the (possibly
     # expensive — e.g. a full near-dup verify) upstream plan
     e0 = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).persist()
-    e0.count()
+    n_edges = e0.count()
     sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    labels = (
-        sym.groupBy(F.col("u").alias("id"))
-        .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
-        .withColumn("comp", F.least("comp", "id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        # neighbor min: candidate label for v = min label among v's neighbors
-        neigh = (
-            sym.join(labels.withColumnRenamed("id", "u"), "u")
-            .groupBy(F.col("v").alias("id"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        stepped = (
-            labels.join(neigh, "id", "left")
-            .select("id", F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"))
-        )
-        # pointer jump: follow comp one hop (comp of my comp)
-        hop = labels.select(F.col("id").alias("comp"), F.col("comp").alias("jcomp"))
-        jumped = (
-            stepped.join(hop, "comp", "left")
-            .select("id", F.least("comp", F.coalesce("jcomp", "comp")).alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            break
-    sym.unpersist()
-    e0.unpersist()
+    ckpt_ids: set[int] = set()
+    try:
+        # loop queries planned small when the measured edge list is small
+        # (AQE off + data-sized partitions); no-op at scale
+        with iteration_conf(spark, 2 * n_edges):
+            labels = (
+                sym.groupBy(F.col("u").alias("id"))
+                .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
+                .withColumn("comp", F.least("comp", "id"))
+                .localCheckpoint(eager=False)
+            )
+            for _ in range(max_iter):
+                # neighbor min: candidate label for v = min label among
+                # v's neighbors; the node's OLD label rides along so the
+                # round's ONE action (the changed-count below) both
+                # materializes the checkpoint and decides convergence
+                neigh = (
+                    sym.join(labels.withColumnRenamed("id", "u"), "u")
+                    .groupBy(F.col("v").alias("id"))
+                    .agg(F.min("comp").alias("ncomp"))
+                )
+                stepped = labels.join(neigh, "id", "left").select(
+                    "id",
+                    F.col("comp").alias("old"),
+                    F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
+                )
+                # pointer jump: follow comp one hop (comp of my comp)
+                hop = labels.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("jcomp")
+                )
+                before = cached_rdd_ids(spark)
+                jumped = (
+                    stepped.join(hop, "comp", "left")
+                    .select(
+                        "id",
+                        "old",
+                        F.least("comp", F.coalesce("jcomp", "comp")).alias("comp"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                changed = jumped.filter(F.col("comp") != F.col("old")).count()
+                new_ids = cached_rdd_ids(spark) - before
+                labels = jumped.select("id", "comp")
+                release_rdds(spark, ckpt_ids)  # prev round's blocks
+                ckpt_ids = new_ids
+                if changed == 0:
+                    break
+    except BaseException:
+        # in-flight checkpoints are not returned to the caller: free them
+        release_rdds(spark, ckpt_ids)
+        raise
+    finally:
+        sym.unpersist()
+        e0.unpersist()
+    # the final labels checkpoint stays cached — it IS the result
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

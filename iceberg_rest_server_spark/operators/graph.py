@@ -22,31 +22,17 @@ against a dense numpy power iteration).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ._iterconf import cached_rdd_ids as _cached_rdd_ids
+from ._iterconf import iteration_conf
+from ._iterconf import release_rdds as _release_rdds
 
 # Max neighbors per adjacency row: bounds the size of any single row at
 # 100 TB scale (a celebrity node with 1e8 out-edges becomes ~1e8/65536
 # rows instead of one unsplittable giant array).
 _ADJ_CHUNK = 1 << 16
-
-
-def _cached_rdd_ids(spark: SparkSession) -> set[int]:
-    sc = spark.sparkContext
-    return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
-
-
-def _release_rdds(spark: SparkSession, ids: set[int]) -> None:
-    """Unpersist cached RDDs by id — the only handle PySpark exposes to
-    localCheckpoint blocks (DataFrame.unpersist only covers CacheManager
-    entries)."""
-    if not ids:
-        return
-    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
-    while it.hasNext():
-        entry = it.next()
-        if entry._1() in ids:
-            entry._2().unpersist(False)
 
 
 def pagerank(
@@ -63,10 +49,20 @@ def pagerank(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
     nodes = e.select(F.col("u").alias("id")).union(e.select("v")).distinct().persist()
+    # persisted: consumed by both adjacency branches AND the n_src count
     outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
-    # chunked adjacency: co-partitioned join on u (both sides shuffle on
-    # u once, here, never again), then ≤_ADJ_CHUNK neighbors per row
-    adj = (
+    # Chunked adjacency (co-partitioned join on u: both sides shuffle on
+    # u once, here, never again; ≤_ADJ_CHUNK neighbors per row) PLUS one
+    # self row per node. The self row (vs=[u], is_self=true, deg=real
+    # out-degree or 0 for dangling) rides the same join as the
+    # contribution rows, so each iteration's groupBy(dst) receives every
+    # node's OLD rank and out-degree alongside its incoming mass — the
+    # whole round collapses to ONE join + ONE aggregate. The previous
+    # shape (contribs join, nodes restore-join, old-rank join, outdeg
+    # join = 4 joins + 2 aggregates per round) spent most of q96's wall
+    # time in stage scheduling; fusing it is also strictly fewer shuffles
+    # at 100 TB, not a small-graph special case.
+    adj_real = (
         e.join(outdeg, "u")
         .withColumn(
             "chunk",
@@ -78,90 +74,111 @@ def pagerank(
         .groupBy("u", "chunk")
         .agg(F.collect_list("v").alias("vs"), F.first("deg").alias("deg"))
         .drop("chunk")
-        .persist()
+        .select("u", "vs", "deg", F.lit(False).alias("is_self"))
     )
+    adj_self = (
+        nodes.join(outdeg, nodes.id == outdeg.u, "left")
+        .select(
+            F.col("id").alias("u"),
+            F.array(F.col("id")).alias("vs"),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            F.lit(True).alias("is_self"),
+        )
+    )
+    adj = adj_real.unionByName(adj_self).persist()
     ranks = None
     ckpt_ids: set[int] = set()
     try:
         n = nodes.count()
+        # dangling count is pure arithmetic at t=0 (uniform ranks), so the
+        # loop needs no warm-up join/action at all
+        n_src = outdeg.count()
         adj.count()  # materialize before the loop so e is scanned once more at most
-        before = _cached_rdd_ids(spark)
-        # eager=False: the dangling collect below is the first job over
-        # `ranks`, so it materializes the checkpoint in the SAME action —
-        # one job instead of two (the id diff is taken after that job,
-        # when the blocks exist)
-        ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-            eager=False
-        )
-        base = (1.0 - damping) / n
-        # one scalar job before the loop; afterwards each round's single
-        # collect returns BOTH the convergence delta and the next round's
-        # dangling mass, so an iteration costs exactly one action
-        dangling = (
-            ranks.join(outdeg, ranks.id == outdeg.u, "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
-        ckpt_ids = _cached_rdd_ids(spark) - before
-        for _ in range(max_iter):
-            contribs = (
-                ranks.join(adj, ranks.id == adj.u)
-                .select(
-                    F.explode("vs").alias("id"),
-                    (F.col("rank") / F.col("deg")).alias("c"),
-                )
-                .groupBy("id")
-                .agg(F.sum("c").alias("in_mass"))
-            )
-            before = _cached_rdd_ids(spark)
-            # eager=False: the stats collect is the round's ONE action —
-            # it materializes the new checkpoint and returns delta +
-            # dangling together (was two jobs per round with eager=True,
-            # measured ~20% of q96 at sf0.1 in scheduler overhead)
-            new_ranks = (
-                nodes.join(contribs, "id", "left")
-                .select(
-                    "id",
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("in_mass"), F.lit(0.0))
-                            + F.lit(dangling / n)
-                        )
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            stats = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-                .join(outdeg, new_ranks.id == outdeg.u, "left")
-                .agg(
-                    F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
-                    F.sum(F.when(F.col("deg").isNull(), F.col("rank"))).alias(
-                        "dangling"
-                    ),
-                )
-                .collect()[0]
-            )
-            new_ckpt_ids = _cached_rdd_ids(spark) - before
-            ranks = new_ranks
-            _release_rdds(spark, ckpt_ids)  # prev round's blocks, no longer referenced
-            ckpt_ids = new_ckpt_ids
-            dangling = stats["dangling"] or 0.0
-            if stats["delta"] is not None and stats["delta"] < tol:
-                break
-    except BaseException:
-        # the in-flight checkpoints are not returned to the caller: free them
-        _release_rdds(spark, ckpt_ids)
-        raise
+        ranks = _power_iterate(spark, nodes, adj, n, n_src, damping, max_iter, tol)
     finally:
         nodes.unpersist()
         outdeg.unpersist()
         adj.unpersist()
     # NOTE: the final `ranks` checkpoint stays cached — it IS the result
     # (its lineage was truncated, so releasing it would lose the data).
+    return ranks.select("id", "rank")
+
+
+def _power_iterate(spark, nodes, adj, n, n_src, damping, max_iter, tol) -> DataFrame:
+    """The per-round loop of `pagerank`, planned under `iteration_conf`
+    (AQE off + data-sized partitions when the measured n is small; no-op
+    at scale). Returns the final rank vector as a truncated-lineage
+    checkpoint; on exception its in-flight checkpoint blocks are freed
+    (they are not returned to the caller)."""
+    ckpt_ids: set[int] = set()
+    try:
+        return _power_iterate_inner(
+            spark, nodes, adj, n, n_src, damping, max_iter, tol, ckpt_ids
+        )
+    except BaseException:
+        _release_rdds(spark, ckpt_ids)
+        raise
+
+
+def _power_iterate_inner(
+    spark, nodes, adj, n, n_src, damping, max_iter, tol, ckpt_ids
+) -> DataFrame:
+    with iteration_conf(spark, n):
+        ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+            eager=False
+        )
+        base = (1.0 - damping) / n
+        dangling = (n - n_src) / n  # Σ rank over out-degree-0 nodes at t=0
+        for _ in range(max_iter):
+            fused = (
+                ranks.select("id", "rank")
+                .join(adj, F.col("id") == adj.u)
+                .select(
+                    F.explode("vs").alias("id"),
+                    F.when(F.col("is_self"), 0.0)
+                    .otherwise(F.col("rank") / F.col("deg"))
+                    .alias("c"),
+                    # only the self row fills these; max() below recovers
+                    # them per destination group (nulls ignored)
+                    F.when(F.col("is_self"), F.col("rank")).alias("old_r"),
+                    F.when(F.col("is_self"), F.col("deg")).alias("deg0"),
+                )
+                .groupBy("id")
+                .agg(
+                    F.sum("c").alias("in_mass"),
+                    F.max("old_r").alias("old_r"),
+                    F.max("deg0").alias("deg0"),
+                )
+            )
+            before = _cached_rdd_ids(spark)
+            # eager=False: the stats collect is the round's ONE action —
+            # it materializes the new checkpoint and returns delta +
+            # dangling together
+            new_ranks = fused.select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    # in_mass is never null: every node's self row puts a
+                    # 0.0 in its group even with no in-edges
+                    * (F.col("in_mass") + F.lit(dangling / n))
+                ).alias("rank"),
+                "old_r",
+                "deg0",
+            ).localCheckpoint(eager=False)
+            stats = new_ranks.agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_r"))).alias("delta"),
+                F.sum(F.when(F.col("deg0") == 0, F.col("rank"))).alias("dangling"),
+            ).collect()[0]
+            new_ckpt_ids = _cached_rdd_ids(spark) - before
+            ranks = new_ranks
+            _release_rdds(spark, ckpt_ids)  # prev round's blocks, no longer referenced
+            # in place: the caller's except-handler holds this same set
+            ckpt_ids.clear()
+            ckpt_ids.update(new_ckpt_ids)
+            dangling = stats["dangling"] or 0.0
+            if stats["delta"] is not None and stats["delta"] < tol:
+                break
     return ranks
 
 
