@@ -21,5 +21,6 @@ from . import packing  # noqa: F401  (Q78–Q81 training-data export ops)
 from . import sources  # noqa: F401  (Q117 source/sink format round-trips)
 from . import advanced  # noqa: F401  (Q127–Q133 round-5 tier)
 from . import corpus  # noqa: F401  (Q146–Q148 corpus modeling tier)
+from . import curation  # noqa: F401  (Q151–Q152 corpus-curation QA tier)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

@@ -52,6 +52,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # keep warm every round), then (4) the oldest r03-era rows that fit.
 # Every entry is always returned — this is ordering only, not selection.
 _DRIVER_ORDER_HEAD = [
+    # --- (0) new in r6: the curation-QA tier ---
+    "q151_embedding_dim_audit",
+    "q152_cluster_safe_split",
     # --- (0) new in r6: the corpus-modeling tier ---
     "q146_bigram_lm_perplexity",
     "q147_bm25_topk",
