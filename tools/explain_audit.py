@@ -68,9 +68,12 @@ HEADLINE = [
         "q49_dedup_clusters",
         "dedup clusters: the tail plan aggregates the localCheckpointed "
         "CC labels (Scan ExistingRDD — lineage truncated per pointer-"
-        "jumping round, each round one bounded edge shuffle); the "
-        "expensive PPJoin pair generation ran once, upstream of the "
-        "checkpoint, and does NOT reappear in this plan.",
+        "jumping round, each round one bounded edge shuffle and ONE "
+        "action: the old label rides the round's checkpoint so the "
+        "changed-count both materializes it and decides convergence; "
+        "loop planned under _iterconf.iteration_conf with per-round "
+        "block release); the expensive PPJoin pair generation ran once, "
+        "upstream of the checkpoint, and does NOT reappear in this plan.",
     ),
     (
         "q40_curation_pipeline",
@@ -83,11 +86,17 @@ HEADLINE = [
         "q96_pagerank_canonical",
         "PageRank canonicals: the tail joins component labels (Scan "
         "ExistingRDD after CC) to the final rank vector (Scan "
-        "ExistingRDD after 8 power-iteration rounds, each one adjacency "
-        "join + one dst aggregate, lineage truncated per round) — one "
-        "component-partitioned window picks the argmax; graph-global "
-        "invariants come from a broadcast 1-row aggregate, NOT an "
-        "unpartitioned window.",
+        "ExistingRDD after 8 power-iteration rounds) — one component-"
+        "partitioned window picks the argmax; graph-global invariants "
+        "come from a broadcast 1-row aggregate, NOT an unpartitioned "
+        "window. Each power round is fully fused: self-rows in the "
+        "chunked adjacency carry every node's old rank and out-degree "
+        "through the ONE join + ONE dst aggregate, so the round's single "
+        "collect returns delta and dangling mass together (previously 4 "
+        "joins + 2 aggregates per round). The loop plans under "
+        "operators/_iterconf.iteration_conf — AQE off + data-sized "
+        "partition count when the measured node count is small, a strict "
+        "no-op at scale where AQE's skew handling is wanted.",
     ),
     (
         "q146_bigram_lm_perplexity",
@@ -101,6 +110,22 @@ HEADLINE = [
         "BM25: inverted-index probe — tf shuffles once on token, the "
         "5-row query-term table and both corpus scalars broadcast; no "
         "SortMergeJoin anywhere (tests/test_plans.py asserts).",
+    ),
+    (
+        "q151_embedding_dim_audit",
+        "embedding-dimension audit: one posexplode feeds a dim-"
+        "partitioned window rank (64-way parallel selection, no global "
+        "sort); the 64 fence rows BROADCAST back over the exploded "
+        "values for the outlier count — the explode is evaluated "
+        "twice rather than shuffled once, the right trade while the "
+        "explode is map-only and cheaper than an exchange.",
+    ),
+    (
+        "q152_cluster_safe_split",
+        "cluster-safe split: inherits q49's pair+CC plan (bucketed "
+        "PPJoin, pointer-jumping CC, lineage-truncated labels); the "
+        "split tail is ONE component aggregate plus a hash expression — "
+        "assignment itself adds no shuffle beyond the component groupBy.",
     ),
     (
         "q141_python_datasource",
