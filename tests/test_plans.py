@@ -177,3 +177,20 @@ def test_no_unguarded_driver_collect_sites():
         if re.search(r"createDataFrame\(\s*\w+(\.\w+\(.*?\))*\.collect\(\)", src):
             offenders.append(str(path))
     assert not offenders, f"unguarded driver materialization: {offenders}"
+
+
+def test_q151_selection_is_dim_parallel_and_fences_broadcast(spark, sf_dir):
+    """q151's scale shape: the quantile selection is a dim-PARTITIONED
+    window (64-way parallel, never a global single-partition sort) and
+    the 64 fence rows come back over the exploded values as a BROADCAST
+    join — the corpus-sized side is never shuffled for the outlier
+    count."""
+    df = REGISTRY["q151_embedding_dim_audit"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, "fence rows must broadcast"
+    # every Window node must be partitioned by dim (an empty partition
+    # spec would serialize the whole exploded table through one task)
+    for seg in plan.split("Window [")[1:]:
+        head = seg.split("]", 2)
+        spec = seg[: seg.find("ROWS") if "ROWS" in seg else 200]
+        assert "dim" in spec, f"unpartitioned window in q151 plan: {head[0][:120]}"
