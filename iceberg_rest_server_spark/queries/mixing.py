@@ -1025,3 +1025,111 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------------------------ Q153
+
+
+@register(
+    "q153_join_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt, key) AS rk,
+             count(*) OVER () AS n
+      FROM counts
+    ),
+    stats AS (
+      SELECT max(n) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS total_rows,
+             max(cnt) AS max_cnt,
+             sum(CAST(rk AS DECIMAL(38,0)) * cnt) AS s1,
+             max(CASE WHEN rk = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                      THEN cnt END) AS p99_cnt
+      FROM ranked
+    ),
+    top10 AS (
+      SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 10
+    ),
+    t AS (
+      SELECT row_number() OVER (ORDER BY cnt DESC, key) AS rank, key, cnt
+      FROM top10
+    )
+    SELECT t.rank, t.key, t.cnt,
+           round(CAST(t.cnt AS DOUBLE) / CAST(s.total_rows AS DOUBLE), 6)
+             AS share,
+           s.n_keys, s.total_rows, s.p99_cnt,
+           round((2.0 * CAST(s.s1 AS DOUBLE))
+                   / (CAST(s.n_keys AS DOUBLE) * CAST(s.total_rows AS DOUBLE))
+                 - (CAST(s.n_keys AS DOUBLE) + 1.0) / CAST(s.n_keys AS DOUBLE),
+                 6) AS gini,
+           round((CAST(s.max_cnt AS DOUBLE) * CAST(s.n_keys AS DOUBLE))
+                   / CAST(s.total_rows AS DOUBLE), 6) AS max_over_mean
+    FROM t CROSS JOIN stats s ORDER BY t.rank
+    """,
+    doc="Join-key skew profiler — the diagnostic that DECIDES q85's "
+    "salting factor before the join runs: per-key frequency profile of "
+    "the events fact's foreign key with top-10 heavy hitters (share of "
+    "total), exact Gini coefficient over the sorted count distribution, "
+    "the p99 key count (discrete selection, q151's rank arithmetic) and "
+    "max/mean ratio. All inputs to the rounded doubles are exact "
+    "integers (decimal rank*count sums), so the hash is stable. Scale "
+    "note: every global window/sort here runs over the KEY table (one "
+    "row per distinct key — orders of magnitude smaller than the fact "
+    "table whose skew it measures); the fact table itself is touched by "
+    "exactly one map-side-combining groupBy.",
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wr = Window.orderBy("cnt", "key")  # key-table-sized; see scale note
+    ranked = counts.select(
+        "key",
+        "cnt",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    k99 = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.lit(0.99) * F.col("n")).cast("long")
+    )
+    stats = ranked.agg(
+        F.max("n").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cnt")).alias("s1"),
+        F.max(F.when(F.col("rk") == k99, F.col("cnt"))).alias("p99_cnt"),
+    )
+    top10 = counts.orderBy(F.desc("cnt"), "key").limit(10)
+    t = top10.select(
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "key")).cast("long").alias("rank"),
+        "key",
+        "cnt",
+    )
+    nd = F.col("n_keys").cast("double")
+    td = F.col("total_rows").cast("double")
+    return (
+        t.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / td, 6).alias("share"),
+            "n_keys",
+            "total_rows",
+            "p99_cnt",
+            F.round(
+                (F.lit(2.0) * F.col("s1").cast("double")) / (nd * td)
+                - (nd + F.lit(1.0)) / nd,
+                6,
+            ).alias("gini"),
+            F.round((F.col("max_cnt").cast("double") * nd) / td, 6).alias(
+                "max_over_mean"
+            ),
+        )
+        .orderBy("rank")
+    )
