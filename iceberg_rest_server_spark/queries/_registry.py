@@ -56,6 +56,7 @@ _DRIVER_ORDER_HEAD = [
     "q151_embedding_dim_audit",
     "q152_cluster_safe_split",
     "q153_join_key_skew_profile",
+    "q154_eval_quota_sample",
     # --- (0) new in r6: the corpus-modeling tier ---
     "q146_bigram_lm_perplexity",
     "q147_bm25_topk",

@@ -1133,3 +1133,127 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ------------------------------------------------------------------ Q154
+
+
+@register(
+    "q154_eval_quota_sample",
+    oracle="""
+    WITH lc AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM lc),
+    quotas AS (
+      SELECT lang, n_docs,
+             CAST((100 * n_docs) // t.total AS BIGINT) AS q_floor,
+             CAST((100 * n_docs) % t.total AS BIGINT) AS remainder
+      FROM lc CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT quotas.*,
+             row_number() OVER (ORDER BY remainder DESC, lang) AS rem_rank,
+             CAST(100 - sum(q_floor) OVER () AS BIGINT) AS leftover
+      FROM quotas
+    ),
+    alloc AS (
+      SELECT lang, n_docs,
+             q_floor + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS quota
+      FROM ranked
+    ),
+    picked AS (
+      SELECT d.lang, d.doc_id,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS pick_rank
+      FROM documents d
+    )
+    SELECT a.lang, a.n_docs, a.quota,
+           CAST(count(p.doc_id) AS BIGINT) AS n_picked,
+           CAST(COALESCE(sum(p.doc_id), 0) AS BIGINT) AS picked_id_sum
+    FROM alloc a
+    LEFT JOIN picked p ON p.lang = a.lang AND p.pick_rank <= a.quota
+    GROUP BY a.lang, a.n_docs, a.quota
+    ORDER BY a.lang
+    """,
+    doc="Evaluation-set quota sampler: allocate a fixed budget (100 "
+    "docs) across languages by EXACT largest-remainder apportionment "
+    "(Hamilton's method — floor quotas, leftover seats to the largest "
+    "integer remainders; pure int arithmetic so the allocation is "
+    "reproducible and sums to the budget exactly, unlike independent "
+    "per-group Bernoulli sampling), then pick each language's quota "
+    "deterministically by md5(doc_id) order (q45's hash-sample "
+    "technique — stable across reruns and engines). Emits per-language "
+    "quota, picked count and the exact picked-id checksum. Scale: the "
+    "apportionment runs over the language table (tiny); the pick is one "
+    "per-lang window rank over the corpus — same cost class as any "
+    "top-k per key.",
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    budget = 100
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = lc.agg(F.sum("n_docs").cast("long").alias("total"))
+    quotas = lc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        # pure INTEGER floor-division + modulo on both engines (DuckDB's
+        # `/` on ints yields a double whose BIGINT cast ROUNDS — `//`
+        # there, `div` here)
+        F.expr(f"({budget} * n_docs) div total").cast("long").alias("q_floor"),
+        ((F.lit(budget) * F.col("n_docs")) % F.col("total"))
+        .cast("long")
+        .alias("remainder"),
+    )
+    ranked = quotas.select(
+        "lang",
+        "n_docs",
+        "q_floor",
+        "remainder",
+        F.row_number()
+        .over(Window.orderBy(F.desc("remainder"), "lang"))
+        .cast("long")
+        .alias("rem_rank"),
+        (F.lit(budget) - F.sum("q_floor").over(Window.partitionBy()))
+        .cast("long")
+        .alias("leftover"),
+    )
+    alloc = ranked.select(
+        "lang",
+        "n_docs",
+        (
+            F.col("q_floor")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    picked = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("pick_rank"),
+    )
+    return (
+        alloc.alias("a")
+        .join(
+            picked.alias("p"),
+            (F.col("p.lang") == F.col("a.lang"))
+            & (F.col("p.pick_rank") <= F.col("a.quota")),
+            "left",
+        )
+        .groupBy(F.col("a.lang").alias("lang"), F.col("a.n_docs").alias("n_docs"), F.col("a.quota").alias("quota"))
+        .agg(
+            F.count(F.col("p.doc_id")).alias("n_picked"),
+            F.coalesce(F.sum(F.col("p.doc_id")), F.lit(0)).cast("long").alias(
+                "picked_id_sum"
+            ),
+        )
+        .orderBy("lang")
+    )
