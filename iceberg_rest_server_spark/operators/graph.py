@@ -6,18 +6,23 @@ similarity or citation graph, e.g. to pick the canonical document of a
 near-dup cluster by importance instead of min-id).
 
 The edge list is pre-aggregated ONCE into chunked adjacency arrays
-(one row per src, hot sources split into ≤CHUNK-neighbor rows), so each
-iteration shuffles |V|-ish adjacency rows instead of |E| edge rows: one
-join (ranks × adjacency on src) + one aggregation (exploded
-contributions by dst, map-side combined). No driver-side state beyond
-the scalar dangling mass and the convergence delta; lineage is
-truncated per round with localCheckpoint and the PREVIOUS round's
-checkpoint blocks are explicitly released (localCheckpoint data is not
-governed by DataFrame.unpersist, so block ids are tracked through the
-SparkContext storage registry — same single-threaded-session assumption
-as streaming.run_to_table). Dangling nodes (no out-edges) redistribute
-their mass uniformly, so ranks sum to 1 at every step (checked in tests
-against a dense numpy power iteration).
+(one row per src, hot sources split into ≤CHUNK-neighbor rows) plus one
+SELF row per node carrying its out-degree, so each iteration shuffles
+|V|-ish adjacency rows instead of |E| edge rows — and because the self
+row also carries the node's old rank through the destination groupBy, a
+full round is exactly ONE join (ranks × adjacency on src) + ONE
+aggregation (exploded contributions by dst, map-side combined) whose
+single collect returns both the convergence delta and the next round's
+dangling mass. No other driver-side state; lineage is truncated per
+round with localCheckpoint and the PREVIOUS round's checkpoint blocks
+are explicitly released (localCheckpoint data is not governed by
+DataFrame.unpersist, so block ids are tracked through the SparkContext
+storage registry — same single-threaded-session assumption as
+streaming.run_to_table). The loop plans under _iterconf.iteration_conf
+(AQE + shuffle partitions pinned down only for a measured-small graph;
+no-op at scale). Dangling nodes (no out-edges) redistribute their mass
+uniformly, so ranks sum to 1 at every step (checked in tests against a
+dense numpy power iteration).
 """
 
 from __future__ import annotations
