@@ -129,3 +129,47 @@ def test_upsert_late_batch_cannot_regress(spark):
         rows = table.read().collect()
         assert len(rows) == 1
         assert rows[0]["val"] == "new"  # the late-arriving older row lost
+
+
+def test_checkpoint_resume_appends_only_new_data(spark, sf_dir, sink_table):
+    """The OTHER half of recovery: replay (fresh checkpoint, same data)
+    is covered above — here the SAME checkpoint is reused after new
+    source files arrive, so Structured Streaming must resume from its
+    committed offsets and deliver ONLY the delta, and the sink must
+    commit it as a fresh epoch (not skip it as a replay)."""
+    from iceberg_rest_server_spark.tables import normalize_events_ts
+
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+        # seed the source dir with the events table as one initial file set
+        events = load(spark, sf_dir, "events")
+        base = events.limit(500)
+        base.write.mode("append").parquet(src)
+        n_base = base.count()
+
+        def stream():
+            raw = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .format("parquet")
+                .load(src)
+            )
+            return normalize_events_ts(raw)
+
+        n1 = stream_to_table(stream(), sink_table, ckpt, "q-resume")
+        assert n1 >= 1
+        assert sink_table.read().count() == n_base
+
+        # new file arrives; SAME checkpoint + SAME query id
+        extra = events.limit(600).exceptAll(base)
+        extra.write.mode("append").parquet(src)
+        n_extra = extra.count()
+        assert n_extra > 0
+
+        n2 = stream_to_table(stream(), sink_table, ckpt, "q-resume")
+        # the delta is a NEW epoch: committed, not skipped
+        assert n2 >= 1
+        assert sink_table.read().count() == n_base + n_extra
+
+        # and a third drain with nothing new commits nothing
+        n3 = stream_to_table(stream(), sink_table, ckpt, "q-resume")
+        assert n3 == 0
+        assert sink_table.read().count() == n_base + n_extra
