@@ -1,0 +1,49 @@
+"""Shuffle-partition-count invariance for float-emitting queries.
+
+The q145 lesson (r6): a result that depends on partition MERGE ORDER
+(float summation order, sketch merge order) can pass the DuckDB oracle
+on one box and flake on another, because `spark.sql.shuffle.partitions`
+changes which partials meet first. Every query's determinism discipline
+(decimal sums, exact-integer-derived libm inputs, selection-only
+quantiles, rank-band sketch gates) exists precisely to make results
+partition-count independent — this suite pins that property directly:
+each float-emitting query must produce BIT-IDENTICAL results at 32 and
+at 7 shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_rest_server_spark.oracle import compare_frames
+from iceberg_rest_server_spark.queries._registry import REGISTRY
+
+# The queries whose outputs carry doubles derived through aggregation —
+# the ones partition-order nondeterminism could bite. Selection-only and
+# integer-count queries are structurally immune; spot-check a few anyway.
+FLOAT_EMITTERS = [
+    "q41_percentiles",
+    "q62_stats_moments",
+    "q112_domain_kl_drift",
+    "q122_grouped_ols_trend",
+    "q126_pmi_collocations",
+    "q146_bigram_lm_perplexity",
+    "q149_skipgram_associations",
+    "q150_winsorized_stats",
+    "q151_embedding_dim_audit",
+    "q153_join_key_skew_profile",
+]
+
+
+@pytest.mark.parametrize("name", FLOAT_EMITTERS)
+def test_partition_count_invariance(spark, sf_dir, name):
+    base = REGISTRY[name].fn(spark, sf_dir).toPandas()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = REGISTRY[name].fn(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.catalog.clearCache()  # q126 persists its bigram counts
+    r = compare_frames(name, base, alt)
+    assert r.ok, f"{name} varies with partition count: {r.detail} {r.diffs[:3]}"
