@@ -22,5 +22,6 @@ from . import sources  # noqa: F401  (Q117 source/sink format round-trips)
 from . import advanced  # noqa: F401  (Q127–Q133 round-5 tier)
 from . import corpus  # noqa: F401  (Q146–Q148 corpus modeling tier)
 from . import curation  # noqa: F401  (Q151–Q152 corpus-curation QA tier)
+from . import pipeline  # noqa: F401  (Q155–Q159 pipeline-hygiene / engine-stats tier)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

@@ -32,6 +32,7 @@ FLOAT_EMITTERS = [
     "q150_winsorized_stats",
     "q151_embedding_dim_audit",
     "q153_join_key_skew_profile",
+    "q158_linear_interpolation",
 ]
 
 

@@ -128,6 +128,38 @@ HEADLINE = [
         "assignment itself adds no shuffle beyond the component groupBy.",
     ),
     (
+        "q155_intradoc_repeat_collapse",
+        "intra-doc repeat collapse: map-only — one parquet scan, the "
+        "higher-order filter() and md5 evaluate inside a single "
+        "WholeStageCodegen span; the only exchange is the output "
+        "ordering's range partition.",
+    ),
+    (
+        "q156_analyze_column_stats",
+        "ANALYZE column stats: ONE lineitem scan; the exact multi-"
+        "distinct agg plans as a single Expand (×distinct-column) with "
+        "map-side partial aggregates; the unpivot is a projection of "
+        "the one-row result (inline over literal structs), not a second "
+        "pass. 100 TB: swap exact NDV for HLL partials (q111 pattern) "
+        "to drop the Expand — noted in the docstring.",
+    ),
+    (
+        "q157_triangle_count",
+        "triangle count: the co-supply edge build shuffles once on "
+        "(u,v); degree tables BROADCAST back onto edges; wedges fan out "
+        "from the low-(degree,id) endpoint so fan-out is bounded by "
+        "arboricity (~sqrt(E)) not hub degree; the closing edge check "
+        "is a LEFT-SEMI hash join. Edge list persisted — built once, "
+        "read by degree/orientation/count consumers.",
+    ),
+    (
+        "q159_bpe_merge_candidates",
+        "BPE merge candidates: corpus collapses to its vocabulary FIRST "
+        "(one map-side-combined token shuffle); the char-pair explode "
+        "runs on the vocab weighted by word count — corpus-size-"
+        "independent fan-out; TakeOrdered(20) tail, no global sort.",
+    ),
+    (
         "q141_python_datasource",
         "Python Data Source e2e: the returned plan is a driver-sized "
         "materialization of the read-back aggregate; the interesting "
