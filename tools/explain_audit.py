@@ -136,12 +136,15 @@ HEADLINE = [
     ),
     (
         "q156_analyze_column_stats",
-        "ANALYZE column stats: ONE lineitem scan; the exact multi-"
-        "distinct agg plans as a single Expand (×distinct-column) with "
-        "map-side partial aggregates; the unpivot is a projection of "
-        "the one-row result (inline over literal structs), not a second "
-        "pass. 100 TB: swap exact NDV for HLL partials (q111 pattern) "
-        "to drop the Expand — noted in the docstring.",
+        "ANALYZE column stats: one independent branch per column — "
+        "groupBy(value) map-side combines each column down to its "
+        "distinct values, a global re-aggregate derives every stat from "
+        "the value table. NO Expand / multi-distinct plan (measured 5x "
+        "slower: Expand multiplies the scan x6 before the shuffle). "
+        "Each branch's ReadSchema is ONE parquet column, so total I/O "
+        "equals a single full-width scan; branches run as parallel "
+        "stages under one union job. 100 TB: swap exact NDV for HLL "
+        "partials (q111 pattern) to make each branch shuffle-free.",
     ),
     (
         "q157_triangle_count",
