@@ -525,6 +525,125 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         return driver_sized(out)
 
 
+def _outer_join_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a replay directory for the left-outer stream-stream join:
+    the events parquet plus ONE sentinel file holding a far-future
+    'click' and 'view' row with negative (unjoinable) user ids.
+
+    Outer-join unmatched rows only emit once the watermark passes the
+    point where a match could still arrive; in a bounded replay the
+    watermark stalls at max(event ts) - delay, permanently withholding
+    the final window's rows. The sentinel is the in-band fix — the
+    "close the books" heartbeat a production feed sends at end-of-day.
+    It must SURVIVE the per-side event_type filters: Catalyst pushes a
+    deterministic filter below EventTimeWatermark, so a sentinel with a
+    type the filters drop never reaches the watermark node (measured:
+    watermark stuck at max-click-ts - 1 h, one click withheld). Hence
+    sentinel rows are typed 'click'/'view' with user_id -1/-2 and
+    filtered out AFTER the sink by their negative ids.
+    """
+    from ..tables import events_ts_physical_type, load_events
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = os.path.join(tempfile.gettempdir(), f"events_outer_{abs(hash(sf_dir))}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "a_events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sentinel = os.path.join(d, "b_sentinel.parquet")
+    if not os.path.exists(sentinel):
+        from datetime import timedelta
+
+        maxts = load_events(spark, src).agg(F.max("ts")).collect()[0][0]
+        future = maxts + timedelta(hours=3)
+        ts_type = events_ts_physical_type(spark, src)
+        if isinstance(ts_type, LongType):  # int64-nanos physical layout
+            ts_val: object = int(future.timestamp() * 1_000_000_000)
+        else:
+            ts_val = future
+        rows = [
+            (-1, ts_val, -1, "click", 0.0, "{}"),
+            (-2, ts_val, -2, "view", 0.0, "{}"),
+        ]
+        staging = os.path.join(d, "_sentinel_build")
+        spark.createDataFrame(rows, _events_raw_schema(ts_type)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.replace(os.path.join(staging, part), sentinel)
+    return d
+
+
+@register(
+    "q162_stream_stream_left_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id,
+           count(v.ts) AS n_views,
+           min(v.ts) AS first_view_ts
+    FROM events c
+    LEFT JOIN events v
+      ON c.user_id = v.user_id AND v.event_type = 'view'
+     AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    GROUP BY 1, 2 ORDER BY click_id
+    """,
+    doc="Stream-stream LEFT OUTER interval join: q58's view->click "
+    "attribution, but clicks with NO view in the 30-minute window "
+    "(99% of them) are emitted too, null-padded — the shape that "
+    "feeds 'unattributed spend' dashboards. Outer rows only emit when "
+    "the watermark proves no match can still arrive, so the replay "
+    "appends a far-future sentinel click+view pair (unjoinable "
+    "negative user ids, dropped post-sink); the watermark advance is "
+    "applied by the trailing no-data micro-batch, flushing every real "
+    "click from state. Both sides keep 1 h watermarks + the event-time "
+    "range bound, so join state stays bounded and purged on unbounded "
+    "streams. availableNow replay => no late drops => equals the batch "
+    "LEFT JOIN oracle exactly (2006 clicks, 1983 unmatched at sf0.01).",
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import events_ts_physical_type, normalize_events_ts
+
+    src = os.path.join(sf_dir, "events.parquet")
+    ts_type = events_ts_physical_type(spark, src)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_type))
+        .format("parquet")
+        .load(_outer_join_stream_dir(spark, sf_dir))
+    )
+    ev = normalize_events_ts(raw)
+    clicks = (
+        ev.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    views = (
+        ev.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts"))
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") > F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    pairs = run_to_table(joined, spark, "append")
+    return (
+        pairs.filter(F.col("click_id") >= 0)  # drop the sentinel click
+        .groupBy("click_id", "user_id")
+        .agg(
+            F.count("view_ts").alias("n_views"),
+            F.min("view_ts").alias("first_view_ts"),
+        )
+        .orderBy("click_id")
+    )
+
+
 # transformWithStateInPandas's driver worker speaks protobuf to the JVM
 # state server (pyspark/sql/streaming/transform_with_state_driver_worker
 # imports google.protobuf); this container has no protobuf wheel and no

@@ -154,3 +154,27 @@ def test_q140_processor_logic_without_tws_runtime():
     assert (row.user_id, row.n_events, row.min_value, row.max_value) == (8, 1, 1.0, 1.0)
     proc.close()
     proc2.close()
+
+
+def test_q162_outer_join_flushes_every_click(spark, sf_dir):
+    """The left-outer stream-stream join must emit EVERY click exactly
+    once — including the final-window clicks that only flush because the
+    sentinel advances the watermark (without it the last click is
+    provably withheld: the watermark stalls at max-click-ts - delay).
+    Sentinel rows (negative ids) must never leak into the result."""
+    from iceberg_rest_server_spark.queries import REGISTRY
+    from iceberg_rest_server_spark.streaming.queries import _outer_join_stream_dir
+    from iceberg_rest_server_spark.tables import load_events
+
+    d = _outer_join_stream_dir(spark, sf_dir)
+    assert os.path.exists(os.path.join(d, "b_sentinel.parquet"))
+
+    out = REGISTRY["q162_stream_stream_left_outer"].fn(spark, sf_dir).collect()
+    clicks = (
+        load_events(spark, os.path.join(sf_dir, "events.parquet"))
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert len(out) == clicks  # one group per click: none withheld, none dup'd
+    assert all(r.click_id >= 0 for r in out)  # sentinels dropped post-sink
+    assert any(r.n_views == 0 and r.first_view_ts is None for r in out)
