@@ -41,39 +41,52 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 # The driver's per-round correctness run evaluates queries() in dict order
 # and covers a bounded prefix (the first 50 entries) per round. Cumulative
-# driver coverage after r5 is all 164 entries, 163 green (q32_simhash was
-# rows-only until its r6 exact oracle). The round-6 window prioritizes, in
-# order: (1) entries whose code or oracle changed this round
-# (q32_simhash's new md5-exact oracle, the q126/q96 perf work, the q128
-# blocking-key coalesce, the Data Source fixes behind q141), (2) the
-# stalest evidence — the 3 entries last green in r01 and all 29 last
-# green in r02 (VERDICT r5 item 5: no entry's latest green row should be
-# older than r04), (3) streaming regression cover (broke once in r02;
-# keep warm every round), then (4) the oldest r03-era rows that fit.
-# Every entry is always returned — this is ordering only, not selection.
+# driver coverage through r5 is all 164 then-existing entries green; the
+# r6 driver pass was not recorded (no CORRECTNESS_r06.json), so the
+# round-7 window front-loads everything added or changed since r5, in
+# order: (1) the 17 queries new in r6/r7 (corpus-modeling Q146-Q150,
+# curation-QA Q151-Q154, pipeline-hygiene Q155-Q159, Spark-4 SQL surface
+# Q160-Q161, stream-stream left-outer Q162 — none has a driver row yet),
+# (2) entries whose code or oracle changed since their last green row
+# (q32_simhash's md5-exact oracle, the q126/q96 perf work, the q128
+# blocking-key coalesce, the Data Source fixes behind q141), (3)
+# streaming regression cover (broke once in r02; keep warm every round),
+# then (4) the stalest remaining evidence (r01/r02-era rows) to fill the
+# window. Every entry is always returned — ordering only, not selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (0) new in r6: the curation-QA tier ---
-    "q151_embedding_dim_audit",
-    "q152_cluster_safe_split",
-    "q153_join_key_skew_profile",
-    "q154_eval_quota_sample",
-    # --- (0) new in r6: the corpus-modeling tier ---
+    # --- (1) new in r6/r7: no driver row yet ---
     "q146_bigram_lm_perplexity",
     "q147_bm25_topk",
     "q148_vocab_growth",
     "q149_skipgram_associations",
     "q150_winsorized_stats",
-    # --- (1) code or oracle changed in r6 ---
+    "q151_embedding_dim_audit",
+    "q152_cluster_safe_split",
+    "q153_join_key_skew_profile",
+    "q154_eval_quota_sample",
+    "q155_intradoc_repeat_collapse",
+    "q156_analyze_column_stats",
+    "q157_triangle_count",
+    "q158_linear_interpolation",
+    "q159_bpe_merge_candidates",
+    "q160_lateral_topk_per_group",
+    "q161_recursive_cte_hierarchy",
+    "q162_stream_stream_left_outer",
+    # --- (2) code or oracle changed since last green row ---
     "q32_simhash_pairs",
     "q126_pmi_collocations",
     "q96_pagerank_canonical",
     "q128_edit_distance_join",
     "q141_python_datasource",
-    # --- (2) stalest evidence: last green r01 ---
+    # --- (3) streaming regression cover ---
+    "q29_stream_tumbling_window",
+    "q30_stream_session_window",
+    "q134_stream_cdc_upsert",
+    # --- (4) stalest evidence: last green r01 ---
     "q33_lang_id",
     "q33_fingerprint",
     "q33_top_terms",
-    # --- (2) stalest evidence: last green r02 (all 29) ---
+    # --- (4) stalest evidence: last green r02 ---
     "q02_filter",
     "q04_global_aggregate",
     "q05_distinct_aggregate",
@@ -95,6 +108,7 @@ _DRIVER_ORDER_HEAD = [
     "q23_explode_json",
     "q24_conditional_null",
     "q25_correlated_subquery",
+    # --- below here typically falls outside the 50-entry window ---
     "q25_subqueries",
     "q26_cte",
     "q27_udf_parity",
@@ -103,31 +117,6 @@ _DRIVER_ORDER_HEAD = [
     "q54_full_outer_join",
     "q55_window_navigation",
     "q61_grouping_id",
-    # --- (3) streaming regression cover ---
-    "q29_stream_tumbling_window",
-    "q30_stream_session_window",
-    "q134_stream_cdc_upsert",
-    # --- (4) oldest remaining (r03-era) to fill the window ---
-    "q15_sliding_window",
-    "q23_get_json",
-    "q33_bpe_token_count",
-    "q33_quality_score",
-    "q33_token_stats",
-    "q35_cosine_neardup_pairs",
-    "q36_ann_bruteforce_topk",
-    "q37_multimodal_metadata",
-    "q37_multimodal_frames",
-    "q40_curation_pipeline",
-    "q44_pivot_profile",
-    "q47_fuzzy_brand_pairs",
-    "q50_repetition_quality",
-    "q51_range_join",
-    # --- below here typically falls outside the 50-entry window ---
-    "q52_latest_by_key",
-    "q53_domain_mixture",
-    "q59_semantic_dedup",
-    "q60_embedding_centroids",
-    "q62_stats_moments",
     "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 
