@@ -194,3 +194,19 @@ def test_q151_selection_is_dim_parallel_and_fences_broadcast(spark, sf_dir):
         head = seg.split("]", 2)
         spec = seg[: seg.find("ROWS") if "ROWS" in seg else 200]
         assert "dim" in spec, f"unpartitioned window in q151 plan: {head[0][:120]}"
+
+
+def test_q160_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
+    """q160's scale shape: Catalyst must decorrelate the LATERAL
+    ORDER BY/LIMIT subquery into WindowGroupLimit — a PARTIAL pass
+    before the shuffle (each map task forwards at most k rows per
+    nation) and a FINAL pass after — then broadcast-join back to
+    nation. Per-group re-execution or a cartesian would be the
+    non-scalable alternatives."""
+    df = REGISTRY["q160_lateral_topk_per_group"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert ", Partial" in plan, "map-side group-limit missing: full rows shuffle"
+    assert ", Final" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
