@@ -54,7 +54,19 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # then (4) the stalest remaining evidence (r01/r02-era rows) to fill the
 # window. Every entry is always returned — ordering only, not selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (1) new in r6/r7: no driver row yet ---
+    # --- (1) new in r7: no driver row yet ---
+    "q163_intersect_all",
+    "q163_except_all",
+    "q164_auc_rank_sum",
+    "q165_chi_squared_independence",
+    "q166_pca_top_components",
+    "q167_ewma_bounded",
+    "q168_spatial_grid_join",
+    "q169_event_pattern_match",
+    "q170_calibration_bins",
+    "q171_stream_stream_full_outer",
+    "q172_stream_sliding_window",
+    # --- (1) new in r6: no driver row yet ---
     "q146_bigram_lm_perplexity",
     "q147_bm25_topk",
     "q148_vocab_growth",

@@ -644,6 +644,142 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q171_stream_stream_full_outer",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id AS v_user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         pairs AS (
+           SELECT c.click_id, v.view_id,
+                  COALESCE(c.user_id, v.v_user_id) AS user_id
+           FROM c FULL JOIN v
+             ON c.user_id = v.v_user_id
+            AND v.view_ts <= c.click_ts
+            AND v.view_ts > c.click_ts - INTERVAL 30 MINUTE
+         )
+    SELECT user_id,
+           CASE WHEN click_id IS NULL THEN 'view_only'
+                WHEN view_id IS NULL THEN 'click_only'
+                ELSE 'matched' END AS category,
+           count(*) AS n
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY user_id, category
+    """,
+    doc="Stream-stream FULL OUTER interval join — completes the "
+    "streaming join family (q58 inner, q162 left): matched "
+    "view→click attributions PLUS unmatched clicks (unattributed "
+    "spend) PLUS unmatched views (impressions that never converted), "
+    "each side null-padded once the watermark proves no partner can "
+    "still arrive. Rides q162's sentinel replay: the far-future "
+    "click+view pair (negative user ids, dropped post-sink by the "
+    "coalesced-user filter) advances BOTH sides' watermarks so the "
+    "trailing no-data micro-batch flushes every real row from state. "
+    "1 h watermarks + the two-sided event-time bound keep join state "
+    "bounded on unbounded streams. availableNow replay => equals the "
+    "batch FULL JOIN oracle exactly.",
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import events_ts_physical_type, normalize_events_ts
+
+    src = os.path.join(sf_dir, "events.parquet")
+    ts_type = events_ts_physical_type(spark, src)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_type))
+        .format("parquet")
+        .load(_outer_join_stream_dir(spark, sf_dir))
+    )
+    ev = normalize_events_ts(raw)
+    clicks = (
+        ev.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    views = (
+        ev.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") > F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    )
+    pairs = run_to_table(joined, spark, "append")
+    return (
+        pairs.withColumn("u", F.coalesce(F.col("user_id"), F.col("v_user_id")))
+        .filter(F.col("u") >= 0)  # drop both sentinel rows
+        .select(
+            F.col("u").alias("user_id"),
+            F.when(F.col("click_id").isNull(), "view_only")
+            .when(F.col("view_id").isNull(), "click_only")
+            .otherwise("matched")
+            .alias("category"),
+        )
+        .groupBy("user_id", "category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id", "category")
+    )
+
+
+@register(
+    "q172_stream_sliding_window",
+    # every event belongs to exactly FOUR 1h/15min sliding windows, all
+    # epoch-aligned in both engines (Spark's window() origin and
+    # DuckDB's time_bucket are both 1970-01-01-anchored)
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+             - k.k * INTERVAL '15 minutes' AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts)
+             - k.k * INTERVAL '15 minutes' + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    doc="Streaming SLIDING window (1 h length, 15 min slide) + 15 min "
+    "watermark per event_type — the overlapping-window shape q29's "
+    "tumbling entry can't express: each event contributes to four "
+    "windows (Spark's window() plans this as a 4-row Expand before the "
+    "aggregate, NOT four scans). availableNow replay ⇒ no late rows ⇒ "
+    "equals the batch oracle, which derives the same four epoch-aligned "
+    "windows per event via time_bucket minus k·slide. Money math in "
+    "DECIMAL so the overlapping sums are order-independent. At scale "
+    "the state is (windows × types)-sized and watermark-expired; the "
+    "4× row fan-out is map-side and pre-aggregated before the shuffle.",
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "15 minutes")
+    agg = stream.groupBy(
+        F.window("ts", "1 hour", "15 minutes"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    result = run_to_table(agg, spark, "complete")
+    return result.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "cnt",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
 # transformWithStateInPandas's driver worker speaks protobuf to the JVM
 # state server (pyspark/sql/streaming/transform_with_state_driver_worker
 # imports google.protobuf); this container has no protobuf wheel and no

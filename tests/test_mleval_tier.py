@@ -1,0 +1,170 @@
+"""Q163–Q170 invariants: independent pure-python re-derivations.
+
+The oracle hash-match proves engine agreement; these pin each query's
+semantics against a from-scratch recomputation on the same parquet —
+the guarantees a user of the operator actually relies on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from iceberg_rest_server_spark.queries._registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+def _hex6(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+
+# ---------------------------------------------------------------- Q163
+
+
+def test_q163_multiset_semantics(spark):
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet", columns=["c_nationkey"])
+    supp = pd.read_parquet(f"{SF_DIR}/supplier.parquet", columns=["s_nationkey"])
+    c, s = Counter(cust["c_nationkey"]), Counter(supp["s_nationkey"])
+    inter = REGISTRY["q163_intersect_all"].fn(spark, SF_DIR).toPandas()
+    exc = REGISTRY["q163_except_all"].fn(spark, SF_DIR).toPandas()
+    assert Counter(inter["nationkey"]) == {k: min(v, s[k]) for k, v in c.items() if s[k]}
+    assert Counter(exc["nationkey"]) == +Counter({k: v - s[k] for k, v in c.items()})
+
+
+# ---------------------------------------------------------------- Q164
+
+
+def test_q164_matches_midrank_auc(spark):
+    out = REGISTRY["q164_auc_rank_sum"].fn(spark, SF_DIR).toPandas().set_index("segment")
+    ev = _events()
+    ev["segment"] = ev["user_id"] % 4
+    ev["label"] = (ev["event_type"] == "purchase").astype(int)
+    for seg, grp in ev.groupby("segment"):
+        ranks = grp["value"].rank(method="average")  # midranks, the textbook tie rule
+        n_pos = int(grp["label"].sum())
+        n_neg = len(grp) - n_pos
+        s = float(ranks[grp["label"] == 1].sum())
+        auc = (s - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+        row = out.loc[seg]
+        assert row["n_pos"] == n_pos and row["n_neg"] == n_neg
+        assert abs(row["auc"] - auc) < 1e-6
+        # AUC of a score uncorrelated with the label must hover near 0.5
+        assert 0.3 < row["auc"] < 0.7
+
+
+# ---------------------------------------------------------------- Q165
+
+
+def test_q165_matches_textbook_chi2(spark):
+    out = REGISTRY["q165_chi_squared_independence"].fn(spark, SF_DIR).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["lang", "source"])
+    ct = pd.crosstab(docs["lang"], docs["source"])
+    n = ct.values.sum()
+    exp = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    obs = ct.values.astype(float)
+    chi2 = float(((obs - exp) ** 2 / exp).sum())  # all cells, incl. zeros
+    assert out["n"] == n
+    assert out["n_langs"] == ct.shape[0] and out["n_sources"] == ct.shape[1]
+    assert out["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert abs(out["chi2"] - chi2) < 1e-4
+
+
+# ---------------------------------------------------------------- Q166
+
+
+def test_q166_pca_invariants_and_cov_agreement(spark):
+    out = REGISTRY["q166_pca_top_components"].fn(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    assert list(out["component"]) == [0, 1]
+    assert (out["n_vectors"] == len(x)).all()
+    assert (out["dim"] == x.shape[1]).all()
+    for c in ("unit_norm_ok", "residual_ok", "lambda_positive", "ordered_ok", "orthogonal_ok"):
+        assert out[c].all(), c
+    # independent covariance (population, matching the query's /n) must
+    # carry eigenvalues the decimal-exact build agrees with
+    cov = np.cov(x, rowvar=False, bias=True)
+    ev = np.linalg.eigvalsh(cov)
+    assert ev[-1] > ev[-2] - 1e-12 and ev[-1] > 0
+
+
+# ---------------------------------------------------------------- Q167
+
+
+def test_q167_matches_recursive_ewma(spark):
+    out = REGISTRY["q167_ewma_bounded"].fn(spark, SF_DIR).toPandas().set_index("user_id")
+    ev = _events().sort_values(["ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        window = grp["value"].to_numpy()[-50:]  # last 50, oldest→newest
+        e = window[0]
+        for v in window[1:]:
+            e = 0.5 * v + 0.5 * e
+        row = out.loc[uid]
+        assert row["n_events"] == len(window)
+        assert abs(row["ewma"] - e) < 1e-7
+
+
+# ---------------------------------------------------------------- Q168
+
+
+def test_q168_matches_bruteforce_pairs(spark):
+    out = REGISTRY["q168_spatial_grid_join"].fn(spark, SF_DIR).toPandas()
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
+    keys = cust["c_custkey"].to_numpy()
+    lat = np.array([_hex6(f"lat{k}") % 1200 / 10.0 - 60.0 for k in keys])
+    lon = np.array([_hex6(f"lon{k}") % 3600 / 10.0 - 180.0 for k in keys])
+    want = set()
+    for i in range(len(keys)):
+        d2 = (lat - lat[i]) ** 2 + (lon - lon[i]) ** 2
+        for j in np.nonzero((d2 < 2.25) & (keys > keys[i]))[0]:
+            want.add((int(keys[i]), int(keys[j])))
+    got = set(zip(out["key_a"], out["key_b"]))
+    assert got == want
+    assert (out["dist2"] < 2.25).all()
+    assert len(want) > 0  # the check is vacuous on an empty pair set
+
+
+# ---------------------------------------------------------------- Q169
+
+
+def test_q169_matches_python_regex(spark):
+    out = REGISTRY["q169_event_pattern_match"].fn(spark, SF_DIR).toPandas().set_index("user_id")
+    ev = _events().sort_values(["ts", "event_id"])
+    m = {"view": "v", "click": "c", "purchase": "p"}
+    hits = 0
+    for uid, grp in ev.groupby("user_id"):
+        seq = "".join(m.get(t, "o") for t in grp["event_type"])
+        row = out.loc[uid]
+        assert row["seq_len"] == len(seq)
+        assert row["n_funnels"] == len(re.findall(r"v+c+p", seq))
+        hits += row["n_funnels"]
+    assert hits > 0  # the corpus actually contains funnel runs
+
+
+# ---------------------------------------------------------------- Q170
+
+
+def test_q170_matches_pandas_calibration(spark):
+    out = REGISTRY["q170_calibration_bins"].fn(spark, SF_DIR).toPandas().set_index("bin")
+    ev = _events()
+    score = ev["value"] / ev["value"].max()
+    bins = np.minimum(9, np.floor(score * 10).astype(int))
+    label = (ev["event_type"] == "purchase").astype(int)
+    ref = pd.DataFrame({"bin": bins, "score": score, "label": label}).groupby("bin")
+    for b, grp in ref:
+        row = out.loc[b]
+        assert row["n"] == len(grp)
+        assert row["n_pos"] == int(grp["label"].sum())
+        assert abs(row["mean_score"] - grp["score"].mean()) < 1e-5
+        assert abs(row["observed_rate"] - grp["label"].mean()) < 1e-5
+    # monotone score bins partition every event exactly once
+    assert int(out["n"].sum()) == len(ev)

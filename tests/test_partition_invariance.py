@@ -33,6 +33,14 @@ FLOAT_EMITTERS = [
     "q151_embedding_dim_audit",
     "q153_join_key_skew_profile",
     "q158_linear_interpolation",
+    # r7 model-eval tier: AUC's exact-integer ratio, chi2's DECIMAL cell
+    # sum, EWMA's DECIMAL power-of-two weighted sum, calibration's
+    # DECIMAL mean-score — each claims order-independence; pin it.
+    "q164_auc_rank_sum",
+    "q165_chi_squared_independence",
+    "q167_ewma_bounded",
+    "q168_spatial_grid_join",
+    "q170_calibration_bins",
 ]
 
 

@@ -210,3 +210,28 @@ def test_q160_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
     assert ", Final" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q164_one_data_shuffle_serves_both_windows(spark, sf_dir):
+    """q164's scale shape: the rank window (PARTITION BY segment) and
+    the midrank tie window (PARTITION BY segment, value) must share ONE
+    hash exchange — HashPartitioning(segment) satisfies clustering by
+    (segment, value) — and the per-segment aggregate rides the same
+    partitioning. Only the final ≤4-row orderBy may add an exchange."""
+    df = REGISTRY["q164_auc_rank_sum"].fn(spark, sf_dir)
+    # exchanges are inserted by EnsureRequirements: inspect executedPlan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 2
+    data_exchanges = plan.count("Exchange hashpartitioning")
+    assert data_exchanges == 1, f"expected 1 data shuffle, saw {data_exchanges}"
+
+
+def test_q168_grid_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """q168's scale shape: the 9-cell neighborhood explode must feed a
+    plain equi hash join on the cell key; a nested-loop/cartesian would
+    be the all-pairs non-scalable fallback."""
+    df = REGISTRY["q168_spatial_grid_join"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+    assert "Join" in plan

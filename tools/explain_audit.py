@@ -163,6 +163,35 @@ HEADLINE = [
         "independent fan-out; TakeOrdered(20) tail, no global sort.",
     ),
     (
+        "q164_auc_rank_sum",
+        "rank-sum AUC: ONE shuffle on segment serves both the rank "
+        "window and the tie-count window (same partition key), then a "
+        "4-row aggregate; midranks stay integer so no float enters "
+        "until the final ratio projection.",
+    ),
+    (
+        "q168_spatial_grid_join",
+        "spatial grid join: the 9-cell neighborhood explode is map-side "
+        "(Generate inside codegen); the candidate join is a plain "
+        "shuffle HASH join on (cx,cy) — no cartesian, no range "
+        "nested-loop; the distance predicate filters post-join. "
+        "Candidate count is 9·Σ per-cell², bounded by point density.",
+    ),
+    (
+        "q167_ewma_bounded",
+        "bounded EWMA: one user_id shuffle serves the row_number window, "
+        "the count window and the final aggregate; the k<50 filter cuts "
+        "each user to 50 rows BEFORE the aggregate; weights are exponent "
+        "shifts (shiftleft) — whole-stage codegen, no libm calls.",
+    ),
+    (
+        "q170_calibration_bins",
+        "calibration bins: broadcast scalar max (BroadcastNestedLoopJoin "
+        "on a 1-row side) + map-only projection + ≤10-group hash "
+        "aggregate with map-side partials — the cheapest distributed "
+        "shape there is; no sort anywhere.",
+    ),
+    (
         "q141_python_datasource",
         "Python Data Source e2e: the returned plan is a driver-sized "
         "materialization of the read-back aggregate; the interesting "
