@@ -998,6 +998,35 @@ class SparkCatalogTable:
         rows = [(name, r["type"], r["snapshot-id"]) for name, r in m["refs"].items()]
         return self.spark.createDataFrame(rows, "name string, type string, snapshot_id long")
 
+    def history_df(self) -> DataFrame:
+        """`SELECT * FROM tbl.history` parity (Iceberg history metadata
+        table): one row per main-branch snapshot-log entry, with
+        ``is_current_ancestor`` marking rows on the CURRENT snapshot's
+        parent chain — false rows are overwritten lineage left behind by
+        a rollback (exactly how Iceberg surfaces rollback history).
+        Metadata-sized: built from the snapshot log, no file IO."""
+        m = self._load()
+        by_id = {s["snapshot-id"]: s for s in m["snapshots"]}
+        ancestors: set[int] = set()
+        cur = m.get("current-snapshot-id")
+        while cur is not None and cur != -1 and cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        rows = [
+            (
+                e["timestamp-ms"],
+                e["snapshot-id"],
+                by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                e["snapshot-id"] in ancestors,
+            )
+            for e in m.get("snapshot-log", [])
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long,"
+            " is_current_ancestor boolean",
+        )
+
     def files_df(self) -> DataFrame:
         """`SELECT * FROM tbl.files` parity (test_spark.py:344-357)."""
         m = self._load()

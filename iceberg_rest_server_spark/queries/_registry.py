@@ -66,6 +66,14 @@ _DRIVER_ORDER_HEAD = [
     "q170_calibration_bins",
     "q171_stream_stream_full_outer",
     "q172_stream_sliding_window",
+    "q173_threshold_sweep",
+    "q174_rolling_anomaly_flags",
+    "q175_lagged_cross_correlation",
+    "q176_bfs_levels",
+    "q177_ordered_listagg",
+    "q178_bitmap_distinct_rollup",
+    "q179_weighted_median",
+    "q180_ab_test_zscore",
     # --- (1) new in r6: no driver row yet ---
     "q146_bigram_lm_perplexity",
     "q147_bm25_topk",

@@ -1,10 +1,13 @@
-"""Q163–Q170: model-evaluation & advanced-analytics tier — the
-measurement queries a training-data pipeline runs AFTER a model (or a
-candidate scoring function) exists: ranking quality (AUC), statistical
-dependence (chi-squared), dimensionality structure (PCA), smoothed
-trends (EWMA), spatial blocking joins, behavioral sequence mining, and
-score calibration. Plus the multiset set-operation gap (INTERSECT ALL /
-EXCEPT ALL) left open by Q19.
+"""Q163–Q170, Q173–Q180: model-evaluation & advanced-analytics tier —
+the measurement queries a training-data pipeline runs AFTER a model (or
+a candidate scoring function) exists: ranking quality (AUC, PR-curve
+threshold sweep), statistical dependence (chi-squared, lagged
+cross-correlation), dimensionality structure (PCA), smoothed trends and
+anomalies (EWMA, rolling-baseline flags), spatial blocking joins,
+behavioral sequence mining, and score calibration. Plus the multiset
+set-operation gap (INTERSECT ALL / EXCEPT ALL) left open by Q19, and
+the Spark-4 aggregate surface (LISTAGG WITHIN GROUP, bitmap-exact
+distinct rollups).
 
 Determinism (driver hash-match contract): every float that reaches the
 output is either (a) computed from exact integers with the identically
@@ -600,4 +603,477 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("observed_rate"),
         )
         .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------- Q173
+
+
+@register(
+    "q173_threshold_sweep",
+    oracle="""
+    WITH mx AS (SELECT max(value) AS vmax FROM events),
+    binned AS (
+      SELECT least(9, CAST(floor(value / vmax * 10) AS BIGINT)) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events, mx
+    ),
+    per_bin AS (
+      SELECT bin, count(*) AS n, sum(label) AS pos
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(pos) AS all_pos FROM per_bin),
+    sweep AS (
+      SELECT bin AS threshold_bin,
+             sum(pos) OVER (ORDER BY bin DESC) AS tp,
+             sum(n - pos) OVER (ORDER BY bin DESC) AS fp,
+             all_pos
+      FROM per_bin, tot
+    )
+    SELECT threshold_bin,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(all_pos - tp AS BIGINT) AS fn,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision_,
+           round(tp / CAST(all_pos AS DOUBLE), 6) AS recall_,
+           round(2.0 * tp / CAST(tp + fp + all_pos AS DOUBLE), 6) AS f1
+    FROM sweep
+    ORDER BY threshold_bin
+    """,
+    doc="Precision/recall/F1 threshold sweep (the PR-curve input): the "
+    "classifier 'predict positive iff score-bin ≥ k' is evaluated at "
+    "every decile threshold in ONE pass — per-bin (n, positives) "
+    "counts, then descending cumulative sums over the ≤10-row bin "
+    "table. Thresholds are defined ON the bins, so no float boundary "
+    "ambiguity exists; every metric is an exact-integer ratio rounded "
+    "identically (F1 simplified to 2·tp/(tp+fp+all_pos) — one exact "
+    "division instead of a harmonic mean of two rounded floats). "
+    "100 TB: the fact table is touched by one map-side-combining "
+    "groupBy; all windows run over 10 rows.",
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("value").alias("vmax"))
+    binned = ev.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.lit(9), F.floor(F.col("value") / F.col("vmax") * 10).cast("bigint")
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    )
+    tot = per_bin.agg(F.sum("pos").alias("all_pos"))
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    sweep = per_bin.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").alias("threshold_bin"),
+        F.sum("pos").over(w).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+        "all_pos",
+    )
+    return sweep.select(
+        "threshold_bin",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        (F.col("all_pos") - F.col("tp")).cast("bigint").alias("fn"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("tp") / F.col("all_pos").cast("double"), 6).alias("recall_"),
+        F.round(
+            2.0 * F.col("tp")
+            / (F.col("tp") + F.col("fp") + F.col("all_pos")).cast("double"),
+            6,
+        ).alias("f1"),
+    ).orderBy("threshold_bin")
+
+
+# ---------------------------------------------------------------- Q174
+
+
+@register(
+    "q174_rolling_anomaly_flags",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             count(*) OVER w AS n_prev,
+             sum(CAST(value AS DECIMAL(18,6))) OVER w AS sum_prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(n_prev AS BIGINT) AS n_prev,
+           round(CAST(sum_prev AS DOUBLE) / n_prev, 6) AS rolling_mean
+    FROM seq
+    WHERE n_prev >= 5
+      AND CAST(value AS DECIMAL(18,6)) * n_prev > 3 * sum_prev
+    ORDER BY user_id, event_id
+    """,
+    doc="Rolling-baseline anomaly flags: an event is anomalous when its "
+    "value exceeds 3× the mean of the user's previous ≤20 events (≥5 "
+    "required — no cold-start flags). The comparison value·n > 3·sum "
+    "is EXACT DECIMAL arithmetic (never mean-then-compare in floats), "
+    "so flag membership is bit-deterministic; the reported rolling "
+    "mean is the one exact ratio, rounded. One user_id shuffle, one "
+    "ROWS frame — bounded state per key, the streaming-adjacent shape "
+    "(q140's ValueState holds exactly this window at 100 TB).",
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).alias("sum_prev"),
+    )
+    return (
+        seq.filter(
+            (F.col("n_prev") >= 5)
+            & (
+                F.col("value").cast("decimal(18,6)") * F.col("n_prev")
+                > 3 * F.col("sum_prev")
+            )
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            F.round(
+                F.col("sum_prev").cast("double") / F.col("n_prev"), 6
+            ).alias("rolling_mean"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------- Q175
+
+
+@register(
+    "q175_lagged_cross_correlation",
+    # sqrt IS safe cross-engine (IEEE-754 requires correct rounding,
+    # unlike pow/exp/sin): its inputs here are doubles derived from
+    # exact integer counts with identically shaped expressions.
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT l.lag, a.v, b.p
+      FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS l(lag)
+      JOIN hourly a ON TRUE
+      JOIN hourly b ON b.h = a.h + l.lag * INTERVAL '1 hour'
+    ),
+    sums AS (
+      SELECT lag, count(*) AS n,
+             sum(v) AS sv, sum(p) AS sp,
+             sum(v * v) AS svv, sum(p * p) AS spp, sum(v * p) AS svp
+      FROM lagged GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_hours,
+           round((CAST(n * svp - sv * sp AS DOUBLE))
+                 / (sqrt(CAST(n * svv - sv * sv AS DOUBLE))
+                    * sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 6) AS xcorr
+    FROM sums
+    ORDER BY lag
+    """,
+    doc="Lagged cross-correlation between the hourly view and purchase "
+    "series (does view volume LEAD purchase volume?): Pearson r at "
+    "lags −3..+3 h, computed from EXACT integer power sums per lag — "
+    "the only floats are the final casts, one division and two sqrts "
+    "(IEEE-correctly-rounded, hence engine-identical — the safe "
+    "exception to this module's no-libm rule). Plan: the fact table "
+    "collapses to an hourly table in one groupBy; the 7-lag fan-out "
+    "and self-join run on hours-sized data. 100 TB: hourly cardinality "
+    "grows with time, not volume — the self-join stays metadata-thin.",
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = hourly.select(F.col("h").alias("ha"), "v")
+    b = hourly.select(F.col("h").alias("hb"), "p")
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("hb")
+            == F.col("ha") + F.col("lag") * F.expr("INTERVAL '1' HOUR"),
+        )
+        .select("lag", "v", "p")
+    )
+    sums = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("v") * F.col("p")).alias("svp"),
+    )
+    num = (F.col("n") * F.col("svp") - F.col("sv") * F.col("sp")).cast("double")
+    dv = F.sqrt((F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast("double"))
+    dp = F.sqrt((F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")).cast("double"))
+    return sums.select(
+        "lag",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(num / (dv * dp), 6).alias("xcorr"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------- Q177
+
+
+@register(
+    "q177_ordered_listagg",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_rich,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+    doc="Ordered string aggregation — Spark 4's LISTAGG ... WITHIN GROUP "
+    "(ORDER BY) vs DuckDB's string_agg(... ORDER BY): the "
+    "report-formatting aggregate every BI surface needs, deterministic "
+    "ONLY because the within-group order is pinned (an unordered "
+    "listagg varies with shuffle order and would fail the hash gate). "
+    "The acctbal filter keeps per-group strings output-sized. 100 TB: "
+    "one map-side-combining aggregate; per-group result size is the "
+    "user's contract, not the engine's.",
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_nationkey AS nationkey,
+               CAST(count(*) AS BIGINT) AS n_rich,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+        FROM customer
+        WHERE c_acctbal > 9000
+        GROUP BY c_nationkey
+        ORDER BY nationkey
+        """
+    )
+
+
+# ---------------------------------------------------------------- Q178
+
+
+@register(
+    "q178_bitmap_distinct_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             count(DISTINCT user_id) AS ndv_day
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.day, d.event_type,
+           CAST(d.ndv_day AS BIGINT) AS ndv_day,
+           CAST(t.ndv_type AS BIGINT) AS ndv_type
+    FROM daily d
+    JOIN (SELECT event_type, count(DISTINCT user_id) AS ndv_type
+          FROM events GROUP BY event_type) t USING (event_type)
+    ORDER BY day, event_type
+    """,
+    doc="EXACT mergeable distinct counts via Spark 4 bitmap aggregates: "
+    "per-(day,type) user bitmaps (bitmap_construct_agg of "
+    "bitmap_bit_position) are built once and OR-merged to the per-type "
+    "grain (bitmap_or_agg) — the exact-arithmetic sibling of the "
+    "HLL/theta sketch rollups (q111/q144): same partial→merge shape, "
+    "zero error. The oracle recomputes both grains with plain COUNT "
+    "DISTINCT. 100 TB: bitmaps shard by bucket (bitmap_bucket_number) "
+    "so each key's bitmap is 4 KB-bounded; the rollup merges bitmaps, "
+    "never re-touches facts.",
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    daily_bm = base.groupBy("day", "event_type", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    daily = daily_bm.groupBy("day", "event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("ndv_day")
+    )
+    type_bm = daily_bm.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    per_type = type_bm.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("ndv_type")
+    )
+    return (
+        daily.join(per_type, "event_type")
+        .select("day", "event_type", "ndv_day", "ndv_type")
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q179
+
+
+@register(
+    "q179_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT lang, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS cum_w,
+             sum(n_chars) OVER (PARTITION BY lang) AS tot_w
+      FROM documents
+    )
+    SELECT lang,
+           CAST(min(tot_w) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cum_w >= tot_w THEN n_chars END)
+                AS BIGINT) AS weighted_median
+    FROM w
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Weighted median per language (weight = the value itself here: "
+    "the doc length at which half the corpus BYTES sit in shorter "
+    "docs — a storage-centric robust center the unweighted q41 median "
+    "can't see). Selection semantics: smallest value whose cumulative "
+    "weight reaches half the total, tie-broken by (value, doc_id) so "
+    "the cumulative sum is deterministic; all-integer arithmetic "
+    "(2·cum ≥ tot avoids halving). One sort per lang partition + one "
+    "aggregate. 100 TB: same contract via the mergeable-sketch rank "
+    "band (q89/q145) once a lang stops fitting a sort.",
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cum = Window.partitionBy("lang").orderBy("n_chars", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("lang")
+    w = docs.select(
+        "lang",
+        "n_chars",
+        F.sum("n_chars").over(cum).alias("cum_w"),
+        F.sum("n_chars").over(tot).alias("tot_w"),
+    )
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.min("tot_w").cast("bigint").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cum_w") >= F.col("tot_w"), F.col("n_chars"))
+            )
+            .cast("bigint")
+            .alias("weighted_median"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- Q180
+
+
+@register(
+    "q180_ab_test_zscore",
+    # Welch z from exact integer/decimal power sums; sqrt is IEEE-exact.
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT arm, count(*) AS n,
+             sum(v) AS sv,
+             sum(v * v) AS svv
+      FROM assigned GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        (SELECT n FROM s WHERE arm = 'A') AS na,
+        (SELECT n FROM s WHERE arm = 'B') AS nb,
+        (SELECT sv FROM s WHERE arm = 'A') AS sva,
+        (SELECT sv FROM s WHERE arm = 'B') AS svb,
+        (SELECT svv FROM s WHERE arm = 'A') AS svva,
+        (SELECT svv FROM s WHERE arm = 'B') AS svvb
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CAST(sva AS DOUBLE) / na, 6) AS mean_a,
+           round(CAST(svb AS DOUBLE) / nb, 6) AS mean_b,
+           round((CAST(sva AS DOUBLE) / na - CAST(svb AS DOUBLE) / nb)
+                 / sqrt(
+                     (CAST(svva AS DOUBLE) / na
+                      - (CAST(sva AS DOUBLE) / na) * (CAST(sva AS DOUBLE) / na))
+                     / na
+                     + (CAST(svvb AS DOUBLE) / nb
+                        - (CAST(svb AS DOUBLE) / nb) * (CAST(svb AS DOUBLE) / nb))
+                     / nb
+                   ), 6) AS z
+    FROM wide
+    """,
+    doc="Two-sample A/B z-test (Welch) on purchase values, arms "
+    "assigned by the deterministic md5 hash-split (the q45 idiom — "
+    "reproducible assignment is half of what makes an A/B readout "
+    "trustworthy): per-arm count and DECIMAL-exact Σv, Σv² collapse "
+    "the fact table in one map-side-combining aggregate, then the z "
+    "statistic is pure arithmetic + one IEEE-exact sqrt on identical "
+    "doubles. 100 TB: two rows leave the aggregate — nothing else "
+    "moves.",
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        ),
+        "A",
+    ).otherwise("B")
+    s = (
+        ev.select(arm.alias("arm"), F.col("value").cast("decimal(18,6)").alias("v"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.sum(F.col("v") * F.col("v")).alias("svv"),
+        )
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        F.col("n").alias("na"), F.col("sv").alias("sva"), F.col("svv").alias("svva")
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        F.col("n").alias("nb"), F.col("sv").alias("svb"), F.col("svv").alias("svvb")
+    )
+    wide = a.crossJoin(F.broadcast(b))
+    mean_a = F.col("sva").cast("double") / F.col("na")
+    mean_b = F.col("svb").cast("double") / F.col("nb")
+    var_a = F.col("svva").cast("double") / F.col("na") - mean_a * mean_a
+    var_b = F.col("svvb").cast("double") / F.col("nb") - mean_b * mean_b
+    return wide.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("na") + var_b / F.col("nb")),
+            6,
+        ).alias("z"),
     )

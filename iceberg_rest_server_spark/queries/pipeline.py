@@ -487,3 +487,99 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------- Q176
+
+
+@register(
+    "q176_bfs_levels",
+    # DuckDB side: recursive CTE with UNION-DISTINCT recursion, so the
+    # working set is bounded by nodes × (max_depth+1) rows — never walk
+    # enumeration (UNION ALL would enumerate exponentially many walks on
+    # a cyclic graph); min(dist) per node afterwards = BFS level.
+    oracle=f"""
+    WITH RECURSIVE os AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ),
+    pair AS (
+      SELECT a.s AS u, b.s AS v
+      FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+    ),
+    e0 AS (SELECT u, v FROM pair GROUP BY u, v HAVING count(*) >= {_Q157_SUPPORT}),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    src AS (SELECT min(u) AS s FROM edges),
+    bfs AS (
+      -- empty graph => empty seed => empty result (matches Spark side)
+      SELECT s AS node, 0 AS dist FROM src WHERE s IS NOT NULL
+      UNION
+      SELECT e.v, b.dist + 1
+      FROM bfs b JOIN edges e ON e.u = b.node
+      WHERE b.dist < 8
+    ),
+    dmin AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+    SELECT CAST(dist AS INT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS sum_keys
+    FROM dmin GROUP BY dist ORDER BY dist
+    """,
+    doc="BFS levels (single-source shortest hop distance, depth ≤ 8) "
+    "over q157's co-supply graph from its minimum-key node — the "
+    "reachability/radius probe of the graph family (CC q49, PageRank "
+    "q96, triangles q157). Spark side is the production shape: one "
+    "frontier equi-join + LEFT ANTI visited-dedup per level, frontier "
+    "localCheckpoint'ed each round (the q49/q96 bounded-round "
+    "discipline — lineage stays flat, one isEmpty action per level, "
+    "early exit on an exhausted frontier). The oracle re-derives the "
+    "same levels with a UNION-distinct recursive CTE. 100 TB: frontier "
+    "and visited set are distributed DataFrames, the per-level cost is "
+    "one shuffle join — no adjacency ever collects to the driver.",
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _Q157_SUPPORT)
+        .select("u", "v")
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    src = edges.agg(F.min("u")).collect()[0][0]
+    schema = "node long, dist int"
+    if src is None:  # no edge reaches the support threshold at this sf
+        edges.unpersist()
+        return spark.createDataFrame([], schema).groupBy("dist").agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("sum_keys"),
+        )
+    visited = spark.createDataFrame([(int(src), 0)], schema).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("node")
+    for level in range(1, 9):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    edges.unpersist()
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("sum_keys"),
+        )
+        .orderBy("dist")
+    )

@@ -457,3 +457,28 @@ def test_rollback_rejects_unrelated_snapshot(table_env):
 
     with _pt.raises(ValueError, match="not an ancestor"):
         table.rollback_to(123456789)
+
+
+def test_history_metadata_table(table_env):
+    """`tbl.history` parity: one row per made-current event, with
+    is_current_ancestor=False marking lineage abandoned by a rollback."""
+    spark, client, table, df = table_env
+    table.append(df)                      # snap 1
+    snap1 = table.metadata()["current-snapshot-id"]
+    table.append(df)                      # snap 2
+    snap2 = table.metadata()["current-snapshot-id"]
+    h = table.history_df().toPandas().sort_values("made_current_at_ms")
+    assert list(h["snapshot_id"]) == [snap1, snap2]
+    assert h["is_current_ancestor"].all()
+    assert h.iloc[1]["parent_id"] == snap1
+
+    table.rollback_to(snap1)
+    table.append(df)                      # snap 3, parent = snap1
+    snap3 = table.metadata()["current-snapshot-id"]
+    h = table.history_df().toPandas()
+    anc = h.groupby("snapshot_id")["is_current_ancestor"].all()
+    # snap2 was made current once, but is no longer on main's ancestry
+    assert not anc[snap2]
+    assert anc[snap1] and anc[snap3]
+    # the rollback re-made snap1 current: it appears twice in the log
+    assert int((h["snapshot_id"] == snap1).sum()) == 2

@@ -1,4 +1,5 @@
-"""Q163–Q170 invariants: independent pure-python re-derivations.
+"""Q163–Q170 / Q173–Q178 invariants: independent pure-python
+re-derivations.
 
 The oracle hash-match proves engine agreement; these pin each query's
 semantics against a from-scratch recomputation on the same parquet —
@@ -168,3 +169,139 @@ def test_q170_matches_pandas_calibration(spark):
         assert abs(row["observed_rate"] - grp["label"].mean()) < 1e-5
     # monotone score bins partition every event exactly once
     assert int(out["n"].sum()) == len(ev)
+
+
+# ---------------------------------------------------------------- Q173
+
+
+def test_q173_matches_sklearn_style_sweep(spark):
+    out = REGISTRY["q173_threshold_sweep"].fn(spark, SF_DIR).toPandas().set_index("threshold_bin")
+    ev = _events()
+    score = ev["value"] / ev["value"].max()
+    bins = np.minimum(9, np.floor(score * 10).astype(int))
+    label = (ev["event_type"] == "purchase").astype(int).to_numpy()
+    all_pos = int(label.sum())
+    for k in out.index:
+        pred = (bins >= k).to_numpy()
+        tp = int((pred & (label == 1)).sum())
+        fp = int((pred & (label == 0)).sum())
+        row = out.loc[k]
+        assert row["tp"] == tp and row["fp"] == fp
+        assert row["fn"] == all_pos - tp
+        assert abs(row["precision_"] - tp / (tp + fp)) < 1e-6
+        assert abs(row["recall_"] - tp / all_pos) < 1e-6
+        f1 = 2 * tp / (tp + fp + all_pos)
+        assert abs(row["f1"] - f1) < 1e-6
+    # recall is monotone non-increasing in the threshold
+    assert (out.sort_index()["recall_"].diff().dropna() <= 1e-12).all()
+
+
+# ---------------------------------------------------------------- Q174
+
+
+def test_q174_matches_pandas_rolling_baseline(spark):
+    out = REGISTRY["q174_rolling_anomaly_flags"].fn(spark, SF_DIR).toPandas()
+    got = set(zip(out["user_id"], out["event_id"]))
+    ev = _events().sort_values(["ts", "event_id"])
+    want = set()
+    for uid, grp in ev.groupby("user_id"):
+        vals = grp["value"].to_numpy()
+        ids = grp["event_id"].to_numpy()
+        for i in range(len(vals)):
+            prev = vals[max(0, i - 20):i]
+            if len(prev) >= 5 and vals[i] > 3 * prev.mean():
+                want.add((uid, ids[i]))
+    assert got == want
+    assert len(want) > 0  # the corpus actually contains anomalies
+
+
+# ---------------------------------------------------------------- Q175
+
+
+def test_q175_matches_numpy_pearson(spark):
+    out = REGISTRY["q175_lagged_cross_correlation"].fn(spark, SF_DIR).toPandas().set_index("lag")
+    ev = _events()
+    hourly = (
+        ev.assign(h=ev["ts"].dt.floor("h"))
+        .groupby("h")
+        .agg(
+            v=("event_type", lambda s: int((s == "view").sum())),
+            p=("event_type", lambda s: int((s == "purchase").sum())),
+        )
+    )
+    for lag in range(-3, 4):
+        shifted = hourly["p"].copy()
+        shifted.index = shifted.index - pd.Timedelta(hours=lag)
+        j = pd.DataFrame({"v": hourly["v"], "p": shifted}).dropna()
+        r = np.corrcoef(j["v"], j["p"])[0, 1]
+        row = out.loc[lag]
+        assert row["n_hours"] == len(j)
+        assert abs(row["xcorr"] - r) < 1e-6
+
+
+# ---------------------------------------------------------------- Q177
+
+
+def test_q177_matches_python_sorted_join(spark):
+    out = REGISTRY["q177_ordered_listagg"].fn(spark, SF_DIR).toPandas().set_index("nationkey")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    rich = cust[cust["c_acctbal"] > 9000]
+    for nk, grp in rich.groupby("c_nationkey"):
+        row = out.loc[nk]
+        assert row["n_rich"] == len(grp)
+        assert row["names"] == ",".join(sorted(grp["c_name"]))
+    assert len(out) == rich["c_nationkey"].nunique()
+
+
+# ---------------------------------------------------------------- Q178
+
+
+def test_q178_matches_pandas_nunique(spark):
+    out = REGISTRY["q178_bitmap_distinct_rollup"].fn(spark, SF_DIR).toPandas()
+    ev = _events()
+    ev["day"] = ev["ts"].dt.floor("D").dt.date
+    daily = ev.groupby(["day", "event_type"])["user_id"].nunique()
+    per_type = ev.groupby("event_type")["user_id"].nunique()
+    assert len(out) == len(daily)
+    for _, row in out.iterrows():
+        assert row["ndv_day"] == daily.loc[(row["day"], row["event_type"])]
+        assert row["ndv_type"] == per_type.loc[row["event_type"]]
+
+
+# ---------------------------------------------------------------- Q179
+
+
+def test_q179_matches_python_weighted_median(spark):
+    out = REGISTRY["q179_weighted_median"].fn(spark, SF_DIR).toPandas().set_index("lang")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    for lang, grp in docs.groupby("lang"):
+        grp = grp.sort_values(["n_chars", "doc_id"])
+        tot = int(grp["n_chars"].sum())
+        cum = grp["n_chars"].cumsum()
+        med = int(grp.loc[(2 * cum >= tot).idxmax(), "n_chars"])
+        row = out.loc[lang]
+        assert row["total_weight"] == tot
+        assert row["weighted_median"] == med
+        # weighted median is >= the unweighted one: long docs carry weight
+        assert med >= grp["n_chars"].median() - 1e-9
+
+
+# ---------------------------------------------------------------- Q180
+
+
+def test_q180_matches_scipy_free_welch(spark):
+    out = REGISTRY["q180_ab_test_zscore"].fn(spark, SF_DIR).toPandas().iloc[0]
+    ev = _events()
+    ev = ev[ev["event_type"] == "purchase"]
+    arm = ev["user_id"].map(
+        lambda u: "A" if hashlib.md5(str(u).encode()).hexdigest()[0] in "01234567" else "B"
+    )
+    a = ev.loc[arm == "A", "value"].to_numpy()
+    b = ev.loc[arm == "B", "value"].to_numpy()
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["mean_a"] - a.mean()) < 1e-5
+    assert abs(out["mean_b"] - b.mean()) < 1e-5
+    z = (a.mean() - b.mean()) / np.sqrt(a.var() / len(a) + b.var() / len(b))
+    assert abs(out["z"] - z) < 1e-5
+    # a hash split of an un-treated metric must NOT show an effect
+    assert abs(out["z"]) < 4

@@ -147,3 +147,38 @@ def test_q159_matches_python_pair_counts(spark):
     want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = list(zip(out["pair"], out["cnt"]))
     assert got == want
+
+
+# ---------------------------------------------------------------- Q176
+
+
+def test_q176_matches_python_bfs(spark):
+    out = REGISTRY["q176_bfs_levels"].fn(spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    pairs = Counter()
+    for _, grp in li.drop_duplicates().groupby("l_orderkey"):
+        ss = sorted(grp["l_suppkey"])
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                pairs[(ss[i], ss[j])] += 1
+    adj: dict[int, set[int]] = {}
+    for (u, v), c in pairs.items():
+        if c >= 25:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    src = min(adj)
+    dist = {src: 0}
+    frontier = [src]
+    for level in range(1, 9):
+        nxt = {w for n in frontier for w in adj[n] if w not in dist}
+        if not nxt:
+            break
+        for w in nxt:
+            dist[w] = level
+        frontier = sorted(nxt)
+    want = Counter(dist.values())
+    got = dict(zip(out["dist"], out["n_nodes"]))
+    assert got == dict(want)
+    sums = {d: sum(n for n, dd in dist.items() if dd == d) for d in want}
+    assert dict(zip(out["dist"], out["sum_keys"])) == sums
+    assert len(want) >= 2  # the graph must have non-trivial depth
