@@ -43,18 +43,25 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # and covers a bounded prefix (the first 50 entries) per round. Cumulative
 # driver coverage through r5 is all 164 then-existing entries green; the
 # r6 driver pass was not recorded (no CORRECTNESS_r06.json), so the
-# round-7 window front-loads everything added or changed since r5, in
-# order: (1) the 17 queries new in r6/r7 (corpus-modeling Q146-Q150,
-# curation-QA Q151-Q154, pipeline-hygiene Q155-Q159, Spark-4 SQL surface
-# Q160-Q161, stream-stream left-outer Q162 — none has a driver row yet),
-# (2) entries whose code or oracle changed since their last green row
-# (q32_simhash's md5-exact oracle, the q126/q96 perf work, the q128
-# blocking-key coalesce, the Data Source fixes behind q141), (3)
+# round-7 window front-loads everything with no driver row yet, in
+# order: (1) the 23 entries new in r7 (model-eval tier Q163-Q170 and
+# Q173-Q175, streaming full-outer/sliding Q171-Q172, BFS Q176, Spark-4
+# aggregate/SQL surface Q177-Q184), (2) the 17 entries new in r6
+# (corpus-modeling Q146-Q150, curation-QA Q151-Q154, pipeline-hygiene
+# Q155-Q159, LATERAL/recursive-CTE Q160-Q161, stream-stream left-outer
+# Q162), (3) entries whose code or oracle changed after their last green
+# row (q32_simhash's md5-exact oracle, the q126/q96 perf work, the q128
+# blocking-key coalesce, the Data Source fixes behind q141), (4)
 # streaming regression cover (broke once in r02; keep warm every round),
-# then (4) the stalest remaining evidence (r01/r02-era rows) to fill the
-# window. Every entry is always returned — ordering only, not selection.
+# then (5) the stalest remaining evidence (r01-era rows) to fill the
+# window; with 48 head entries from (1)-(4), two stale rows fit. All
+# r01/r02-era entries beyond the window are unchanged code with
+# cumulative green rows. Every entry is always returned — ordering only,
+# not selection. (tools/driver_sim.py checks the WHOLE registry each
+# round regardless; its r7 runs were all-green at 190, 195, and 198
+# entries as the tier landed.)
 _DRIVER_ORDER_HEAD = [
-    # --- (1) new in r7: no driver row yet ---
+    # --- (1) new in r7 ---
     "q163_intersect_all",
     "q163_except_all",
     "q164_auc_rank_sum",
@@ -74,7 +81,11 @@ _DRIVER_ORDER_HEAD = [
     "q178_bitmap_distinct_rollup",
     "q179_weighted_median",
     "q180_ab_test_zscore",
-    # --- (1) new in r6: no driver row yet ---
+    "q181_filtered_aggregates",
+    "q182_null_safe_join",
+    "q183_union_by_name",
+    "q184_try_cast_hygiene",
+    # --- (2) new in r6 ---
     "q146_bigram_lm_perplexity",
     "q147_bm25_topk",
     "q148_vocab_growth",
@@ -92,21 +103,21 @@ _DRIVER_ORDER_HEAD = [
     "q160_lateral_topk_per_group",
     "q161_recursive_cte_hierarchy",
     "q162_stream_stream_left_outer",
-    # --- (2) code or oracle changed since last green row ---
+    # --- (3) code or oracle changed since last green row ---
     "q32_simhash_pairs",
     "q126_pmi_collocations",
     "q96_pagerank_canonical",
     "q128_edit_distance_join",
     "q141_python_datasource",
-    # --- (3) streaming regression cover ---
+    # --- (4) streaming regression cover ---
     "q29_stream_tumbling_window",
     "q30_stream_session_window",
     "q134_stream_cdc_upsert",
-    # --- (4) stalest evidence: last green r01 ---
+    # --- (5) stalest evidence: last green r01 ---
     "q33_lang_id",
     "q33_fingerprint",
     "q33_top_terms",
-    # --- (4) stalest evidence: last green r02 ---
+    # --- (5) stalest evidence: last green r02 ---
     "q02_filter",
     "q04_global_aggregate",
     "q05_distinct_aggregate",

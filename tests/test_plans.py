@@ -235,3 +235,14 @@ def test_q168_grid_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan
     assert "Join" in plan
+
+
+def test_q182_null_safe_join_is_hash_join(spark, sf_dir):
+    """q182's scale shape: eqNullSafe must remain an equi-key to
+    Catalyst (SortMerge/ShuffledHash join) — falling back to
+    BroadcastNestedLoopJoin would make null-safe joins unusable at
+    scale."""
+    df = REGISTRY["q182_null_safe_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

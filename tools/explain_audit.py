@@ -192,6 +192,23 @@ HEADLINE = [
         "shape there is; no sort anywhere.",
     ),
     (
+        "q178_bitmap_distinct_rollup",
+        "bitmap-exact distinct rollup: per-(day,type,bucket) "
+        "bitmap_construct_agg partials, OR-merged (bitmap_or_agg) to "
+        "the per-type grain WITHOUT re-touching facts — the partial→"
+        "merge shape shared with the HLL/theta/KLL sketch rollups, at "
+        "zero error; the rollup join is a broadcast of the tiny "
+        "per-type table.",
+    ),
+    (
+        "q181_filtered_aggregates",
+        "FILTER-clause aggregates: plain count, filtered count, "
+        "filtered DISTINCT and filtered DECIMAL sum in ONE scan — "
+        "Catalyst plans the mixed distinct/non-distinct filtered set "
+        "via a single Expand (grouping-sets machinery), partial-"
+        "aggregated map-side; the naive alternative is four scans.",
+    ),
+    (
         "q141_python_datasource",
         "Python Data Source e2e: the returned plan is a driver-sized "
         "materialization of the read-back aggregate; the interesting "
