@@ -85,6 +85,7 @@ _DRIVER_ORDER_HEAD = [
     "q182_null_safe_join",
     "q183_union_by_name",
     "q184_try_cast_hygiene",
+    "q185_bootstrap_ci",
     # --- (2) new in r6 ---
     "q146_bigram_lm_perplexity",
     "q147_bm25_topk",

@@ -1,4 +1,4 @@
-"""Q163–Q170, Q173–Q180: model-evaluation & advanced-analytics tier —
+"""Q163–Q170, Q173–Q185: model-evaluation & advanced-analytics tier —
 the measurement queries a training-data pipeline runs AFTER a model (or
 a candidate scoring function) exists: ranking quality (AUC, PR-curve
 threshold sweep), statistical dependence (chi-squared, lagged
@@ -1076,4 +1076,111 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(var_a / F.col("na") + var_b / F.col("nb")),
             6,
         ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------- Q185
+
+# Deterministic Poisson(1)-approximating bootstrap weight from one hex
+# digit of md5(event_id, replica): P(0)=6/16, P(1)=6/16, P(2)=3/16,
+# P(3)=1/16 — matches e^-1≈.368/.368/.184/.061 to ~1.5%. The SAME
+# expression runs in both engines, so every replica is bit-identical.
+_Q185_B = 32
+_Q185_W = (
+    "CASE WHEN strpos('0123456789abcdef', substr(md5("
+    "CAST(event_id AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 1)) - 1 < 6"
+    " THEN 0 "
+    "WHEN strpos('0123456789abcdef', substr(md5("
+    "CAST(event_id AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 1)) - 1 < 12"
+    " THEN 1 "
+    "WHEN strpos('0123456789abcdef', substr(md5("
+    "CAST(event_id AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 1)) - 1 < 15"
+    " THEN 2 ELSE 3 END"
+)
+
+
+@register(
+    "q185_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.event_type, b.b,
+             ({_Q185_W}) AS w,
+             CAST(e.value AS DECIMAL(18,6)) AS v
+      FROM events e CROSS JOIN (SELECT unnest(range({_Q185_B})) AS b) b
+    ),
+    rep_means AS (
+      SELECT event_type, b,
+             round(CAST(sum(w * v) AS DOUBLE) / sum(w), 6) AS m
+      FROM reps GROUP BY event_type, b
+    ),
+    ranked AS (
+      SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn
+      FROM rep_means
+    )
+    SELECT r.event_type,
+           CAST(s.n AS BIGINT) AS n,
+           round(CAST(s.sv AS DOUBLE) / s.n, 6) AS mean_value,
+           max(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+           max(CASE WHEN rn = {_Q185_B - 1} THEN m END) AS ci_hi
+    FROM ranked r
+    JOIN (SELECT event_type, count(*) AS n,
+                 sum(CAST(value AS DECIMAL(18,6))) AS sv
+          FROM events GROUP BY event_type) s USING (event_type)
+    GROUP BY r.event_type, s.n, s.sv
+    ORDER BY r.event_type
+    """,
+    doc="Distributed Poisson bootstrap: a 90%-ish CI for each event "
+    "type's mean value from 32 resampling replicas computed in ONE "
+    "pass — each row's per-replica multiplicity is a DETERMINISTIC "
+    "hash-derived Poisson(1) approximation (the Chamandy/Google "
+    "streaming-bootstrap construction), so the 'resampling' is "
+    "reproducible across engines, runs, and partitionings, and needs "
+    "no data movement beyond one groupBy. Replica means use DECIMAL "
+    "weighted sums (order-independent); the CI bounds are SELECTED "
+    "replica means (rank 2 / rank B-1 of 32), never interpolated. "
+    "100 TB: the 32× fan-out is map-side and pre-aggregated — the "
+    "shuffle carries (types × 32) rows; B scales the fan-out, not the "
+    "shuffle.",
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = spark.range(_Q185_B).select(F.col("id").cast("int").alias("b"))
+    w = (
+        F.expr(_Q185_W.replace("strpos", "instr").replace("AS VARCHAR", "AS STRING"))
+    )
+    reps = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        "b",
+        w.alias("w"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    rep_means = reps.groupBy("event_type", "b").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("v")).cast("double") / F.sum("w"), 6
+        ).alias("m")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("m", "b")
+    )
+    ranked = rep_means.select("event_type", "m", rn.alias("rn"))
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    return (
+        ranked.join(stats, "event_type")
+        .groupBy("event_type", "n", "sv")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == _Q185_B - 1, F.col("m"))).alias("ci_hi"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("sv").cast("double") / F.col("n"), 6).alias("mean_value"),
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("event_type")
     )

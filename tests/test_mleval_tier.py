@@ -305,3 +305,32 @@ def test_q180_matches_scipy_free_welch(spark):
     assert abs(out["z"] - z) < 1e-5
     # a hash split of an un-treated metric must NOT show an effect
     assert abs(out["z"]) < 4
+
+
+# ---------------------------------------------------------------- Q185
+
+
+def test_q185_matches_python_bootstrap(spark):
+    out = REGISTRY["q185_bootstrap_ci"].fn(spark, SF_DIR).toPandas().set_index("event_type")
+    ev = _events()
+    B = 32
+
+    def weight(event_id: int, b: int) -> int:
+        d = int(hashlib.md5(f"{event_id}_{b}".encode()).hexdigest()[0], 16)
+        return 0 if d < 6 else 1 if d < 12 else 2 if d < 15 else 3
+
+    for etype, grp in ev.groupby("event_type"):
+        ids = grp["event_id"].to_numpy()
+        vals = grp["value"].to_numpy()
+        means = []
+        for b in range(B):
+            w = np.array([weight(int(i), b) for i in ids])
+            means.append(round(float((w * vals).sum() / w.sum()), 6))
+        means.sort()
+        row = out.loc[etype]
+        assert row["n"] == len(grp)
+        assert abs(row["mean_value"] - vals.mean()) < 1e-5
+        assert row["ci_lo"] == means[1]   # rank 2 of 32
+        assert row["ci_hi"] == means[30]  # rank 31 of 32
+        # the interval must bracket the point estimate
+        assert row["ci_lo"] <= row["mean_value"] <= row["ci_hi"]

@@ -41,6 +41,7 @@ FLOAT_EMITTERS = [
     "q167_ewma_bounded",
     "q168_spatial_grid_join",
     "q170_calibration_bins",
+    "q185_bootstrap_ci",
 ]
 
 
