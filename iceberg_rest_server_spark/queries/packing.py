@@ -428,3 +428,63 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- Q186
+
+
+@register(
+    "q186_curriculum_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars, md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS r
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, source, n_chars, r,
+             row_number() OVER (ORDER BY r, source, doc_id) AS pos
+      FROM ranked
+    )
+    SELECT pos, doc_id, source, CAST(r AS BIGINT) AS round_robin_rank
+    FROM ordered
+    WHERE pos <= 200
+    ORDER BY pos
+    """,
+    doc="Curriculum + source-interleaved training order: within each "
+    "source, docs are ranked easiest-first (shortest first, md5 "
+    "tiebreak so equal lengths shuffle deterministically), then the "
+    "global order round-robins across sources (ORDER BY rank, source) "
+    "— every consecutive |sources|-sized window touches each source "
+    "once, so no training batch is single-source, and difficulty "
+    "ramps up — the interleaving discipline LLM data loaders apply "
+    "before sharding (q81's epoch shuffle is the non-curriculum "
+    "sibling). Emits the first 200 positions (output-sized; the full "
+    "ordering is the same plan without the LIMIT). 100 TB: one rank "
+    "window per source partition + the global order materializes "
+    "lazily as a sort key — at scale the (r, source) pair IS the shard "
+    "assignment key (hash it, never globally sort), same contract.",
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    r = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            "n_chars", F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    ranked = docs.select("doc_id", "source", "n_chars", r.alias("r"))
+    pos = F.row_number().over(Window.orderBy("r", "source", "doc_id"))
+    return (
+        ranked.select("doc_id", "source", "n_chars", "r", pos.alias("pos"))
+        .filter(F.col("pos") <= 200)
+        .select(
+            "pos",
+            "doc_id",
+            "source",
+            F.col("r").cast("bigint").alias("round_robin_rank"),
+        )
+        .orderBy("pos")
+    )

@@ -81,3 +81,26 @@ def test_epoch_shuffle_is_balanced_permutation(spark, sf_dir):
     assert max(shard_sizes.values()) - min(shard_sizes.values()) <= 1  # round-robin
     for shard, positions in pos_seen.items():
         assert positions == set(range(len(positions))), shard  # dense positions
+
+
+# ---------------------------------------------------------------- Q186
+
+
+def test_q186_interleaving_invariants(spark):
+    import pandas as pd
+
+    from iceberg_rest_server_spark.queries._registry import REGISTRY
+
+    out = REGISTRY["q186_curriculum_interleave"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    n_sources = docs["source"].nunique()
+    # positions are a dense 1..200 prefix
+    assert list(out["pos"]) == list(range(1, len(out) + 1))
+    # round-robin: every full |sources|-sized window touches each source once
+    for w in range(len(out) // n_sources):
+        window = out.iloc[w * n_sources : (w + 1) * n_sources]
+        assert window["source"].nunique() == n_sources, f"window {w} single-source"
+    # curriculum: per-source ranks are non-decreasing along the order
+    for src, grp in out.groupby("source"):
+        rr = grp.sort_values("pos")["round_robin_rank"].to_numpy()
+        assert (rr[1:] > rr[:-1]).all()

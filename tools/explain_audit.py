@@ -209,6 +209,16 @@ HEADLINE = [
         "aggregated map-side; the naive alternative is four scans.",
     ),
     (
+        "q185_bootstrap_ci",
+        "Poisson bootstrap: the 32-replica fan-out is a BROADCAST of "
+        "the 32-row replica table (BroadcastNestedLoopJoin on a tiny "
+        "side, map-side Expand-equivalent), pre-aggregated before one "
+        "shuffle carrying (types × 32) rows; the CI selection windows "
+        "run over 32-row partitions. The fact table is scanned twice "
+        "(replica pass + exact-stats pass) — both scans column-pruned "
+        "to (event_id, event_type, value).",
+    ),
+    (
         "q141_python_datasource",
         "Python Data Source e2e: the returned plan is a driver-sized "
         "materialization of the read-back aggregate; the interesting "
