@@ -87,6 +87,7 @@ _DRIVER_ORDER_HEAD = [
     "q184_try_cast_hygiene",
     "q185_bootstrap_ci",
     "q186_curriculum_interleave",
+    "q187_reciprocal_rank_fusion",
     # --- (2) new in r6 ---
     "q146_bigram_lm_perplexity",
     "q147_bm25_topk",

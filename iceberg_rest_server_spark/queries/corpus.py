@@ -379,3 +379,82 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------- Q187
+
+
+@register(
+    "q187_reciprocal_rank_fusion",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t = 'data'))
+               AS tf_term,
+             len(list_distinct(string_split(text, ' '))) AS nd,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY tf_term DESC, doc_id) AS rank_tf,
+             row_number() OVER (
+               ORDER BY CAST(nd AS DOUBLE) / nt DESC, doc_id) AS rank_div
+      FROM per_doc
+    )
+    SELECT doc_id, CAST(rank_tf AS BIGINT) AS rank_tf,
+           CAST(rank_div AS BIGINT) AS rank_div,
+           round(1.0 / (60 + rank_tf) + 1.0 / (60 + rank_div), 9) AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Reciprocal-rank fusion (k=60, the TREC-standard hybrid-search "
+    "combiner): two independent document rankings — query-term "
+    "frequency (the lexical/BM25 axis) and lexical diversity (the "
+    "quality axis) — fused by Σ 1/(k+rank). Ranks are exact integers "
+    "(row_number with doc_id tiebreak), so each 1/(k+r) is an exact-"
+    "integer ratio and the two-term sum is a fixed-order expression — "
+    "bit-identical across engines; this is how a production pipeline "
+    "fuses BM25 (q147) with ANN (q36) candidates without score "
+    "calibration. Plan: the corpus collapses to one doc-level stats "
+    "row per doc (map-only split/aggregate expressions), then two "
+    "windows + TakeOrdered(20). 100 TB: global row_number becomes the "
+    "per-shard rank + offset pattern (or rank only the per-shard "
+    "top-k, which RRF provably tolerates); the fuse join stays "
+    "doc-keyed.",
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t == F.lit("data"))).alias("tf_term"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.size(toks).alias("nt"),
+    )
+    ranked = per_doc.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("tf_term"), "doc_id"))
+        .alias("rank_tf"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc(F.col("nd").cast("double") / F.col("nt")), "doc_id"
+            )
+        )
+        .alias("rank_div"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("rank_tf").cast("bigint").alias("rank_tf"),
+            F.col("rank_div").cast("bigint").alias("rank_div"),
+            F.round(
+                1.0 / (60 + F.col("rank_tf")) + 1.0 / (60 + F.col("rank_div")), 9
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
