@@ -88,6 +88,7 @@ _DRIVER_ORDER_HEAD = [
     "q185_bootstrap_ci",
     "q186_curriculum_interleave",
     "q187_reciprocal_rank_fusion",
+    "q188_seasonality_strength",
     # --- (2) new in r6 ---
     "q146_bigram_lm_perplexity",
     "q147_bm25_topk",

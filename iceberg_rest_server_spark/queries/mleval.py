@@ -1,4 +1,4 @@
-"""Q163–Q170, Q173–Q185: model-evaluation & advanced-analytics tier —
+"""Q163–Q170, Q173–Q185, Q188: model-evaluation & advanced-analytics tier —
 the measurement queries a training-data pipeline runs AFTER a model (or
 a candidate scoring function) exists: ranking quality (AUC, PR-curve
 threshold sweep), statistical dependence (chi-squared, lagged
@@ -1184,3 +1184,87 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- Q188
+
+
+@register(
+    "q188_seasonality_strength",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, extract(hour FROM ts) AS h,
+             count(*) AS n_h,
+             sum(CAST(value AS DECIMAL(18,6))) AS s_h
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS ss
+      FROM events GROUP BY 1
+    ),
+    parts AS (
+      SELECT h.event_type,
+             CAST(sum(CAST(
+               n_h * (CAST(s_h AS DOUBLE) / n_h - CAST(s AS DOUBLE) / n)
+                   * (CAST(s_h AS DOUBLE) / n_h - CAST(s AS DOUBLE) / n)
+               AS DECIMAL(38, 12))) AS DOUBLE) AS ss_between,
+             max(CAST(ss AS DOUBLE) - n * (CAST(s AS DOUBLE) / n)
+                                        * (CAST(s AS DOUBLE) / n)) AS ss_total,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(max(n) AS BIGINT) AS n
+      FROM hourly h JOIN tot USING (event_type)
+      GROUP BY h.event_type
+    )
+    SELECT event_type, n, n_hours,
+           round(ss_between / ss_total, 6) AS eta_sq
+    FROM parts
+    ORDER BY event_type
+    """,
+    doc="Seasonality strength per event type: one-way-ANOVA eta² of "
+    "value against hour-of-day (SS_between/SS_total) — the 'does this "
+    "metric have a daily cycle' screen a forecasting pipeline runs "
+    "before fitting seasonal models. All inputs are DECIMAL-exact "
+    "power sums (Σv, Σv² per hour and per type); per-hour squared "
+    "deviations are doubles from identical exact inputs and their "
+    "24-row sum re-enters DECIMAL, so the statistic is shuffle-order-"
+    "proof. Plan: one (type,hour) groupBy collapses the facts; "
+    "everything after runs on ≤types×24 rows. 100 TB: identical — the "
+    "fact table is touched exactly once.",
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n_h"), F.sum(v).alias("s_h"))
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    mean_h = F.col("s_h").cast("double") / F.col("n_h")
+    dev2 = (F.col("n_h") * (mean_h - mean) * (mean_h - mean)).cast(
+        "decimal(38,12)"
+    )
+    parts = (
+        hourly.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(dev2).cast("double").alias("ss_between"),
+            F.max(F.col("ss").cast("double") - F.col("n") * mean * mean).alias(
+                "ss_total"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    return parts.select(
+        "event_type",
+        "n",
+        "n_hours",
+        F.round(F.col("ss_between") / F.col("ss_total"), 6).alias("eta_sq"),
+    ).orderBy("event_type")

@@ -334,3 +334,24 @@ def test_q185_matches_python_bootstrap(spark):
         assert row["ci_hi"] == means[30]  # rank 31 of 32
         # the interval must bracket the point estimate
         assert row["ci_lo"] <= row["mean_value"] <= row["ci_hi"]
+
+
+# ---------------------------------------------------------------- Q188
+
+
+def test_q188_matches_anova_eta_squared(spark):
+    out = REGISTRY["q188_seasonality_strength"].fn(spark, SF_DIR).toPandas().set_index("event_type")
+    ev = _events()
+    ev["h"] = ev["ts"].dt.hour
+    for etype, grp in ev.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        mean = v.mean()
+        ss_total = float(((v - mean) ** 2).sum())
+        ss_between = float(
+            sum(len(g) * (g["value"].mean() - mean) ** 2 for _, g in grp.groupby("h"))
+        )
+        row = out.loc[etype]
+        assert row["n"] == len(grp)
+        assert abs(row["eta_sq"] - ss_between / ss_total) < 1e-5
+        # synthetic data has no engineered daily cycle: eta^2 stays small
+        assert 0 <= row["eta_sq"] < 0.2

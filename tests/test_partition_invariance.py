@@ -42,6 +42,7 @@ FLOAT_EMITTERS = [
     "q168_spatial_grid_join",
     "q170_calibration_bins",
     "q185_bootstrap_ci",
+    "q188_seasonality_strength",
 ]
 
 
