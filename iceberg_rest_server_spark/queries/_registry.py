@@ -44,22 +44,22 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # driver coverage through r5 is all 164 then-existing entries green; the
 # r6 driver pass was not recorded (no CORRECTNESS_r06.json), so the
 # round-7 window front-loads everything with no driver row yet, in
-# order: (1) the 23 entries new in r7 (model-eval tier Q163-Q170 and
-# Q173-Q175, streaming full-outer/sliding Q171-Q172, BFS Q176, Spark-4
-# aggregate/SQL surface Q177-Q184), (2) the 17 entries new in r6
-# (corpus-modeling Q146-Q150, curation-QA Q151-Q154, pipeline-hygiene
-# Q155-Q159, LATERAL/recursive-CTE Q160-Q161, stream-stream left-outer
-# Q162), (3) entries whose code or oracle changed after their last green
-# row (q32_simhash's md5-exact oracle, the q126/q96 perf work, the q128
-# blocking-key coalesce, the Data Source fixes behind q141), (4)
-# streaming regression cover (broke once in r02; keep warm every round),
-# then (5) the stalest remaining evidence (r01-era rows) to fill the
-# window; with 48 head entries from (1)-(4), two stale rows fit. All
-# r01/r02-era entries beyond the window are unchanged code with
-# cumulative green rows. Every entry is always returned — ordering only,
-# not selection. (tools/driver_sim.py checks the WHOLE registry each
-# round regardless; its r7 runs were all-green at 190, 195, and 198
-# entries as the tier landed.)
+# order: (1) the 27 entries new in r7 (model-eval tier Q163-Q170,
+# Q173-Q175, Q185, Q188, streaming full-outer/sliding Q171-Q172, BFS
+# Q176, Spark-4 aggregate/SQL surface Q177-Q184, curriculum Q186, RRF
+# Q187), (2) the 17 entries new in r6 (corpus-modeling Q146-Q150,
+# curation-QA Q151-Q154, pipeline-hygiene Q155-Q159, LATERAL/
+# recursive-CTE Q160-Q161, stream-stream left-outer Q162), (3) entries
+# whose code or oracle changed after their last green row (q32_simhash's
+# md5-exact oracle, the q126/q96 perf work, the q128 blocking-key
+# coalesce, the Data Source fixes behind q141), then (4) streaming
+# regression cover and (5) stale-evidence refresh, of which only
+# q29_stream fits: 27+17+5 = 49 entries from (1)-(3) leave one slot in
+# the 50-window. Everything beyond the window is unchanged code with
+# cumulative r01-r05 green rows. Every entry is always returned —
+# ordering only, not selection. (tools/driver_sim.py checks the WHOLE
+# registry each round regardless; its r7 runs were all-green at 190,
+# 195, 198, 204, 205, 206, 207 and 208 entries as the tiers landed.)
 _DRIVER_ORDER_HEAD = [
     # --- (1) new in r7 ---
     "q163_intersect_all",
