@@ -24,5 +24,6 @@ from . import corpus  # noqa: F401  (Q146–Q148 corpus modeling tier)
 from . import curation  # noqa: F401  (Q151–Q152 corpus-curation QA tier)
 from . import pipeline  # noqa: F401  (Q155–Q159 pipeline-hygiene / engine-stats tier)
 from . import mleval  # noqa: F401  (Q163–Q170 model-eval / advanced-analytics tier)
+from . import warehouse  # noqa: F401  (Q189–Q198 warehouse-ops / data-quality tier)
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

@@ -39,89 +39,40 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
     return deco
 
 
-# The driver's per-round correctness run evaluates queries() in dict order
-# and covers a bounded prefix (the first 50 entries) per round. Cumulative
-# driver coverage through r5 is all 164 then-existing entries green; the
-# r6 driver pass was not recorded (no CORRECTNESS_r06.json), so the
-# round-7 window front-loads everything with no driver row yet, in
-# order: (1) the 27 entries new in r7 (model-eval tier Q163-Q170,
-# Q173-Q175, Q185, Q188, streaming full-outer/sliding Q171-Q172, BFS
-# Q176, Spark-4 aggregate/SQL surface Q177-Q184, curriculum Q186, RRF
-# Q187), (2) the 17 entries new in r6 (corpus-modeling Q146-Q150,
-# curation-QA Q151-Q154, pipeline-hygiene Q155-Q159, LATERAL/
-# recursive-CTE Q160-Q161, stream-stream left-outer Q162), (3) entries
-# whose code or oracle changed after their last green row (q32_simhash's
-# md5-exact oracle, the q126/q96 perf work, the q128 blocking-key
-# coalesce, the Data Source fixes behind q141), then (4) streaming
-# regression cover and (5) stale-evidence refresh, of which only
-# q29_stream fits: 27+17+5 = 49 entries from (1)-(3) leave one slot in
-# the 50-window. Everything beyond the window is unchanged code with
-# cumulative r01-r05 green rows. Every entry is always returned —
-# ordering only, not selection. (tools/driver_sim.py checks the WHOLE
-# registry each round regardless; its r7 runs were all-green at 190,
-# 195, 198, 204, 205, 206, 207 and 208 entries as the tiers landed.)
+# The driver's per-round correctness run evaluates queries() in dict
+# order and covers a bounded prefix (the first 50 entries) per round.
+# r8 ROTATION POLICY (VERDICT r7 #1): the window is spent on (1) entries
+# new this round, (2) entries whose code or oracle changed since their
+# last green row, then (3) the STALEST recorded evidence first — r7 left
+# 32 entries whose last driver-recorded green was r01/r02; all 32 are
+# front-loaded here, eliminating every pre-r03 row. The 5 remaining
+# slots go to the oldest r03-evidence entries, including the two
+# bench-hot ones (q35, q40) whose cost story r8 re-pins. Cumulative
+# driver coverage: all 208 r7-era entries have green rows r01–r07;
+# tools/driver_sim.py re-checks the WHOLE registry (now 219 entries)
+# each round regardless — its r8 runs are recorded in PARITY.md.
+# Every entry is always returned — ordering only, never selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (1) new in r7 ---
-    "q163_intersect_all",
-    "q163_except_all",
-    "q164_auc_rank_sum",
-    "q165_chi_squared_independence",
-    "q166_pca_top_components",
-    "q167_ewma_bounded",
-    "q168_spatial_grid_join",
-    "q169_event_pattern_match",
-    "q170_calibration_bins",
-    "q171_stream_stream_full_outer",
-    "q172_stream_sliding_window",
-    "q173_threshold_sweep",
-    "q174_rolling_anomaly_flags",
-    "q175_lagged_cross_correlation",
-    "q176_bfs_levels",
-    "q177_ordered_listagg",
-    "q178_bitmap_distinct_rollup",
-    "q179_weighted_median",
-    "q180_ab_test_zscore",
-    "q181_filtered_aggregates",
-    "q182_null_safe_join",
-    "q183_union_by_name",
-    "q184_try_cast_hygiene",
-    "q185_bootstrap_ci",
-    "q186_curriculum_interleave",
-    "q187_reciprocal_rank_fusion",
-    "q188_seasonality_strength",
-    # --- (2) new in r6 ---
-    "q146_bigram_lm_perplexity",
-    "q147_bm25_topk",
-    "q148_vocab_growth",
-    "q149_skipgram_associations",
-    "q150_winsorized_stats",
-    "q151_embedding_dim_audit",
-    "q152_cluster_safe_split",
-    "q153_join_key_skew_profile",
-    "q154_eval_quota_sample",
-    "q155_intradoc_repeat_collapse",
-    "q156_analyze_column_stats",
-    "q157_triangle_count",
-    "q158_linear_interpolation",
-    "q159_bpe_merge_candidates",
-    "q160_lateral_topk_per_group",
-    "q161_recursive_cte_hierarchy",
-    "q162_stream_stream_left_outer",
-    # --- (3) code or oracle changed since last green row ---
-    "q32_simhash_pairs",
-    "q126_pmi_collocations",
-    "q96_pagerank_canonical",
-    "q128_edit_distance_join",
-    "q141_python_datasource",
-    # --- (4) streaming regression cover ---
-    "q29_stream_tumbling_window",
-    "q30_stream_session_window",
-    "q134_stream_cdc_upsert",
-    # --- (5) stalest evidence: last green r01 ---
+    # --- (1) new in r8: warehouse-ops / data-quality tier ---
+    "q189_stable_row_ids",
+    "q190_ohlc_bars",
+    "q191_benford_deviation",
+    "q192_fk_integrity_audit",
+    "q193_inverted_index_postings",
+    "q194_ks_two_sample",
+    "q195_gini_concentration",
+    "q196_running_distinct_users",
+    "q197_activity_streaks",
+    "q198_char_entropy",
+    "q140_processor_logic_batch",
+    # --- (2) code changed in r8 ---
+    "q166_pca_top_components",  # executed Gram build -> blocked GEMM
+    "q172_stream_sliding_window",  # complete -> append mode + __wm__ sentinel
+    # --- (3) stalest evidence: last green r01 ---
     "q33_lang_id",
     "q33_fingerprint",
     "q33_top_terms",
-    # --- (5) stalest evidence: last green r02 ---
+    # --- (3) stalest evidence: last green r02 ---
     "q02_filter",
     "q04_global_aggregate",
     "q05_distinct_aggregate",
@@ -143,7 +94,6 @@ _DRIVER_ORDER_HEAD = [
     "q23_explode_json",
     "q24_conditional_null",
     "q25_correlated_subquery",
-    # --- below here typically falls outside the 50-entry window ---
     "q25_subqueries",
     "q26_cte",
     "q27_udf_parity",
@@ -152,6 +102,13 @@ _DRIVER_ORDER_HEAD = [
     "q54_full_outer_join",
     "q55_window_navigation",
     "q61_grouping_id",
+    # --- (3) oldest r03 evidence, incl. the r8 perf-pinned pair ---
+    "q35_cosine_neardup_pairs",
+    "q40_curation_pipeline",
+    "q15_sliding_window",
+    "q23_get_json",
+    "q33_quality_score",
+    # --- below here falls outside the 50-entry window ---
     "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 

@@ -228,6 +228,96 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q166
 
 
+def _gram_terms_blocked(emb: DataFrame) -> DataFrame:
+    """Per-batch blocked-GEMM partial sums for the second-moment build.
+
+    Emits (i, j, s) rows: j >= 0 → upper-triangle XᵀX partial, j == -1
+    → per-dim sum partial, i == j == -1 → row-count partial. Each Arrow
+    batch is one numpy GEMM (rows×dim · dim×rows), so the per-batch cost
+    is BLAS-speed and the emitted volume is dim²/2 + dim + 1 rows per
+    batch regardless of batch size."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            iu = np.triu_indices(g.shape[0])
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {"i": iu[0].astype(np.int32), "j": iu[1].astype(np.int32), "s": g[iu]}
+                    ),
+                    pd.DataFrame(
+                        {
+                            "i": np.arange(x.shape[1], dtype=np.int32),
+                            "j": np.int32(-1),
+                            "s": x.sum(axis=0),
+                        }
+                    ),
+                    pd.DataFrame({"i": [np.int32(-1)], "j": [np.int32(-1)], "s": [float(len(x))]}),
+                ],
+                ignore_index=True,
+            )
+
+    return emb.select("embedding").mapInPandas(part, schema="i int, j int, s double")
+
+
+def _gram_blocked(emb: DataFrame):
+    """Combine blocked partials: DECIMAL(38,18) cross-batch sum (addition-
+    order-independent), then collect the metadata-sized result. Returns
+    ([((i, j), gram_sum)], [(i, dim_sum)], n_rows)."""
+    rows = (
+        _gram_terms_blocked(emb)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,18)")).alias("s"))
+        .collect()
+    )
+    gram = [((r["i"], r["j"]), float(r["s"])) for r in rows if r["j"] >= 0]
+    mean = [(r["i"], float(r["s"])) for r in rows if r["j"] == -1 and r["i"] >= 0]
+    n = int(next(float(r["s"]) for r in rows if r["i"] == -1 and r["j"] == -1))
+    return gram, mean, n
+
+
+def _gram_exploded(emb: DataFrame):
+    """Pre-r8 correctness-reference Gram build: dim² posexplode fan-out,
+    per-row products cast to DECIMAL before the cross-row sum. Kept as the
+    test-only equality anchor for the blocked-GEMM executed path
+    (tests/test_mleval_tier.py pins the two within 1e-9)."""
+    ex = emb.select(F.posexplode("embedding").alias("i", "xi"))
+    pairs = emb.select(
+        "embedding", F.posexplode("embedding").alias("i", "xi")
+    ).select("i", "xi", F.posexplode("embedding").alias("j", "xj"))
+    gram_rows = (
+        pairs.filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            # widen the float32 cells BEFORE multiplying so the per-row
+            # product is the same float64 value the GEMM path computes
+            F.sum(
+                (F.col("xi").cast("double") * F.col("xj").cast("double")).cast(
+                    "decimal(38,18)"
+                )
+            ).alias("s")
+        )
+        .collect()
+    )
+    mean_rows = (
+        ex.groupBy("i")
+        .agg(
+            F.sum(F.col("xi").cast("decimal(38,18)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    gram = [((r["i"], r["j"]), float(r["s"])) for r in gram_rows]
+    mean = [(r["i"], float(r["s"])) for r in mean_rows]
+    return gram, mean, mean_rows[0]["n"]
+
+
 @register(
     "q166_pca_top_components",
     # Eigenvectors depend on every input row, so (like q127's k-means)
@@ -246,57 +336,40 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY component
     """,
     doc="Distributed PCA: top-2 principal components of the embedding "
-    "corpus via an EXACT covariance build + driver-side dense "
-    "eigensolve. The second-moment (Gram) matrix and mean vector are "
-    "accumulated in DECIMAL (per-row xi·xj products are doubles; the "
-    "cross-row sum is exact, so the Gram is bit-reproducible across "
-    "runs and partitionings); only the dim×dim = 64×64 matrix reaches "
-    "the driver — metadata-sized, the q127 discipline — and the "
-    "O(dim³) symmetric eigensolve on it is driver-trivial at any "
-    "corpus size. (Power iteration was measured unusable here: the "
-    "corpus spectrum is clustered — λ1=0.0275 vs λ2=0.0272 — so its "
-    "gap-ratio convergence stalls at ~1e-4 residuals; the dense solve "
-    "is the numerically honest finalize.) Self-verified: ‖v‖=1, "
-    "‖Cv-λv‖≤1e-9, λ>0, λ1≥λ2, v1⊥v2. 100 TB: the explode-pair Gram "
-    "build here is the correctness reference; at scale swap it for the "
-    "blocked-GEMM mapInPandas partial-sum path (operators/similarity."
-    "py) — same driver-side finalize, dim² stays metadata-sized.",
+    "corpus via a blocked-GEMM covariance build + driver-side dense "
+    "eigensolve. Each Arrow batch contributes one dim×dim partial "
+    "XᵀX (a single numpy GEMM over the batch — JVM→Arrow→numpy, no "
+    "row explosion), partial per-dim sums, and a row count; the "
+    "cross-batch combine casts each partial to DECIMAL(38,18) so the "
+    "global sum is addition-order-independent, and only the dim×dim "
+    "= 64×64 matrix reaches the driver — metadata-sized, the q127 "
+    "discipline — where the O(dim³) symmetric eigensolve is trivial "
+    "at any corpus size. (Power iteration was measured unusable here: "
+    "the corpus spectrum is clustered — λ1=0.0275 vs λ2=0.0272 — so "
+    "its gap-ratio convergence stalls at ~1e-4 residuals; the dense "
+    "solve is the numerically honest finalize.) Self-verified: ‖v‖=1, "
+    "‖Cv-λv‖≤1e-9, λ>0, λ1≥λ2, v1⊥v2. The dim²-explode build that was "
+    "the pre-r8 executed path survives as _gram_exploded, pinned equal "
+    "to this one in tests/test_mleval_tier.py; the executed plan is "
+    "asserted to contain the mapInPandas GEMM and NO Generate "
+    "(tests/test_plans.py). 100 TB: per-batch work is one "
+    "rows×dim GEMM; shuffle volume is batches·dim²/2 tiny partial "
+    "rows; nothing data-sized leaves the executors.",
 )
 def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    ex = emb.select(F.posexplode("embedding").alias("i", "xi"))
-    # map-only pair fan-out (two sequential explodes, no join): the
-    # correctness-reference Gram build; the scale path is the blocked
-    # GEMM partial-sum (see docstring)
-    pairs = emb.select(
-        "embedding", F.posexplode("embedding").alias("i", "xi")
-    ).select("i", "xi", F.posexplode("embedding").alias("j", "xj"))
-    gram = (
-        pairs.filter(F.col("i") <= F.col("j"))  # symmetric: upper triangle only
-        .groupBy("i", "j")
-        .agg(F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,18)")).alias("s"))
-        .collect()
-    )
-    mean = (
-        ex.groupBy("i")
-        .agg(
-            F.sum(F.col("xi").cast("decimal(38,18)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )
+    gram, mean, n = _gram_blocked(emb)
 
     import numpy as np
 
-    dim = 1 + max(r["i"] for r in mean)
-    n = mean[0]["n"]
+    dim = 1 + max(i for i, _ in mean)
     g = np.zeros((dim, dim))
-    for r in gram:
-        g[r["i"], r["j"]] = float(r["s"])
-        g[r["j"], r["i"]] = float(r["s"])
+    for (i, j), s in gram:
+        g[i, j] = s
+        g[j, i] = s
     mu = np.zeros(dim)
-    for r in mean:
-        mu[r["i"]] = float(r["s"]) / n
+    for i, s in mean:
+        mu[i] = s / n
     cov = g / n - np.outer(mu, mu)
 
     eigvals, eigvecs = np.linalg.eigh(cov)

@@ -1,0 +1,720 @@
+"""Q189–Q198: warehouse-operations & data-quality tier — the jobs a
+lakehouse team runs against the SAME tables between analytics rounds:
+stable id assignment, OHLC downsampling, fraud/entry-error screens
+(Benford), referential-integrity audits, inverted-index builds,
+distribution-shift tests (KS), concentration metrics (Gini), adoption
+curves (running distinct), engagement streaks (gaps-and-islands), and
+content-entropy quality scoring.
+
+Determinism (driver hash-match contract, memory: the playbook): every
+float output is (a) double division of exact integers — IEEE-identical
+in both engines, (b) a DECIMAL-accumulated sum (addition-order-free), or
+(c) ln() applied to bit-identical exact-integer-ratio inputs with the
+result rounded at 6 dp (the q126/q146 precedent). No bare decimal
+literals in division; money goes through DECIMAL(18,2) cents.
+
+Scale notes are per-docstring; the recurring pattern in this tier is
+TWO-LEVEL CUMULATION (q189, q194): a global running total is computed as
+row_number/cumsum WITHIN range buckets plus a bucket-offset table that
+is metadata-sized (n/bucket_width rows), so no window ever runs on an
+unpartitioned data-sized stream — the classic distributed prefix-sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from ._registry import register
+
+# ---------------------------------------------------------------- Q189
+
+
+@register(
+    "q189_stable_row_ids",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderkey) AS global_id
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Stable dense global row ids 1..N ordered by key — the id "
+    "assignment every training-data export and dimension build needs, "
+    "computed WITHOUT a single-partition global sort: rows bucket by "
+    "key range (o_orderkey >> 12, an exact bit shift), each bucket "
+    "ranks locally (window partitioned by bucket), and bucket offsets "
+    "come from a cumsum over the metadata-sized bucket-count table "
+    "(N/4096 rows) — the distributed prefix-sum. Result is exactly "
+    "row_number() OVER (ORDER BY key), verified by the oracle. "
+    "100 TB: both shuffles hash on the bucket key; the only ordered "
+    "window runs over bucket counts (metadata), never over data. "
+    "monotonically_increasing_id() gives stable-but-gapped ids with "
+    "zero shuffles; this is the gap-free contract.",
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    bucketed = orders.withColumn("bkt", F.shiftright("o_orderkey", 12))
+    counts = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    # offsets: cumsum over the tiny bucket table (metadata-sized window)
+    offsets = counts.select(
+        "bkt",
+        (
+            F.sum("c").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("off"),
+    ).fillna({"off": 0})
+    w = Window.partitionBy("bkt").orderBy("o_orderkey")
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            "o_orderkey", (F.col("off") + F.col("rn")).cast("bigint").alias("global_id")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------- Q190
+
+
+@register(
+    "q190_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS bar_ts, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT bar_ts, event_type,
+           count(*) AS n_events,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM r
+    GROUP BY bar_ts, event_type
+    ORDER BY bar_ts, event_type
+    """,
+    doc="OHLC(V) time-series downsampling: hourly bars per event_type — "
+    "open/close are the first/last value by (ts, event_id) (the id "
+    "tiebreak makes simultaneous events deterministic), high/low are "
+    "min/max, volume is the DECIMAL-accumulated value sum. Open/close "
+    "ride the same two windows in both engines; all emitted doubles are "
+    "raw input values (no arithmetic) so nothing can drift. 100 TB: one "
+    "hash exchange on (bar, type) serves both windows AND the final "
+    "aggregate (the q164 shared-partitioning discipline); bars output "
+    "is hours×types — metadata-sized however large the input.",
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bar_ts"), "event_type", "value", "ts", "event_id"
+    )
+    wa = Window.partitionBy("bar_ts", "event_type").orderBy("ts", "event_id")
+    wd = Window.partitionBy("bar_ts", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = ev.select(
+        "bar_ts",
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        r.groupBy("bar_ts", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+        )
+        .orderBy("bar_ts", "event_type")
+    )
+
+
+# ---------------------------------------------------------------- Q191
+
+# Benford expected first-digit rates log10(1 + 1/d), pre-rounded to 6 dp
+# so both engines consume the SAME literal — no runtime log10 anywhere.
+_BENFORD = {
+    1: 0.301030,
+    2: 0.176091,
+    3: 0.124939,
+    4: 0.096910,
+    5: 0.079181,
+    6: 0.066947,
+    7: 0.057992,
+    8: 0.051153,
+    9: 0.045757,
+}
+
+
+@register(
+    "q191_benford_deviation",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ), digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             count(*) AS n_obs
+      FROM cents GROUP BY 1
+    ), bf(digit, benford_rate) AS (
+      VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD.items())}
+    )
+    SELECT b.digit, COALESCE(d.n_obs, 0) AS n_obs,
+           round(COALESCE(d.n_obs, 0) / CAST(t.n AS DOUBLE), 6) AS obs_rate,
+           b.benford_rate,
+           round(abs(COALESCE(d.n_obs, 0) / CAST(t.n AS DOUBLE)
+                     - b.benford_rate), 6) AS abs_dev
+    FROM bf b
+    LEFT JOIN digits d ON d.digit = b.digit
+    CROSS JOIN (SELECT sum(n_obs) AS n FROM digits) t
+    ORDER BY b.digit
+    """,
+    doc="Benford's-law first-digit screen over order totals — the "
+    "entry-error / synthetic-data detector auditors run on money "
+    "columns. Totals quantize to exact integer cents through "
+    "DECIMAL(18,2) (first digit of cents = first digit of the amount); "
+    "digit extraction is integer-to-string (engine-identical, unlike "
+    "double formatting); expected rates are pre-rounded literals, so "
+    "the only floats are int/int divisions minus a shared literal. "
+    "100 TB: one 9-group aggregate; the digit grid joins broadcast.",
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    digits = (
+        orders.select(
+            F.substring(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    bf = spark.createDataFrame(
+        list(_BENFORD.items()), "digit int, benford_rate double"
+    )
+    total = digits.agg(F.sum("n_obs").alias("n"))
+    obs_rate = F.coalesce(F.col("n_obs"), F.lit(0)) / F.col("n").cast("double")
+    return (
+        F.broadcast(bf)
+        .join(digits, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            F.round(obs_rate, 6).alias("obs_rate"),
+            "benford_rate",
+            F.round(F.abs(obs_rate - F.col("benford_rate")), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------- Q192
+
+
+@register(
+    "q192_fk_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           (SELECT count(*) FROM lineitem) AS child_rows,
+           (SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS null_keys
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE l.l_partkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)),
+           (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE l.l_suppkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey)),
+           (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+             WHERE c.c_nationkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT count(*) FROM customer WHERE c_nationkey IS NULL)
+    ORDER BY relation
+    """,
+    doc="Referential-integrity audit across the star schema's five FK "
+    "edges: child rows, orphans (left-anti join on the parent), and "
+    "null keys per relation — the pre-publication contract check every "
+    "warehouse load runs. Zero orphans on consistent data is the "
+    "expected (and asserted) answer; the counts stay exact wherever "
+    "they aren't. 100 TB: each edge is one anti-join that hashes on "
+    "the FK; small parents (nation, supplier, customer, part) "
+    "broadcast — only lineitem→orders genuinely shuffles, and AQE "
+    "picks that automatically.",
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+
+    def edge(name, child, key, parent, pkey):
+        orphans = (
+            child.filter(F.col(key).isNotNull())
+            .join(parent.select(F.col(pkey).alias(key)), key, "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphan_rows"))
+        )
+        stats = child.agg(
+            F.count(F.lit(1)).alias("child_rows"),
+            F.sum(F.col(key).isNull().cast("bigint")).alias("null_keys"),
+        )
+        return stats.crossJoin(orphans).select(
+            F.lit(name).alias("relation"), "child_rows", "orphan_rows", "null_keys"
+        )
+
+    out = (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"))
+        .unionAll(
+            edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey")
+        )
+        .unionAll(edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionAll(
+            edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey")
+        )
+    )
+    return out.orderBy("relation")
+
+
+# ---------------------------------------------------------------- Q193
+
+
+@register(
+    "q193_inverted_index_postings",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
+    ), sel AS (
+      SELECT tok, df, total_tf FROM df ORDER BY df DESC, tok LIMIT 40
+    )
+    SELECT s.tok AS term, s.df, s.total_tf,
+           string_agg(CAST(t.doc_id AS VARCHAR), ','
+                      ORDER BY t.doc_id) AS postings
+    FROM sel s JOIN tf t ON t.tok = s.tok
+    GROUP BY s.tok, s.df, s.total_tf
+    ORDER BY s.df DESC, s.tok
+    """,
+    doc="Inverted-index build: per term, document frequency, total term "
+    "frequency, and the doc-id posting list (comma-joined, ascending — "
+    "the on-disk layout a search index materializes), for the 40 "
+    "highest-df terms (deterministic tie-break on token). Tokenization "
+    "is the q147 idiom so index and BM25 probe agree. 100 TB: tf "
+    "shuffles once on (token, doc); posting-list assembly shuffles the "
+    "selected terms only — cap the list per segment in a real index; "
+    "here df-bounded selection keeps rows driver-safe.",
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    sel = df_tbl.orderBy(F.desc("df"), "tok").limit(40)
+    return (
+        tf.join(F.broadcast(sel), "tok")
+        .groupBy("tok", "df", "total_tf")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id"))).cast("array<string>"),
+                ",",
+            ).alias("postings")
+        )
+        .select(F.col("tok").alias("term"), "df", "total_tf", "postings")
+        .orderBy(F.desc("df"), "term")
+    )
+
+
+# ---------------------------------------------------------------- Q194
+
+
+@register(
+    "q194_ks_two_sample",
+    oracle="""
+    WITH a AS (SELECT value AS v FROM events WHERE event_type = 'click'),
+         b AS (SELECT value AS v FROM events WHERE event_type = 'purchase'),
+         n AS (SELECT (SELECT count(*) FROM a) AS n1,
+                      (SELECT count(*) FROM b) AS n2),
+         pts AS (
+           SELECT v,
+                  count(*) FILTER (WHERE side = 1) AS c1,
+                  count(*) FILTER (WHERE side = 2) AS c2
+           FROM (SELECT v, 1 AS side FROM a
+                 UNION ALL SELECT v, 2 FROM b)
+           GROUP BY v
+         ),
+         cum AS (
+           SELECT sum(c1) OVER (ORDER BY v) AS k1,
+                  sum(c2) OVER (ORDER BY v) AS k2
+           FROM pts
+         )
+    SELECT n.n1, n.n2,
+           round(max(abs(k1 / CAST(n.n1 AS DOUBLE)
+                         - k2 / CAST(n.n2 AS DOUBLE))), 6) AS ks_d
+    FROM cum CROSS JOIN n
+    GROUP BY n.n1, n.n2
+    """,
+    doc="Two-sample Kolmogorov–Smirnov statistic between the click and "
+    "purchase value distributions — the distribution-shift gate a "
+    "feature pipeline runs between snapshots. D = max |F1 − F2| over "
+    "the merged support; each ECDF value is an exact-integer division "
+    "(IEEE-identical in both engines), so D matches bit-for-bit. The "
+    "Spark cumulative counts use the q189 two-level prefix-sum: "
+    "cumsum WITHIN floor(value) range buckets + a metadata-sized "
+    "bucket-offset table — no unpartitioned data-sized window. "
+    "100 TB: two hash aggregations + one bucket-partitioned window; "
+    "the offset table is (value range)-sized, independent of N.",
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(F.col("value").alias("v"))
+    b = ev.filter(F.col("event_type") == "purchase").select(F.col("value").alias("v"))
+    pts = (
+        a.withColumn("side", F.lit(1))
+        .unionAll(b.withColumn("side", F.lit(2)))
+        .groupBy("v")
+        .agg(
+            F.sum((F.col("side") == 1).cast("bigint")).alias("c1"),
+            F.sum((F.col("side") == 2).cast("bigint")).alias("c2"),
+        )
+        .withColumn("bkt", F.floor(F.col("v")).cast("bigint"))
+    )
+    # two-level prefix sum: within-bucket cumsum + bucket offsets
+    per_bkt = pts.groupBy("bkt").agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bkt.select(
+        "bkt",
+        F.sum("s1").over(woff).alias("o1"),
+        F.sum("s2").over(woff).alias("o2"),
+    ).fillna({"o1": 0, "o2": 0})
+    win = Window.partitionBy("bkt").orderBy("v")
+    cum = (
+        pts.join(F.broadcast(offsets), "bkt")
+        .select(
+            (F.col("o1") + F.sum("c1").over(win)).alias("k1"),
+            (F.col("o2") + F.sum("c2").over(win)).alias("k2"),
+        )
+    )
+    n = a.agg(F.count(F.lit(1)).alias("n1")).crossJoin(
+        b.agg(F.count(F.lit(1)).alias("n2"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("k1") / F.col("n1").cast("double")
+                        - F.col("k2") / F.col("n2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q195
+
+
+@register(
+    "q195_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             CAST(COALESCE(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100), 0)
+                  AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, c_custkey) AS i
+      FROM spend
+    ), agg AS (
+      SELECT c_nationkey,
+             count(*) AS n_customers,
+             sum(CAST(cents AS DECIMAL(38,0))) AS s0,
+             sum(CAST(i * cents AS DECIMAL(38,0))) AS s1
+      FROM ranked GROUP BY 1
+    )
+    SELECT n.n_name AS nation, a.n_customers,
+           round(CAST(a.s0 AS DOUBLE) / 100, 2) AS total_spend,
+           round(CAST(2 * a.s1 - (a.n_customers + 1) * a.s0 AS DOUBLE)
+                 / CAST(a.n_customers * a.s0 AS DOUBLE), 6) AS gini
+    FROM agg a JOIN nation n ON n.n_nationkey = a.c_nationkey
+    ORDER BY nation
+    """,
+    doc="Gini concentration of customer spend per nation — the "
+    "inequality/concentration metric a marketplace tracks per region. "
+    "Spend quantizes to exact integer cents; the rank-weighted form "
+    "G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) needs one per-nation ordering "
+    "(tie-broken by custkey; equal-value swaps cannot change the sum, "
+    "so ties are safe) and all numerator/denominator terms stay exact "
+    "integers in DECIMAL(38,0) — the one double division happens on "
+    "identical exact inputs. Zero-spend customers are included (LEFT "
+    "join), matching the textbook population Gini. 100 TB: one shuffle "
+    "to (nation, customer) totals, one rank window partitioned by "
+    "nation, one per-nation aggregate — no global ordering anywhere.",
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    spend = (
+        cust.join(
+            orders.select("o_custkey", "o_totalprice"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = spend.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+        ),
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s0"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias("s1"),
+    )
+    return (
+        agg.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            agg.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.round(F.col("s0").cast("double") / 100, 2).alias("total_spend"),
+            F.round(
+                (2 * F.col("s1") - (F.col("n_customers") + 1) * F.col("s0")).cast(
+                    "double"
+                )
+                / (F.col("n_customers") * F.col("s0")).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------- Q196
+
+
+@register(
+    "q196_running_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1
+    ), daily AS (
+      SELECT day, count(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT day, new_users,
+           sum(new_users) OVER (ORDER BY day) AS cum_distinct_users
+    FROM daily
+    ORDER BY day
+    """,
+    doc="Running DISTINCT user count per day — the adoption curve. A "
+    "naive per-day COUNT(DISTINCT ... WHERE ts <= day) rescans the "
+    "corpus per day; the scalable identity is cum_distinct(d) = "
+    "Σ_{d'<=d} |{users first seen on d'}|: one groupBy(user) for "
+    "first-seen (the only data-sized shuffle), one tiny daily rollup, "
+    "and a cumsum window over the days-sized table. Integers only. "
+    "100 TB: days are metadata-sized however large events grows.",
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(Window.orderBy("day")).alias("cum_distinct_users"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------- Q197
+
+
+@register(
+    "q197_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS dd
+      FROM events
+    ), grp AS (
+      SELECT user_id, dd,
+             dd - row_number() OVER (PARTITION BY user_id ORDER BY dd) AS g
+      FROM days
+    ), streaks AS (
+      SELECT user_id, g, count(*) AS len FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           sum(len) AS n_active_days,
+           count(*) AS n_streaks,
+           max(len) AS longest_streak
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Gaps-and-islands: per-user consecutive-day activity streaks via "
+    "the day − row_number() grouping identity (consecutive days share "
+    "one group key) — the engagement/retention feature. Day indices "
+    "are exact integer offsets from a fixed epoch so both engines "
+    "group identically. 100 TB: distinct (user, day) is the only "
+    "data-sized shuffle; the window partitions by user — no global "
+    "ordering. Differs from q52 sessionization (event-time gaps "
+    "within a day) — this is the calendar-grain variant.",
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")).alias(
+            "dd"
+        ),
+    ).distinct()
+    grp = days.withColumn(
+        "g",
+        F.col("dd")
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("dd")),
+    )
+    streaks = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------- Q198
+
+
+@register(
+    "q198_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(g AS INTEGER), 1) AS ch
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS g
+            FROM documents)
+    ), counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id,
+             sum(c) AS n,
+             count(*) AS distinct_chars,
+             sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                      AS DECIMAL(38,12))) AS s
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id, n AS n_chars_counted, distinct_chars,
+           round(ln(CAST(n AS DOUBLE))
+                 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS entropy
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    doc="Per-document character-level Shannon entropy H = ln n − "
+    "(Σ cᵢ·ln cᵢ)/n — the repetitive/degenerate-content quality signal "
+    "(near-zero entropy ⇒ one repeated character; boilerplate scores "
+    "low). ln() sees only exact integer counts (bit-identical inputs, "
+    "the q126 precedent); each term quantizes to DECIMAL(38,12) before "
+    "the per-doc sum so accumulation order can't matter; the final "
+    "subtraction is scalar. Character extraction is substr over a "
+    "position sequence — UTF-8-character-based in both engines, "
+    "unlike empty-separator splits whose edge behavior differs. "
+    "100 TB: the char fan-out is map-side and collapses immediately "
+    "to (doc, char) counts; everything after is doc-sized.",
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("g"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, g, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(
+            (F.col("c").cast("double") * F.log(F.col("c").cast("double"))).cast(
+                "decimal(38,12)"
+            )
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        "distinct_chars",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("s").cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("entropy"),
+    ).orderBy("doc_id")

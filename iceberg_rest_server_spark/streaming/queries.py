@@ -734,6 +734,47 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _watermark_flush_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a replay directory for APPEND-mode windowed aggregation:
+    the events parquet plus one far-future sentinel row typed
+    ``__wm__``. Append mode only emits a window once the watermark
+    passes its end; in a bounded replay the watermark stalls at
+    max(ts) - delay, permanently withholding the trailing windows. The
+    sentinel advances the watermark past every real window's end so the
+    trailing no-data micro-batch flushes them all — the same
+    close-the-books heartbeat as _outer_join_stream_dir, but typed
+    out-of-band (``__wm__``) because windowed aggs group by event_type,
+    making the sentinel's own (never-emitted) windows trivially
+    filterable post-sink."""
+    from ..tables import events_ts_physical_type, load_events
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = os.path.join(tempfile.gettempdir(), f"events_wmflush_{abs(hash(sf_dir))}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "a_events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sentinel = os.path.join(d, "b_sentinel.parquet")
+    if not os.path.exists(sentinel):
+        from datetime import timedelta
+
+        maxts = load_events(spark, src).agg(F.max("ts")).collect()[0][0]
+        future = maxts + timedelta(hours=3)
+        ts_type = events_ts_physical_type(spark, src)
+        if isinstance(ts_type, LongType):  # int64-nanos physical layout
+            ts_val: object = int(future.timestamp() * 1_000_000_000)
+        else:
+            ts_val = future
+        rows = [(-1, ts_val, -1, "__wm__", 0.0, "{}")]
+        staging = os.path.join(d, "_sentinel_build")
+        spark.createDataFrame(rows, _events_raw_schema(ts_type)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.replace(os.path.join(staging, part), sentinel)
+    return d
+
+
 @register(
     "q172_stream_sliding_window",
     # every event belongs to exactly FOUR 1h/15min sliding windows, all
@@ -755,22 +796,41 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     "watermark per event_type — the overlapping-window shape q29's "
     "tumbling entry can't express: each event contributes to four "
     "windows (Spark's window() plans this as a 4-row Expand before the "
-    "aggregate, NOT four scans). availableNow replay ⇒ no late rows ⇒ "
-    "equals the batch oracle, which derives the same four epoch-aligned "
+    "aggregate, NOT four scans). Runs in APPEND mode — the mode where "
+    "the watermark actually EVICTS state: a window's rows leave the "
+    "state store the micro-batch after the watermark passes its end "
+    "(complete mode, by contrast, retains every window forever). The "
+    "replay appends a far-future ``__wm__`` sentinel so the bounded "
+    "stream's trailing windows flush (same close-the-books heartbeat "
+    "as q162/q171); its own windows never emit and are filtered "
+    "post-sink by type. availableNow replay ⇒ no late rows ⇒ equals "
+    "the batch oracle, which derives the same four epoch-aligned "
     "windows per event via time_bucket minus k·slide. Money math in "
     "DECIMAL so the overlapping sums are order-independent. At scale "
-    "the state is (windows × types)-sized and watermark-expired; the "
-    "4× row fan-out is map-side and pre-aggregated before the shuffle.",
+    "live state is (active windows × types)-sized, watermark-expired; "
+    "the 4× row fan-out is map-side and pre-aggregated before the "
+    "shuffle.",
 )
 def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "15 minutes")
+    from ..tables import events_ts_physical_type, normalize_events_ts
+
+    src = os.path.join(sf_dir, "events.parquet")
+    ts_type = events_ts_physical_type(spark, src)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_type))
+        .format("parquet")
+        .load(_watermark_flush_stream_dir(spark, sf_dir))
+    )
+    stream = normalize_events_ts(raw).withWatermark("ts", "15 minutes")
     agg = stream.groupBy(
         F.window("ts", "1 hour", "15 minutes"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
-    result = run_to_table(agg, spark, "complete")
+    result = run_to_table(agg, spark, "append").filter(
+        F.col("event_type") != "__wm__"
+    )
     return result.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -869,6 +929,97 @@ def make_user_totals_processor():
             pass
 
     return UserTotals()
+
+
+class LocalValueState:
+    """In-process ValueState: the state-transition contract of
+    pyspark.sql.streaming.stateful_processor.ValueState (exists/get/
+    update) without the protobuf JVM channel."""
+
+    def __init__(self) -> None:
+        self._v = None
+
+    def exists(self) -> bool:
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = v
+
+
+class LocalStateHandle:
+    """In-process StatefulProcessorHandle double for running a
+    StatefulProcessor's logic outside the TWS runtime — one instance
+    per key, mirroring the runtime's per-key state scoping."""
+
+    def __init__(self) -> None:
+        self.states: dict[str, LocalValueState] = {}
+
+    def getValueState(self, name: str, schema) -> LocalValueState:
+        return self.states.setdefault(name, LocalValueState())
+
+
+@register(
+    "q140_processor_logic_batch",
+    # identical oracle to the gated TWS entry: the processor's fold is
+    # count/min/max, order-insensitive and exact in doubles
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="VERDICT r7 #6: the q140 StatefulProcessor's ACTUAL state-"
+    "transition code (make_user_totals_processor — init, "
+    "handleInputRows, cross-batch ValueState fold) executed "
+    "DISTRIBUTED via applyInPandas with an in-process state handle, "
+    "so the protobuf-gated entry's logic has a recorded driver row in "
+    "every container. Each user group replays its rows as two "
+    "simulated micro-batches through the processor; update-mode "
+    "semantics keep the last emission. Only the TWS runtime wiring "
+    "(the JVM state-server protobuf channel) remains environment-"
+    "gated — q140_stream_transform_with_state registers wherever "
+    "google.protobuf exists. 100 TB: one shuffle on user_id, Arrow-"
+    "batched per-key processing, state is 3 scalars per key.",
+)
+def q140_logic_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _load_events_batch(spark, sf_dir)
+
+    def fold(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        proc = make_user_totals_processor()
+        proc.init(LocalStateHandle())
+        half = len(pdf) // 2
+        out = None
+        for chunk in (pdf.iloc[:half], pdf.iloc[half:]):
+            for emitted in proc.handleInputRows(
+                (key[0],), iter([chunk[["value"]]]), None
+            ):
+                out = emitted
+        proc.close()
+        return out
+
+    return (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            fold,
+            schema="user_id long, n_events long, min_value double, max_value double",
+        )
+        .orderBy("user_id")
+    )
+
+
+def _load_events_batch(spark: SparkSession, sf_dir: str):
+    from ..tables import load
+
+    return load(spark, sf_dir, "events")
 
 
 @_register_q140

@@ -355,3 +355,24 @@ def test_q188_matches_anova_eta_squared(spark):
         assert abs(row["eta_sq"] - ss_between / ss_total) < 1e-5
         # synthetic data has no engineered daily cycle: eta^2 stays small
         assert 0 <= row["eta_sq"] < 0.2
+
+
+def test_q166_blocked_gemm_gram_equals_exploded_reference(spark):
+    """The r8 blocked-GEMM executed Gram path must agree with the pre-r8
+    dim²-explode DECIMAL-exact build: same n, per-dim sums exact to the
+    combine's DECIMAL quantum, Gram entries within the per-batch float64
+    accumulation error (≤1e-9 at this scale)."""
+    from iceberg_rest_server_spark.queries.mleval import _gram_blocked, _gram_exploded
+    from iceberg_rest_server_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    gb, mb, nb = _gram_blocked(emb)
+    ge, me, ne = _gram_exploded(emb)
+    assert nb == ne
+    de = dict(ge)
+    assert set(dict(gb)) == set(de)
+    for k, v in gb:
+        assert abs(v - de[k]) < 1e-9, k
+    me_d = dict(me)
+    for i, s in mb:
+        assert abs(s - me_d[i]) < 1e-9, i

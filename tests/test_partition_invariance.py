@@ -43,6 +43,14 @@ FLOAT_EMITTERS = [
     "q170_calibration_bins",
     "q185_bootstrap_ci",
     "q188_seasonality_strength",
+    # r8 warehouse tier: OHLC's DECIMAL volume sum, Benford's int-ratio
+    # rates, KS's exact-integer ECDF ratios, Gini's DECIMAL(38,0) rank
+    # sums, entropy's DECIMAL-quantized c·ln(c) terms.
+    "q190_ohlc_bars",
+    "q191_benford_deviation",
+    "q194_ks_two_sample",
+    "q195_gini_concentration",
+    "q198_char_entropy",
 ]
 
 

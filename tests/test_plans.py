@@ -246,3 +246,21 @@ def test_q182_null_safe_join_is_hash_join(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q166_gram_build_is_blocked_gemm_not_dim2_explode(spark, sf_dir):
+    """q166's scale shape (VERDICT r7 #3): the EXECUTED Gram build must
+    be the mapInPandas blocked-GEMM partial sum — per batch one numpy
+    GEMM emitting dim²/2 tiny rows — not the dim² posexplode fan-out
+    (which multiplies the scan by dim² = 4096 rows per vector). The
+    exploded build survives only as the test-side equality anchor."""
+    from iceberg_rest_server_spark.queries.mleval import _gram_terms_blocked
+    from iceberg_rest_server_spark.tables import load
+
+    terms = _gram_terms_blocked(load(spark, sf_dir, "embeddings"))
+    from pyspark.sql import functions as F
+
+    agg = terms.groupBy("i", "j").agg(F.sum(F.col("s").cast("decimal(38,18)")).alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan, "dim² posexplode leaked into the executed Gram path"

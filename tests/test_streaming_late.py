@@ -94,28 +94,11 @@ def test_q140_processor_logic_without_tws_runtime():
     import pandas as pd
 
     from iceberg_rest_server_spark.streaming.queries import (
+        LocalStateHandle as FakeHandle,
+    )
+    from iceberg_rest_server_spark.streaming.queries import (
         make_user_totals_processor,
     )
-
-    class FakeValueState:
-        def __init__(self):
-            self._v = None
-
-        def exists(self):
-            return self._v is not None
-
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
-
-    class FakeHandle:
-        def __init__(self):
-            self.states = {}
-
-        def getValueState(self, name, schema):
-            return self.states.setdefault(name, FakeValueState())
 
     proc = make_user_totals_processor()
     handle = FakeHandle()
@@ -178,3 +161,78 @@ def test_q162_outer_join_flushes_every_click(spark, sf_dir):
     assert len(out) == clicks  # one group per click: none withheld, none dup'd
     assert all(r.click_id >= 0 for r in out)  # sentinels dropped post-sink
     assert any(r.n_views == 0 and r.first_view_ts is None for r in out)
+
+
+def test_q171_full_outer_matches_batch_rederivation(spark, sf_dir):
+    """ADVICE r7 #3: independent pure-pandas re-derivation of the full
+    outer interval join's category counts — matched / click_only /
+    view_only per user — so q171's correctness doesn't rest solely on
+    the oracle hash match. Also pins the sentinel hygiene: no negative
+    user ids leak, and every click and every view is accounted for
+    exactly once across the categories."""
+    import pandas as pd
+
+    from iceberg_rest_server_spark.queries import REGISTRY
+
+    out = REGISTRY["q171_stream_stream_full_outer"].fn(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev[ev.event_type == "click"]
+    views = ev[ev.event_type == "view"]
+    want: dict[tuple, int] = {}
+    matched_view_idx: set = set()
+    for c in clicks.itertuples():
+        vs = views[
+            (views.user_id == c.user_id)
+            & (views.ts <= c.ts)
+            & (views.ts > c.ts - pd.Timedelta(minutes=30))
+        ]
+        if len(vs):
+            key = (c.user_id, "matched")
+            want[key] = want.get(key, 0) + len(vs)
+            matched_view_idx.update(vs.index)
+        else:
+            key = (c.user_id, "click_only")
+            want[key] = want.get(key, 0) + 1
+    for v in views.itertuples():
+        if v.Index not in matched_view_idx:
+            key = (v.user_id, "view_only")
+            want[key] = want.get(key, 0) + 1
+    got = {(r.user_id, r.category): r.n for r in out.itertuples()}
+    assert got == want
+    assert all(r.user_id >= 0 for r in out.itertuples())
+    # conservation: views partition into matched-or-view_only exactly
+    assert sum(n for (_, cat), n in want.items() if cat == "view_only") == len(
+        views
+    ) - len(matched_view_idx)
+
+
+def test_q172_sliding_window_matches_batch_rederivation(spark, sf_dir):
+    """ADVICE r7 #3: pure-pandas re-derivation of the 1h/15min sliding
+    windows — every event must land in exactly four epoch-aligned
+    windows with matching counts and (to float tolerance) value sums.
+    Append-mode specific: the far-future __wm__ sentinel must have
+    flushed EVERY real window (no trailing windows withheld) and its
+    own windows must not appear."""
+    import pandas as pd
+
+    from iceberg_rest_server_spark.queries import REGISTRY
+
+    out = REGISTRY["q172_stream_sliding_window"].fn(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    slide = pd.Timedelta(minutes=15)
+    want_cnt: dict[tuple, int] = {}
+    want_sum: dict[tuple, float] = {}
+    for e in ev.itertuples():
+        base = e.ts.floor("15min")
+        for k in range(4):
+            ws = base - k * slide
+            key = (ws, e.event_type)
+            want_cnt[key] = want_cnt.get(key, 0) + 1
+            want_sum[key] = want_sum.get(key, 0.0) + round(e.value, 2)
+    got = {(r.window_start, r.event_type): (r.cnt, r.total_value) for r in out.itertuples()}
+    assert set(got) == set(want_cnt)
+    for key, (cnt, total) in got.items():
+        assert cnt == want_cnt[key], key
+        assert abs(total - want_sum[key]) < 1e-6, key
+    assert (out["window_end"] - out["window_start"] == pd.Timedelta(hours=1)).all()
+    assert not (out["event_type"] == "__wm__").any()
