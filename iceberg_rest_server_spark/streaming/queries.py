@@ -15,6 +15,7 @@ as tables.load().
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import uuid
@@ -102,9 +103,21 @@ def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) ->
             .start()
         )
         q.awaitTermination()
+        # expose the drain's per-micro-batch progress (state-store row
+        # counts, watermark advance) for the EXPLAIN.md state-bound
+        # evidence — observability only, never part of a result
+        global LAST_PROGRESS
+        LAST_PROGRESS = [
+            p if isinstance(p, dict) else json.loads(p.json) for p in q.recentProgress
+        ]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table(name)
+
+
+# per-drain StreamingQueryProgress dicts from the most recent
+# run_to_table call (see above)
+LAST_PROGRESS: list[dict] = []
 
 
 @register(

@@ -264,3 +264,35 @@ def test_q166_gram_build_is_blocked_gemm_not_dim2_explode(spark, sf_dir):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "Generate" not in plan, "dim² posexplode leaked into the executed Gram path"
+
+
+def test_q189_prefix_sum_has_no_data_sized_global_window(spark, sf_dir):
+    """q189's scale shape: the data-sized rank window must be PARTITIONED
+    (by the range bucket); the only unpartitioned ordered window runs on
+    the aggregated bucket-count table (metadata-sized), and the offset
+    table joins back as a broadcast. A global row_number() over the raw
+    table — the non-scalable alternative — would show an unpartitioned
+    Window directly over the scan."""
+    df = REGISTRY["q189_stable_row_ids"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # offsets join back broadcast
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
+    assert win_lines, plan
+    # the rank window's partition spec must carry the bucket key
+    assert all("bkt" in ln for ln in win_lines), win_lines
+
+
+def test_q194_cumulative_counts_are_bucket_partitioned(spark, sf_dir):
+    """q194's scale shape: the ECDF cumulative sums over the (data-sized)
+    distinct-value table must ride a bucket-PARTITIONED window; only the
+    bucket-offset table (value-range-sized) may use an unpartitioned
+    ordered window."""
+    df = REGISTRY["q194_ks_two_sample"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    cum_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "sum" in ln and "bkt" in ln
+    ]
+    assert cum_lines, plan

@@ -219,6 +219,30 @@ HEADLINE = [
         "to (event_id, event_type, value).",
     ),
     (
+        "q189_stable_row_ids",
+        "distributed prefix-sum ids: the data-sized rank window is "
+        "PARTITIONED by the range bucket; the only unpartitioned ordered "
+        "window runs on the aggregated bucket-count table (metadata-"
+        "sized); offsets join back broadcast. The non-scalable "
+        "alternative — row_number() over an unpartitioned window on the "
+        "raw table — never appears (plan-pinned in tests/test_plans.py).",
+    ),
+    (
+        "q166_pca_top_components",
+        "blocked-GEMM covariance: the Gram build is a MapInPandas over "
+        "the embedding scan (one numpy X^T X per Arrow batch) feeding a "
+        "dim²-row DECIMAL combine — NO Generate/posexplode fan-out "
+        "anywhere in the executed plan (r8; the pre-r8 dim²-explode "
+        "build is now test-only).",
+    ),
+    (
+        "q198_char_entropy",
+        "char entropy: the per-character fan-out (Generate over a "
+        "position sequence) collapses map-side into (doc, char) counts "
+        "via a partial HashAggregate BEFORE the shuffle — the emitted "
+        "volume is distinct-chars-per-doc, not characters.",
+    ),
+    (
         "q141_python_datasource",
         "Python Data Source e2e: the returned plan is a driver-sized "
         "materialization of the read-back aggregate; the interesting "
@@ -257,10 +281,77 @@ def main() -> None:
         out.append(plan.rstrip())
         out.append("```")
         out.append("")
+    out.extend(_streaming_state_evidence(spark, sf_dir))
     with open(os.path.join(os.path.dirname(__file__), "..", "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote EXPLAIN.md")
     spark.stop()
+
+
+# The stateful streaming entries whose at-scale claim is "state stays
+# BOUNDED under watermarks" (r7 verdict #7: measure it, don't assert
+# it). For each, replay the drain and tabulate the per-micro-batch
+# StateStore metrics from StreamingQueryProgress — rows added while
+# data flows, rows REMOVED once the watermark passes (outer joins /
+# append-mode windows flush-and-evict on the trailing no-data batch).
+STATEFUL = [
+    (
+        "q162_stream_stream_left_outer",
+        "left-outer interval join: every buffered click/view leaves "
+        "state once the watermark (advanced by the sentinel) proves no "
+        "partner can still arrive",
+    ),
+    (
+        "q171_stream_stream_full_outer",
+        "full-outer interval join: BOTH sides' buffers drain on the "
+        "trailing no-data micro-batch",
+    ),
+    (
+        "q172_stream_sliding_window",
+        "append-mode sliding windows: a window's rows are evicted the "
+        "batch after the watermark passes its end — complete mode would "
+        "retain every window forever, which is why q172 runs append",
+    ),
+]
+
+
+def _streaming_state_evidence(spark, sf_dir: str) -> list[str]:
+    from iceberg_rest_server_spark.streaming import queries as sq
+
+    out = [
+        "## Streaming state-bound evidence (per-micro-batch StateStore rows)",
+        "",
+        "_Each replay below drains with availableNow; `removed > 0` rows "
+        "are the watermark doing its job — state is measured bounded, "
+        "not asserted. Totals at the final batch are the rows the "
+        "watermark cannot yet prove complete (the sentinel's own "
+        "far-future rows)._",
+        "",
+    ]
+    for name, why in STATEFUL:
+        from iceberg_rest_server_spark.queries import REGISTRY
+
+        REGISTRY[name].fn(spark, sf_dir).collect()
+        out.append(f"### {name}")
+        out.append("")
+        out.append(f"_{why}_")
+        out.append("")
+        out.append(
+            "| batch | input rows | watermark | state op | rows total | "
+            "added | removed |"
+        )
+        out.append("|---|---|---|---|---|---|---|")
+        for p in sq.LAST_PROGRESS:
+            wm = (p.get("eventTime") or {}).get("watermark", "-")
+            for op in p.get("stateOperators", []):
+                out.append(
+                    f"| {p.get('batchId')} | {p.get('numInputRows')} | {wm} "
+                    f"| {op.get('operatorName')} | {op.get('numRowsTotal')} "
+                    f"| {op.get('numRowsUpdated')} "
+                    f"| {op.get('numRowsRemoved')} |"
+                )
+        out.append("")
+    return out
 
 
 if __name__ == "__main__":
