@@ -45,11 +45,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # new this round, (2) entries whose code or oracle changed since their
 # last green row, then (3) the STALEST recorded evidence first — r7 left
 # 32 entries whose last driver-recorded green was r01/r02; all 32 are
-# front-loaded here, eliminating every pre-r03 row. The 5 remaining
-# slots go to the oldest r03-evidence entries, including the two
-# bench-hot ones (q35, q40) whose cost story r8 re-pins. Cumulative
+# front-loaded here, eliminating every pre-r03 row: 16 new entries +
+# 2 changed + 32 stale = exactly 50. Cumulative
 # driver coverage: all 208 r7-era entries have green rows r01–r07;
-# tools/driver_sim.py re-checks the WHOLE registry (now 219 entries)
+# tools/driver_sim.py re-checks the WHOLE registry (now 224 entries)
 # each round regardless — its r8 runs are recorded in PARITY.md.
 # Every entry is always returned — ordering only, never selection.
 _DRIVER_ORDER_HEAD = [
@@ -64,6 +63,11 @@ _DRIVER_ORDER_HEAD = [
     "q196_running_distinct_users",
     "q197_activity_streaks",
     "q198_char_entropy",
+    "q199_multitouch_attribution",
+    "q200_percentile_rank_transform",
+    "q201_priority_sample",
+    "q202_ngram_novelty",
+    "q203_sliding_distinct_users",
     "q140_processor_logic_batch",
     # --- (2) code changed in r8 ---
     "q166_pca_top_components",  # executed Gram build -> blocked GEMM
@@ -102,13 +106,14 @@ _DRIVER_ORDER_HEAD = [
     "q54_full_outer_join",
     "q55_window_navigation",
     "q61_grouping_id",
-    # --- (3) oldest r03 evidence, incl. the r8 perf-pinned pair ---
+    # --- below here falls outside the 50-entry window (the q35/q40
+    # perf story is pinned by BENCH_FULL.json reruns instead; their
+    # r03 driver rows stand) ---
     "q35_cosine_neardup_pairs",
     "q40_curation_pipeline",
     "q15_sliding_window",
     "q23_get_json",
     "q33_quality_score",
-    # --- below here falls outside the 50-entry window ---
     "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 

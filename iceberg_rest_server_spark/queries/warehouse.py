@@ -1,10 +1,12 @@
-"""Q189–Q198: warehouse-operations & data-quality tier — the jobs a
+"""Q189–Q203: warehouse-operations & data-quality tier — the jobs a
 lakehouse team runs against the SAME tables between analytics rounds:
 stable id assignment, OHLC downsampling, fraud/entry-error screens
 (Benford), referential-integrity audits, inverted-index builds,
 distribution-shift tests (KS), concentration metrics (Gini), adoption
-curves (running distinct), engagement streaks (gaps-and-islands), and
-content-entropy quality scoring.
+curves (running distinct), engagement streaks (gaps-and-islands),
+content-entropy quality scoring, multi-touch attribution, rank-based
+feature transforms, deterministic priority sampling, n-gram novelty
+scoring, and sliding-window distinct counts (DAU/WAU).
 
 Determinism (driver hash-match contract, memory: the playbook): every
 float output is (a) double division of exact integers — IEEE-identical
@@ -25,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.sampling import hex6_sql
 from ..tables import load
 from ._registry import register
 
@@ -167,8 +170,12 @@ _BENFORD = {
       SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
              count(*) AS n_obs
       FROM cents GROUP BY 1
-    ), bf(digit, benford_rate) AS (
-      VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD.items())}
+    ), bf AS (
+      -- cast the literal grid: a bare VALUES decimal would type the
+      -- column DECIMAL(7,6), which Spark's result (double) can't match
+      SELECT digit, CAST(benford_rate AS DOUBLE) AS benford_rate
+      FROM (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD.items())})
+           AS t0(digit, benford_rate)
     )
     SELECT b.digit, COALESCE(d.n_obs, 0) AS n_obs,
            round(COALESCE(d.n_obs, 0) / CAST(t.n AS DOUBLE), 6) AS obs_rate,
@@ -330,7 +337,8 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tf AS (
       SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
     ), df AS (
-      SELECT tok, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
+      SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY 1
     ), sel AS (
       SELECT tok, df, total_tf FROM df ORDER BY df DESC, tok LIMIT 40
     )
@@ -568,7 +576,8 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT day, count(*) AS new_users FROM first_seen GROUP BY 1
     )
     SELECT day, new_users,
-           sum(new_users) OVER (ORDER BY day) AS cum_distinct_users
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+             AS cum_distinct_users
     FROM daily
     ORDER BY day
     """,
@@ -611,7 +620,7 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, g, count(*) AS len FROM grp GROUP BY 1, 2
     )
     SELECT user_id,
-           sum(len) AS n_active_days,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
            count(*) AS n_streaks,
            max(len) AS longest_streak
     FROM streaks
@@ -673,7 +682,7 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS DECIMAL(38,12))) AS s
       FROM counts GROUP BY 1
     )
-    SELECT doc_id, n AS n_chars_counted, distinct_chars,
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted, distinct_chars,
            round(ln(CAST(n AS DOUBLE))
                  - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS entropy
     FROM per_doc
@@ -718,3 +727,319 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- Q199
+
+
+@register(
+    "q199_multitouch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value AS pval
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id AS vuser, ts AS vts
+      FROM events WHERE event_type = 'view'
+    ), touched AS (
+      SELECT p.pid, p.user_id, p.pval, v.vts,
+             count(v.vts) OVER (PARTITION BY p.pid) AS n_touch
+      FROM p LEFT JOIN v
+        ON v.vuser = p.user_id
+       AND v.vts < p.pts
+       AND v.vts >= p.pts - INTERVAL 7 DAY
+    )
+    SELECT user_id,
+           count(DISTINCT pid) AS n_purchases,
+           count(vts) AS n_touches,
+           CAST(sum(CASE WHEN vts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_direct,
+           round(CAST(sum(CASE WHEN vts IS NOT NULL THEN
+                 CAST(pval / CAST(n_touch AS DOUBLE) AS DECIMAL(38,12))
+               END) AS DOUBLE), 6) AS attributed_value,
+           CAST(sum(CASE WHEN vts IS NULL THEN CAST(pval AS DECIMAL(18,2))
+               END) AS DOUBLE) AS direct_value
+    FROM touched
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Linear multi-touch attribution: each purchase's value splits "
+    "1/n across the user's views in the preceding 7 days; purchases "
+    "with no touch stay 'direct'. The per-purchase touch count rides "
+    "one window over the interval join's output; per-touch credit is "
+    "double-division of identical inputs, quantized to DECIMAL before "
+    "the per-user sum. Completes the attribution family: q124 is "
+    "as-of (LAST touch), this is the credit-splitting variant. "
+    "100 TB: the join is user- and time-bounded (the q58/q162 "
+    "interval-join shape); one hash exchange on user_id serves the "
+    "join, the pid window, and the final aggregate.",
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").alias("pval"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vuser"), F.col("ts").alias("vts")
+    )
+    touched = p.join(
+        v,
+        (F.col("vuser") == F.col("user_id"))
+        & (F.col("vts") < F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+        "left",
+    ).select(
+        "pid",
+        "user_id",
+        "pval",
+        "vts",
+        F.count("vts").over(Window.partitionBy("pid")).alias("n_touch"),
+    )
+    credit = F.when(
+        F.col("vts").isNotNull(),
+        (F.col("pval") / F.col("n_touch").cast("double")).cast("decimal(38,12)"),
+    )
+    return (
+        touched.groupBy("user_id")
+        .agg(
+            F.countDistinct("pid").alias("n_purchases"),
+            F.count("vts").alias("n_touches"),
+            F.sum(F.col("vts").isNull().cast("bigint")).alias("n_direct"),
+            F.round(F.sum(credit).cast("double"), 6).alias("attributed_value"),
+            F.sum(F.when(F.col("vts").isNull(), F.col("pval").cast("decimal(18,2)")))
+            .cast("double")
+            .alias("direct_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------- Q200
+
+
+@register(
+    "q200_percentile_rank_transform",
+    oracle="""
+    SELECT event_id, event_type, value,
+           round(percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY value), 6) AS pr,
+           ntile(10) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS decile
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="Percentile-rank feature transform: percent_rank (= (rank−1)/"
+    "(n−1), exact integer ratio, tie-sharing) and a (value, event_id)-"
+    "tie-broken decile per event_type — the rank-based normalization a "
+    "feature pipeline applies before models that want uniform "
+    "marginals. 100 TB: the exact transform sorts within event_type "
+    "partitions; when types are few and huge, the scale path is q138's "
+    "broadcast-quantile bucketing (approx boundaries, map-only "
+    "assignment) — this entry anchors its correctness at the exact "
+    "end, the same exact/approx pairing as q41/q89.",
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(wp), 6).alias("pr"),
+        F.ntile(10).over(wn).alias("decile"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------- Q201
+
+
+@register(
+    "q201_priority_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           round(CAST(n_chars AS DOUBLE) * 16777216
+                 / ({hex6_sql("concat('ps', CAST(doc_id AS VARCHAR))")} + 1),
+                 6) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT 200
+    """,
+    doc="Deterministic weighted sampling without replacement via "
+    "PRIORITY SAMPLING (Duffield–Lund–Thorup): priority = w/u with u a "
+    "per-row md5-derived uniform (the repo's hex6 source), take the "
+    "top-k — longer documents proportionally likelier, reproducible "
+    "across engines/runs/partitionings, unlike rand()-based sampling. "
+    "Complements q110's Bernoulli sampler (independent inclusion, "
+    "random size) with the fixed-size-k variant a training-mix builder "
+    "wants. 100 TB: scan + TakeOrdered(k) — per-partition heaps, no "
+    "global sort, no shuffle of the corpus.",
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import _hex6_spark
+
+    docs = load(spark, sf_dir, "documents")
+    u = _hex6_spark("concat('ps', CAST(doc_id AS STRING))")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                # int literal, not 16777216.0 — a bare decimal literal
+                # would make this DECIMAL division with engine-specific
+                # scale promotion (the playbook trap)
+                F.expr(f"CAST(n_chars AS DOUBLE) * 16777216 / ({u} + 1)"),
+                6,
+            ).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------- Q202
+
+
+@register(
+    "q202_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+             )) AS g
+      FROM toks
+    ), ref AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0
+    ), cand AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 2 = 1
+    )
+    SELECT c.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen,
+           round(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM cand c LEFT JOIN ref r ON r.g = c.g
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    doc="Token-trigram novelty scoring: for each candidate document "
+    "(odd doc_id), the fraction of its DISTINCT trigrams absent from "
+    "the reference corpus (even doc_ids) — the freshness/memorization "
+    "screen a data-mixing pipeline runs against the already-trained "
+    "corpus (q48 decontamination asks 'does eval leak into train'; "
+    "this asks 'how much NEW text does a candidate source add'). "
+    "Trigrams are built by identical 3-window list comprehensions "
+    "(Spark transform / DuckDB list_transform, off-by-one-audited "
+    "across 0- vs 1-based indexing); novelty is an exact integer "
+    "ratio. 100 TB: distinct-gram sets shuffle on the gram hash; the "
+    "membership probe is one hash join — the q100 bloom prefilter "
+    "drops in unchanged when the reference set outgrows memory.",
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 2), "
+                "i -> concat_ws(' ', split(text, ' ')[i - 1], "
+                "split(text, ' ')[i], split(text, ' ')[i + 1])) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    ref = grams.filter(F.col("doc_id") % 2 == 0).select("g").distinct()
+    cand = grams.filter(F.col("doc_id") % 2 == 1).distinct()
+    joined = cand.join(
+        ref.withColumn("seen", F.lit(1)), "g", "left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("seen").isNull().cast("bigint")).alias("n_unseen"),
+            F.round(
+                F.sum(F.col("seen").isNull().cast("bigint"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- Q203
+
+
+@register(
+    "q203_sliding_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS dd
+      FROM events
+    ), days AS (SELECT DISTINCT dd FROM ud)
+    SELECT DATE '2024-01-01' + CAST(d.dd AS INTEGER) AS day,
+           (SELECT count(DISTINCT u.user_id) FROM ud u
+             WHERE u.dd = d.dd) AS dau,
+           (SELECT count(DISTINCT u.user_id) FROM ud u
+             WHERE u.dd BETWEEN d.dd - 6 AND d.dd) AS wau,
+           round((SELECT count(DISTINCT u.user_id) FROM ud u
+                   WHERE u.dd = d.dd)
+                 / CAST((SELECT count(DISTINCT u.user_id) FROM ud u
+                          WHERE u.dd BETWEEN d.dd - 6 AND d.dd) AS DOUBLE),
+                 6) AS stickiness
+    FROM days d
+    ORDER BY day
+    """,
+    doc="Sliding-window COUNT DISTINCT (DAU / trailing-7-day WAU / "
+    "stickiness): the oracle's per-day correlated rescan is the "
+    "textbook definition; the Spark plan uses the scalable identity — "
+    "each distinct (user, day) contributes to exactly 7 window days "
+    "(map-side sequence explode), so WAU(d) = |distinct (user, wd)| "
+    "after one dedup — shuffle volume is 7·|user-days|, never "
+    "days × corpus rescans, and no per-day subquery exists. Integer "
+    "counts and one exact division. 100 TB: two hash dedups + one "
+    "count; the 7× fan-out is map-side and collapses immediately; "
+    "swap 7 for any horizon without changing the shape.",
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")).alias(
+            "dd"
+        ),
+    ).distinct()
+    days = ud.select("dd").distinct()
+    dau = ud.groupBy("dd").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id", F.explode(F.sequence(F.col("dd"), F.col("dd") + 6)).alias("wd")
+        )
+        .distinct()
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "dd")
+        .join(contrib, days.dd == contrib.wd)
+        .select(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("dd").cast("int")).alias(
+                "day"
+            ),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

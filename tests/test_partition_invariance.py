@@ -51,6 +51,8 @@ FLOAT_EMITTERS = [
     "q194_ks_two_sample",
     "q195_gini_concentration",
     "q198_char_entropy",
+    "q199_multitouch_attribution",
+    "q203_sliding_distinct_users",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Q189–Q198 invariants: independent pure-python re-derivations of the
+"""Q189–Q203 invariants: independent pure-python re-derivations of the
 warehouse-ops / data-quality tier (the r7-established discipline: every
 new tier lands with a from-scratch recomputation test file alongside its
 driver oracle)."""
@@ -223,3 +223,138 @@ def test_q198_entropy_matches_counter(spark):
     # the quality-signal property: a repeated-char doc would score ~0;
     # real text sits well above
     assert out["entropy"].min() > 0.5
+
+
+# ---------------------------------------------------------------- Q199
+
+
+def test_q199_attribution_conserves_value(spark):
+    out = REGISTRY["q199_multitouch_attribution"].fn(spark, SF_DIR).toPandas()
+    ev = _events()
+    p = ev[ev.event_type == "purchase"]
+    v = ev[ev.event_type == "view"]
+    # re-derive per user
+    for r in out.itertuples():
+        pu = p[p.user_id == r.user_id]
+        att = 0.0
+        n_touch = 0
+        n_direct = 0
+        direct = 0.0
+        for pr in pu.itertuples():
+            touches = v[
+                (v.user_id == pr.user_id)
+                & (v.ts < pr.ts)
+                & (v.ts >= pr.ts - pd.Timedelta(days=7))
+            ]
+            if len(touches):
+                att += pr.value  # full value split across touches sums back
+                n_touch += len(touches)
+            else:
+                n_direct += 1
+                direct += round(pr.value, 2)
+        assert r.n_purchases == len(pu)
+        assert r.n_touches == n_touch
+        assert r.n_direct == n_direct
+        assert abs((r.attributed_value or 0.0) - att) < 1e-5
+        assert abs((r.direct_value if r.direct_value == r.direct_value else 0.0) - direct) < 1e-6
+    # conservation: attributed + direct == total purchase value
+    total = out["attributed_value"].fillna(0).sum() + out["direct_value"].fillna(0).sum()
+    assert abs(total - p["value"].round(2).sum()) < 1e-3
+
+
+# ---------------------------------------------------------------- Q200
+
+
+def test_q200_percent_rank_definition(spark):
+    out = REGISTRY["q200_percentile_rank_transform"].fn(spark, SF_DIR).toPandas()
+    ev = _events()
+    assert len(out) == len(ev)
+    for typ, g in out.groupby("event_type"):
+        vals = g.sort_values("value")
+        n = len(g)
+        # percent_rank = (rank-1)/(n-1) with ties sharing the min rank
+        ranks = g["value"].rank(method="min")
+        expect = (ranks - 1) / (n - 1)
+        got = g["pr"]
+        assert (abs(got - expect.round(6)) < 1e-6).all()
+        # deciles partition into near-equal buckets
+        sizes = g["decile"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+    assert out["pr"].min() == 0.0 and out["pr"].max() == 1.0
+
+
+# ---------------------------------------------------------------- Q201
+
+
+def test_q201_priority_sampling_reproducible_and_weighted(spark):
+    import hashlib
+
+    out = REGISTRY["q201_priority_sample"].fn(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def hex6(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    pri = {
+        d.doc_id: d.n_chars * 16777216 / (hex6(f"ps{d.doc_id}") + 1)
+        for d in docs.itertuples()
+    }
+    want = sorted(pri, key=lambda k: (-pri[k], k))[:200]
+    assert list(out["doc_id"]) == want
+    for r in out.itertuples():
+        assert abs(r.priority - pri[r.doc_id]) < 1e-4
+    # weighting sanity: sampled docs skew longer than the corpus
+    assert out["n_chars"].mean() > docs["n_chars"].mean()
+
+
+# ---------------------------------------------------------------- Q202
+
+
+def test_q202_novelty_bruteforce(spark):
+    out = REGISTRY["q202_ngram_novelty"].fn(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+    def grams(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    ref = set()
+    for d in docs.itertuples():
+        if d.doc_id % 2 == 0:
+            ref |= grams(d.text)
+    got = {r.doc_id: r for r in out.itertuples()}
+    for d in docs.itertuples():
+        if d.doc_id % 2 == 0:
+            continue
+        g = grams(d.text)
+        if not g:
+            assert d.doc_id not in got
+            continue
+        r = got[d.doc_id]
+        unseen = len(g - ref)
+        assert r.n_grams == len(g)
+        assert r.n_unseen == unseen
+        assert abs(r.novelty - unseen / len(g)) < 1e-6
+
+
+# ---------------------------------------------------------------- Q203
+
+
+def test_q203_wau_matches_per_day_rescan(spark):
+    out = REGISTRY["q203_sliding_distinct_users"].fn(spark, SF_DIR).toPandas()
+    ev = _events()
+    ev["day"] = ev["ts"].dt.floor("D")
+    days = sorted(ev["day"].unique())
+    assert list(out["day"]) == [pd.Timestamp(d).date() for d in days]
+    for r in out.itertuples():
+        d = pd.Timestamp(r.day)
+        dau = ev.loc[ev.day == d, "user_id"].nunique()
+        wau = ev.loc[
+            (ev.day >= d - pd.Timedelta(days=6)) & (ev.day <= d), "user_id"
+        ].nunique()
+        assert r.dau == dau
+        assert r.wau == wau
+        assert abs(r.stickiness - dau / wau) < 1e-6
+    # WAU must dominate DAU; stickiness in (0, 1]
+    assert (out["wau"] >= out["dau"]).all()
+    assert ((out["stickiness"] > 0) & (out["stickiness"] <= 1)).all()

@@ -243,6 +243,14 @@ HEADLINE = [
         "volume is distinct-chars-per-doc, not characters.",
     ),
     (
+        "q203_sliding_distinct_users",
+        "sliding distinct (DAU/WAU): the 7-day window count is a "
+        "map-side sequence Generate over distinct (user, day) pairs "
+        "followed by hash dedup + count — the plan contains NO per-day "
+        "correlated subquery and no data-sized ordered window; the "
+        "oracle runs the textbook per-day rescan for equivalence.",
+    ),
+    (
         "q141_python_datasource",
         "Python Data Source e2e: the returned plan is a driver-sized "
         "materialization of the read-back aggregate; the interesting "
