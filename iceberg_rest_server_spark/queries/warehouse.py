@@ -771,8 +771,11 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the per-user sum. Completes the attribution family: q124 is "
     "as-of (LAST touch), this is the credit-splitting variant. "
     "100 TB: the join is user- and time-bounded (the q58/q162 "
-    "interval-join shape); one hash exchange on user_id serves the "
-    "join, the pid window, and the final aggregate.",
+    "interval-join shape); in the shuffle-join regime each side "
+    "exchanges ONCE on the user key and nothing else does — the "
+    "touch-count window partitions by (user_id, pid) so the q164 "
+    "prefix rule lets it and the final per-user aggregate reuse the "
+    "join's partitioning (plan-pinned in tests/test_plans.py).",
 )
 def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -796,7 +799,12 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "pval",
         "vts",
-        F.count("vts").over(Window.partitionBy("pid")).alias("n_touch"),
+        # partition by (user_id, pid), not pid alone: pid is globally
+        # unique so the semantics are identical, but the prefix rule
+        # (HashPartitioning(user_id) satisfies clustering by (user_id,
+        # pid) — the q164 discipline) lets this window REUSE the join's
+        # user_id exchange instead of adding a pid exchange
+        F.count("vts").over(Window.partitionBy("user_id", "pid")).alias("n_touch"),
     )
     credit = F.when(
         F.col("vts").isNotNull(),
@@ -945,14 +953,17 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # tokenize ONCE into a column (the q149 lesson: repeating split()
+    # inside one expression re-splits per reference)
     grams = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 2), "
-                "i -> concat_ws(' ', split(text, ' ')[i - 1], "
-                "split(text, ' ')[i], split(text, ' ')[i + 1])) "
+                "CASE WHEN size(toks) >= 3 THEN "
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])) "
                 "ELSE array() END"
             )
         ).alias("g"),

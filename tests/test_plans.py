@@ -296,3 +296,40 @@ def test_q194_cumulative_counts_are_bucket_partitioned(spark, sf_dir):
         if "Window" in ln and "sum" in ln and "bkt" in ln
     ]
     assert cum_lines, plan
+
+
+def test_q199_window_and_aggregate_reuse_join_partitioning(spark, sf_dir):
+    """q199's scale shape: with the interval join forced to its at-scale
+    shuffle form, the ONLY hash exchanges are the two join inputs (one
+    per side on the user key). The touch-count window partitions by
+    (user_id, pid) — pid is globally unique so semantics equal a pid
+    window — precisely so HashPartitioning(user_id) satisfies its
+    clustering (the q164 prefix rule) and neither it nor the final
+    per-user aggregate adds an exchange."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = REGISTRY["q199_multitouch_attribution"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 2, f"expected 2 join-input exchanges only, saw {n}:\n{plan}"
+
+
+def test_q190_one_exchange_serves_windows_and_aggregate(spark, sf_dir):
+    """q190's scale shape: the two (ts, id)-ordered OHLC windows and the
+    bar aggregate share ONE (bar_ts, event_type) hash exchange."""
+    df = REGISTRY["q190_ohlc_bars"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 shared exchange, saw {n}"
+
+
+def test_q201_priority_sample_is_take_ordered(spark, sf_dir):
+    """q201's scale shape: top-k by priority must plan as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    never a global Sort of the corpus."""
+    df = REGISTRY["q201_priority_sample"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
