@@ -48,7 +48,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # front-loaded here, eliminating every pre-r03 row: 16 new entries +
 # 2 changed + 32 stale = exactly 50. Cumulative
 # driver coverage: all 208 r7-era entries have green rows r01–r07;
-# tools/driver_sim.py re-checks the WHOLE registry (now 224 entries)
+# tools/driver_sim.py re-checks the WHOLE registry (now 227 entries)
 # each round regardless — its r8 runs are recorded in PARITY.md.
 # Every entry is always returned — ordering only, never selection.
 _DRIVER_ORDER_HEAD = [
@@ -106,9 +106,16 @@ _DRIVER_ORDER_HEAD = [
     "q54_full_outer_join",
     "q55_window_navigation",
     "q61_grouping_id",
-    # --- below here falls outside the 50-entry window (the q35/q40
-    # perf story is pinned by BENCH_FULL.json reruns instead; their
-    # r03 driver rows stand) ---
+    # --- below here falls outside the 50-entry window ---
+    # Late-r8 SQL-surface additions: registered with oracles and green
+    # in tools/driver_sim.py + tests/test_oracle_parity.py this round;
+    # queued FIRST for the r9 driver window (the r8 window was already
+    # exactly full clearing the pre-r03 evidence backlog).
+    "q204_array_fold_kernels",
+    "q205_regex_extraction",
+    "q206_bitwise_aggregates",
+    # (the q35/q40 perf story is pinned by BENCH_FULL.json reruns
+    # instead; their r03 driver rows stand)
     "q35_cosine_neardup_pairs",
     "q40_curation_pipeline",
     "q15_sliding_window",

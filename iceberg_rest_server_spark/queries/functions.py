@@ -254,3 +254,144 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- Q204
+
+
+@register(
+    "q204_array_fold_kernels",
+    # list_reduce folds left-to-right exactly like Spark's aggregate();
+    # prepending the 0.0 initial value reproduces the same fold, so the
+    # sequential double sums are BIT-identical — no DECIMAL needed for a
+    # within-row (fixed-order) reduction.
+    oracle="""
+    SELECT vec_id,
+           round(list_reduce(list_prepend(0.0, embedding),
+                             (acc, x) -> acc + CAST(x AS DOUBLE)
+                                             * CAST(x AS DOUBLE)), 6)
+             AS sum_sq,
+           round(sqrt(list_reduce(list_prepend(0.0, embedding),
+                                  (acc, x) -> acc + CAST(x AS DOUBLE)
+                                                  * CAST(x AS DOUBLE))), 6)
+             AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           CAST(list_max(embedding) AS DOUBLE) AS max_component
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="Array higher-order-function kernels over the embedding column — "
+    "the per-row fold/filter/max surface (Spark aggregate(), filter(), "
+    "array_max ↔ DuckDB list_reduce, list_filter, list_max) a vector "
+    "pipeline uses before anything distributed happens. A within-row "
+    "fold has a FIXED left-to-right order in both engines, so the "
+    "double sum-of-squares is bit-identical without DECIMAL; sqrt is "
+    "IEEE-correctly-rounded. 100 TB: map-only (no shuffle at all) — "
+    "whole-stage-codegen'd lambda evaluation per row, the cheapest "
+    "possible plan shape.",
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sum_sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(sum_sq, 6).alias("sum_sq"),
+        F.round(F.sqrt(sum_sq), 6).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.array_max("embedding").cast("double").alias("max_component"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------- Q205
+
+
+@register(
+    "q205_regex_extraction",
+    # both engines return '' (not NULL) from regexp_extract on no match,
+    # and both support regexp_extract_all; the patterns below use only
+    # character classes + quantifiers, identical in Java regex and RE2
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[aeiou]{2,}')) AS n_vowel_runs,
+           regexp_extract(text, '[aeiou]{3,}') AS first_long_run,
+           len(regexp_extract_all(text, '[a-z]{8,}')) AS n_long_words,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_novowels
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Regex extraction kernels over document text: match counting "
+    "(regexp_extract_all + cardinality), first-match extraction (both "
+    "engines yield '' on no match — normalized behavior, tested), and "
+    "global regexp_replace. Patterns are class+quantifier only, where "
+    "Java regex and DuckDB's RE2 agree exactly. Complements q169 "
+    "(sequence pattern mining on derived event strings) with the "
+    "direct text-extraction surface. 100 TB: map-only scan — the only "
+    "caveat at scale is regex cost per row, which whole-stage codegen "
+    "amortizes; no shuffle anywhere.",
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[aeiou]{2,}', 0)")).alias(
+            "n_vowel_runs"
+        ),
+        F.regexp_extract("text", "[aeiou]{3,}", 0).alias("first_long_run"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]{8,}', 0)")).alias(
+            "n_long_words"
+        ),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_novowels"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- Q206
+
+_TYPE_BIT = "CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"
+
+
+@register(
+    "q206_bitwise_aggregates",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id,
+             (1::BIGINT << ({_TYPE_BIT})) AS mask,
+             event_id
+      FROM events
+    )
+    SELECT user_id,
+           bit_or(mask) AS type_mask,
+           CAST(bit_count(bit_or(mask)) AS INTEGER) AS n_types,
+           bit_xor(event_id) AS event_xor
+    FROM m
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Bitwise aggregate surface: per-user capability bitmask via "
+    "BIT_OR of single-bit event-type masks (the feature-flag rollup "
+    "idiom — bit_count(mask) equals COUNT(DISTINCT type) but merges as "
+    "a single int64), plus BIT_XOR of event ids (the parity/checksum "
+    "aggregate replication auditors use). All operations are exact "
+    "integer ops, trivially order-free. 100 TB: one map-side-combining "
+    "aggregate; the mask rollup is the cheapest mergeable 'distinct "
+    "types' representation — 8 bytes of state per key, vs a set.",
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = ev.select(
+        "user_id",
+        F.expr(f"shiftleft(1L, {_TYPE_BIT})").alias("mask"),
+        "event_id",
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.expr("bit_or(mask)").alias("type_mask"),
+            F.expr("CAST(bit_count(bit_or(mask)) AS INT)").alias("n_types"),
+            F.expr("bit_xor(event_id)").alias("event_xor"),
+        )
+        .orderBy("user_id")
+    )

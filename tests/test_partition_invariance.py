@@ -53,6 +53,7 @@ FLOAT_EMITTERS = [
     "q198_char_entropy",
     "q199_multitouch_attribution",
     "q203_sliding_distinct_users",
+    "q204_array_fold_kernels",
 ]
 
 

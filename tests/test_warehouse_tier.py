@@ -358,3 +358,55 @@ def test_q203_wau_matches_per_day_rescan(spark):
     # WAU must dominate DAU; stickiness in (0, 1]
     assert (out["wau"] >= out["dau"]).all()
     assert ((out["stickiness"] > 0) & (out["stickiness"] <= 1)).all()
+
+
+# ------------------------------------------- late-r8 SQL-surface entries
+
+
+def test_q204_fold_kernels_match_numpy(spark):
+    out = REGISTRY["q204_array_fold_kernels"].fn(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {r.vec_id: r for r in out.itertuples()}
+    assert len(out) == len(emb)
+    for e in emb.itertuples():
+        v = np.asarray(e.embedding, dtype=np.float64)
+        r = got[e.vec_id]
+        ss = 0.0
+        for x in v:  # same left fold as both engines
+            ss += x * x
+        assert abs(r.sum_sq - ss) < 1e-6
+        assert abs(r.l2_norm - math.sqrt(ss)) < 1e-6
+        assert r.n_positive == int((v > 0).sum())
+        assert abs(r.max_component - v.max()) < 1e-6
+
+
+def test_q205_regex_counts_match_re(spark):
+    import re
+
+    out = REGISTRY["q205_regex_extraction"].fn(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    got = {r.doc_id: r for r in out.itertuples()}
+    for d in docs.itertuples():
+        r = got[d.doc_id]
+        assert r.n_vowel_runs == len(re.findall(r"[aeiou]{2,}", d.text))
+        m = re.search(r"[aeiou]{3,}", d.text)
+        assert r.first_long_run == (m.group(0) if m else "")
+        assert r.n_long_words == len(re.findall(r"[a-z]{8,}", d.text))
+        assert r.len_novowels == len(re.sub(r"[aeiou]", "", d.text))
+
+
+def test_q206_bitmask_equals_distinct_types(spark):
+    out = REGISTRY["q206_bitwise_aggregates"].fn(spark, SF_DIR).toPandas()
+    ev = _events()
+    bit = {"click": 0, "view": 1, "purchase": 2, "signup": 3}
+    got = {r.user_id: r for r in out.itertuples()}
+    for uid, g in ev.groupby("user_id"):
+        mask = 0
+        x = 0
+        for e in g.itertuples():
+            mask |= 1 << bit.get(e.event_type, 4)
+            x ^= e.event_id
+        r = got[uid]
+        assert r.type_mask == mask
+        assert r.n_types == bin(mask).count("1") == g["event_type"].nunique()
+        assert r.event_xor == x
