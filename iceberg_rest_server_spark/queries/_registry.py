@@ -41,86 +41,89 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 # The driver's per-round correctness run evaluates queries() in dict
 # order and covers a bounded prefix (the first 50 entries) per round.
-# r8 ROTATION POLICY (VERDICT r7 #1): the window is spent on (1) entries
-# new this round, (2) entries whose code or oracle changed since their
-# last green row, then (3) the STALEST recorded evidence first — r7 left
-# 32 entries whose last driver-recorded green was r01/r02; all 32 are
-# front-loaded here, eliminating every pre-r03 row: 16 new entries +
-# 2 changed + 32 stale = exactly 50. Cumulative
-# driver coverage: all 208 r7-era entries have green rows r01–r07;
-# tools/driver_sim.py re-checks the WHOLE registry (now 227 entries)
-# each round regardless — its r8 runs are recorded in PARITY.md.
+# ROTATION POLICY (pinned since r8, VERDICT r7 #1): the window is spent
+# on (1) entries with NO driver evidence yet, (2) entries whose code or
+# oracle changed since their last green row, then (3) the STALEST
+# recorded evidence first.
+# r9 WINDOW (exactly 50): 3 no-evidence (q204–q206, landed after the r8
+# driver run; judge-verified in VERDICT r8 but no driver row) + 8
+# changed in r9 (q198 grew an empty-text guard — ADVICE r8 #1; the
+# streaming staging-dir key moved from per-process-randomized
+# abs(hash()) to a stable md5 digest — ADVICE r8 #3 — which touches all
+# 11 streaming entries' shared plumbing, so the 7 stalest of them,
+# last-green r05, re-run now while the 4 recent-green ones, r07/r08,
+# ride the normal rotation) + the 39 entries whose last green is r03.
+# After r9 the oldest recorded evidence anywhere is r04. Cumulative:
+# every registry entry has a green row r03+; tools/driver_sim.py
+# re-checks the WHOLE registry each round regardless — its r9 run is
+# recorded in PARITY.md.
 # Every entry is always returned — ordering only, never selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (1) new in r8: warehouse-ops / data-quality tier ---
-    "q189_stable_row_ids",
-    "q190_ohlc_bars",
-    "q191_benford_deviation",
-    "q192_fk_integrity_audit",
-    "q193_inverted_index_postings",
-    "q194_ks_two_sample",
-    "q195_gini_concentration",
-    "q196_running_distinct_users",
-    "q197_activity_streaks",
-    "q198_char_entropy",
-    "q199_multitouch_attribution",
-    "q200_percentile_rank_transform",
-    "q201_priority_sample",
-    "q202_ngram_novelty",
-    "q203_sliding_distinct_users",
-    "q140_processor_logic_batch",
-    # --- (2) code changed in r8 ---
-    "q166_pca_top_components",  # executed Gram build -> blocked GEMM
-    "q172_stream_sliding_window",  # complete -> append mode + __wm__ sentinel
-    # --- (3) stalest evidence: last green r01 ---
-    "q33_lang_id",
-    "q33_fingerprint",
-    "q33_top_terms",
-    # --- (3) stalest evidence: last green r02 ---
-    "q02_filter",
-    "q04_global_aggregate",
-    "q05_distinct_aggregate",
-    "q10_left_outer_join",
-    "q11_left_semi_join",
-    "q12_left_anti_join",
-    "q13_theta_join",
-    "q15_cube",
-    "q15_grouping_sets",
-    "q17_window_frames",
-    "q19_except",
-    "q19_intersect",
-    "q19_union_all",
-    "q19_union_distinct",
-    "q20_string_functions",
-    "q21_date_functions",
-    "q22_math_functions",
-    "q23_array_map_json",
-    "q23_explode_json",
-    "q24_conditional_null",
-    "q25_correlated_subquery",
-    "q25_subqueries",
-    "q26_cte",
-    "q27_udf_parity",
-    "q28_grouped_pandas_udaf",
-    "q49_dedup_clusters",
-    "q54_full_outer_join",
-    "q55_window_navigation",
-    "q61_grouping_id",
-    # --- below here falls outside the 50-entry window ---
-    # Late-r8 SQL-surface additions: registered with oracles and green
-    # in tools/driver_sim.py + tests/test_oracle_parity.py this round;
-    # queued FIRST for the r9 driver window (the r8 window was already
-    # exactly full clearing the pre-r03 evidence backlog).
+    # --- (1) no driver evidence yet (landed post-r8-driver-run) ---
     "q204_array_fold_kernels",
     "q205_regex_extraction",
     "q206_bitwise_aggregates",
-    # (the q35/q40 perf story is pinned by BENCH_FULL.json reruns
-    # instead; their r03 driver rows stand)
-    "q35_cosine_neardup_pairs",
-    "q40_curation_pipeline",
+    # --- (2) code changed in r9 ---
+    "q198_char_entropy",  # empty-text sequence guard (ADVICE r8)
+    # streaming staging-key change (md5 digest), stalest-affected first:
+    "q30_stream_session_window",
+    "q39_stream_stateful_user_totals",
+    "q57_stream_static_enrich",
+    "q58_stream_stream_join",
+    "q90_stream_catalog_sink",
+    "q115_stream_ingest_dedup",
+    "q134_stream_cdc_upsert",
+    # --- (3) stalest evidence: last green r03 (39 entries) ---
     "q15_sliding_window",
     "q23_get_json",
+    "q33_bpe_token_count",
     "q33_quality_score",
+    "q33_tfidf_top_terms",
+    "q33_token_stats",
+    "q35_cosine_neardup_pairs",
+    "q36_ann_bruteforce_topk",
+    "q37_multimodal_frames",
+    "q37_multimodal_metadata",
+    "q40_curation_pipeline",
+    "q43_sessionize_batch",
+    "q44_pivot_profile",
+    "q47_fuzzy_brand_pairs",
+    "q48_decontamination",
+    "q50_repetition_quality",
+    "q51_range_join",
+    "q52_latest_by_key",
+    "q53_domain_mixture",
+    "q59_semantic_dedup",
+    "q60_embedding_centroids",
+    "q62_stats_moments",
+    "q64_tpch_q3",
+    "q65_tpch_q4",
+    "q66_tpch_q5",
+    "q67_tpch_q6",
+    "q68_tpch_q7",
+    "q70_tpch_q10",
+    "q71_tpch_q13",
+    "q72_tpch_q14",
+    "q73_tpch_q15",
+    "q75_tpch_q18",
+    "q76_tpch_q19",
+    "q77_tpch_q22",
+    "q78_pii_redaction",
+    "q79_sequence_chunking",
+    "q80_token_packing",
+    "q81_epoch_shuffle",
+    "q87_skyline",
+    # --- below here falls outside the 50-entry window ---
+    # next-stalest (r04) entries lead the r10 window unless displaced by
+    # r10 changes; the 4 recent-green streaming entries affected by the
+    # digest change re-run via tools/driver_sim.py + pytest this round
+    "q100_bloom_decontaminate",
+    "q101_incremental_mv",
+    "q102_tpch_q2",
+    "q29_stream_tumbling_window",
+    "q162_stream_stream_left_outer",
+    "q171_stream_stream_full_outer",
+    "q172_stream_sliding_window",
     "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 

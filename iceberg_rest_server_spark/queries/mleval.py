@@ -269,7 +269,16 @@ def _gram_terms_blocked(emb: DataFrame) -> DataFrame:
 def _gram_blocked(emb: DataFrame):
     """Combine blocked partials: DECIMAL(38,18) cross-batch sum (addition-
     order-independent), then collect the metadata-sized result. Returns
-    ([((i, j), gram_sum)], [(i, dim_sum)], n_rows)."""
+    ([((i, j), gram_sum)], [(i, dim_sum)], n_rows).
+
+    Reproducibility contract: the DECIMAL combine makes the cross-batch
+    SUM order-free, but each float64 partial still depends on which rows
+    landed in its Arrow batch — so the Gram is batch-boundary-dependent
+    (unlike the replaced explode path, which quantized per-row products
+    and was bit-identical across partitionings). The invariant-checked
+    oracle absorbs this; numeric tests comparing against an independent
+    re-derivation should scale tolerance with corpus size rather than
+    assert a fixed 1e-9."""
     rows = (
         _gram_terms_blocked(emb)
         .groupBy("i", "j")

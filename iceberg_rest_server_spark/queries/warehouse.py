@@ -702,11 +702,19 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    chars = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("g"),
-        "text",
-    ).select("doc_id", F.expr("substring(text, g, 1)").alias("ch"))
+    # Empty docs must vanish in BOTH engines: Spark's sequence(1, 0)
+    # defaults step to -1 and yields [1, 0] (two phantom '' rows), while
+    # DuckDB's range(1, 1) is empty — guard with an explicit length
+    # filter so the engines agree on zero-length text.
+    chars = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("g"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, g, 1)").alias("ch"))
+    )
     counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     per_doc = counts.groupBy("doc_id").agg(
         F.sum("c").alias("n"),

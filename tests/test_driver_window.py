@@ -1,73 +1,84 @@
 """Driver-window contract: the correctness driver checks only the FIRST
 50 ``queries()`` entries per round, so the registry's explicit ordering
 is load-bearing evidence policy, not cosmetics. These tests freeze the
-r8 rotation (VERDICT r7 #1): every entry whose last recorded green row
-predates r03 sits inside the window, new/changed r8 entries lead it, and
-every _DRIVER_ORDER_HEAD name actually exists (a typo would silently
-demote an entry to the unchecked tail)."""
+r9 rotation (policy pinned in _registry.py since r8): entries with no
+driver evidence lead, then entries whose code changed this round, then
+the stalest recorded evidence; every _DRIVER_ORDER_HEAD name must
+actually exist (a typo would silently demote an entry to the unchecked
+tail)."""
 
 from __future__ import annotations
 
 from iceberg_rest_server_spark.queries import REGISTRY, queries
 from iceberg_rest_server_spark.queries._registry import _DRIVER_ORDER_HEAD
 
-# the 32 entries whose last driver-recorded green was r01/r02 (computed
-# from CORRECTNESS_r01..r07 at the start of r8) — the r8 window must
-# clear this backlog entirely
-STALE_PRE_R03 = [
-    "q02_filter",
-    "q04_global_aggregate",
-    "q05_distinct_aggregate",
-    "q10_left_outer_join",
-    "q11_left_semi_join",
-    "q12_left_anti_join",
-    "q13_theta_join",
-    "q15_cube",
-    "q15_grouping_sets",
-    "q17_window_frames",
-    "q19_except",
-    "q19_intersect",
-    "q19_union_all",
-    "q19_union_distinct",
-    "q20_string_functions",
-    "q21_date_functions",
-    "q22_math_functions",
-    "q23_array_map_json",
-    "q23_explode_json",
-    "q24_conditional_null",
-    "q25_correlated_subquery",
-    "q25_subqueries",
-    "q26_cte",
-    "q27_udf_parity",
-    "q28_grouped_pandas_udaf",
-    "q33_fingerprint",
-    "q33_lang_id",
-    "q33_top_terms",
-    "q49_dedup_clusters",
-    "q54_full_outer_join",
-    "q55_window_navigation",
-    "q61_grouping_id",
+# (1) entries with NO driver-recorded row at r9 start (landed after the
+# r8 driver run; judge-verified in VERDICT r8) — must lead the window
+NO_EVIDENCE_AT_R9 = [
+    "q204_array_fold_kernels",
+    "q205_regex_extraction",
+    "q206_bitwise_aggregates",
 ]
 
-R8_NEW_OR_CHANGED = [
-    "q189_stable_row_ids",
-    "q190_ohlc_bars",
-    "q191_benford_deviation",
-    "q192_fk_integrity_audit",
-    "q193_inverted_index_postings",
-    "q194_ks_two_sample",
-    "q195_gini_concentration",
-    "q196_running_distinct_users",
-    "q197_activity_streaks",
+# (2) code changed in r9: q198 grew the empty-text guard (ADVICE r8 #1);
+# the streaming staging-dir key moved to a stable md5 digest (ADVICE r8
+# #3), touching all streaming entries' shared plumbing — the 7 stalest
+# affected (last green r05) re-run now, the 4 recent-green (r07/r08)
+# ride the normal rotation
+R9_CHANGED = [
     "q198_char_entropy",
-    "q199_multitouch_attribution",
-    "q200_percentile_rank_transform",
-    "q201_priority_sample",
-    "q202_ngram_novelty",
-    "q203_sliding_distinct_users",
-    "q140_processor_logic_batch",
-    "q166_pca_top_components",
-    "q172_stream_sliding_window",
+    "q30_stream_session_window",
+    "q39_stream_stateful_user_totals",
+    "q57_stream_static_enrich",
+    "q58_stream_stream_join",
+    "q90_stream_catalog_sink",
+    "q115_stream_ingest_dedup",
+    "q134_stream_cdc_upsert",
+]
+
+# (3) the 39 entries whose last driver-recorded green was r03 (computed
+# from CORRECTNESS_r01..r08 at the start of r9) — the r9 window must
+# clear this backlog entirely so nothing older than r04 remains
+STALE_R03 = [
+    "q15_sliding_window",
+    "q23_get_json",
+    "q33_bpe_token_count",
+    "q33_quality_score",
+    "q33_tfidf_top_terms",
+    "q33_token_stats",
+    "q35_cosine_neardup_pairs",
+    "q36_ann_bruteforce_topk",
+    "q37_multimodal_frames",
+    "q37_multimodal_metadata",
+    "q40_curation_pipeline",
+    "q43_sessionize_batch",
+    "q44_pivot_profile",
+    "q47_fuzzy_brand_pairs",
+    "q48_decontamination",
+    "q50_repetition_quality",
+    "q51_range_join",
+    "q52_latest_by_key",
+    "q53_domain_mixture",
+    "q59_semantic_dedup",
+    "q60_embedding_centroids",
+    "q62_stats_moments",
+    "q64_tpch_q3",
+    "q65_tpch_q4",
+    "q66_tpch_q5",
+    "q67_tpch_q6",
+    "q68_tpch_q7",
+    "q70_tpch_q10",
+    "q71_tpch_q13",
+    "q72_tpch_q14",
+    "q73_tpch_q15",
+    "q75_tpch_q18",
+    "q76_tpch_q19",
+    "q77_tpch_q22",
+    "q78_pii_redaction",
+    "q79_sequence_chunking",
+    "q80_token_packing",
+    "q81_epoch_shuffle",
+    "q87_skyline",
 ]
 
 
@@ -77,12 +88,15 @@ def test_every_head_name_exists():
     assert missing in ([], ["q140_stream_transform_with_state"]), missing
 
 
-def test_window_covers_stale_and_new():
+def test_window_covers_no_evidence_changed_and_stale():
     window = list(queries())[:50]
-    assert set(R8_NEW_OR_CHANGED) <= set(window)
-    assert set(STALE_PRE_R03) <= set(window)
+    # no-evidence entries must be checked FIRST (they lead the window)
+    assert window[:3] == NO_EVIDENCE_AT_R9
+    assert set(R9_CHANGED) <= set(window)
+    assert set(STALE_R03) <= set(window)
     # exactly full: nothing wasted, nothing spilled
     assert len(set(window)) == 50
+    assert len(NO_EVIDENCE_AT_R9) + len(R9_CHANGED) + len(STALE_R03) == 50
 
 
 def test_ordering_is_reordering_not_selection():

@@ -359,9 +359,12 @@ def test_q188_matches_anova_eta_squared(spark):
 
 def test_q166_blocked_gemm_gram_equals_exploded_reference(spark):
     """The r8 blocked-GEMM executed Gram path must agree with the pre-r8
-    dim²-explode DECIMAL-exact build: same n, per-dim sums exact to the
-    combine's DECIMAL quantum, Gram entries within the per-batch float64
-    accumulation error (≤1e-9 at this scale)."""
+    dim²-explode DECIMAL-exact build: same n, per-dim sums and Gram
+    entries within float64 accumulation error. The blocked partials are
+    batch-boundary-dependent (see _gram_blocked's docstring), so the
+    tolerance scales with corpus size: each Gram entry sums n products of
+    unit-norm-ish components, and float64 summation error grows ~eps·n·|v|
+    — a fixed 1e-9 would get fragile at larger SF / Arrow batch sizes."""
     from iceberg_rest_server_spark.queries.mleval import _gram_blocked, _gram_exploded
     from iceberg_rest_server_spark.tables import load
 
@@ -369,10 +372,11 @@ def test_q166_blocked_gemm_gram_equals_exploded_reference(spark):
     gb, mb, nb = _gram_blocked(emb)
     ge, me, ne = _gram_exploded(emb)
     assert nb == ne
+    tol = max(1e-9, 2.0e-16 * nb * 64)  # eps · n · headroom for |terms|
     de = dict(ge)
     assert set(dict(gb)) == set(de)
     for k, v in gb:
-        assert abs(v - de[k]) < 1e-9, k
+        assert abs(v - de[k]) < tol, k
     me_d = dict(me)
     for i, s in mb:
-        assert abs(s - me_d[i]) < 1e-9, i
+        assert abs(s - me_d[i]) < tol, i

@@ -225,6 +225,38 @@ def test_q198_entropy_matches_counter(spark):
     assert out["entropy"].min() > 0.5
 
 
+def test_q198_empty_doc_drops_in_both_engines(spark, tmp_path):
+    """ADVICE r8 #1 regression: Spark's sequence(1, 0) yields [1, 0]
+    (step defaults to -1 when start > stop) while DuckDB's range(1, 1)
+    is empty — an unguarded q198 emitted phantom rows for a zero-length
+    text. Both engines must now omit the empty doc entirely."""
+    import duckdb
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["abab", "", "zzz"],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [4, 0, 3],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+    out = REGISTRY["q198_char_entropy"].fn(spark, sf).toPandas()
+    assert sorted(out["doc_id"]) == [1, 3]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    odf = con.execute(REGISTRY["q198_char_entropy"].oracle).df()
+    assert sorted(odf["doc_id"]) == [1, 3]
+    assert np.allclose(
+        out.sort_values("doc_id")["entropy"].to_numpy(),
+        odf.sort_values("doc_id")["entropy"].to_numpy(),
+    )
+
+
 # ---------------------------------------------------------------- Q199
 
 
