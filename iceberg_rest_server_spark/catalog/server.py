@@ -87,6 +87,38 @@ def _ns_from_path(segment: str) -> list[str]:
     return urllib.parse.unquote(segment).split(UNIT_SEPARATOR)
 
 
+def _scrub_metadata_nulls(payload: dict) -> dict:
+    """Wire-format parity with the reference's serde `Option` fields
+    (skip_serializing_if none): OPTIONAL table-metadata keys with no
+    value are OMITTED, never null — the OpenAPI document types
+    `current-snapshot-id` / `parent-snapshot-id` / `metadata-location`
+    as non-nullable, so an explicit null is a contract violation
+    (caught by tests/openapi_schema.py validating every conformance
+    exchange). The in-memory model keeps None; only the HTTP
+    serialization drops the keys. `next-page-token: null` stays — the
+    spec's PageToken is nullable and clients read null as
+    end-of-listing."""
+
+    def scrub(node):
+        if isinstance(node, dict):
+            return {k: scrub(v) for k, v in node.items() if v is not None}
+        if isinstance(node, list):
+            return [scrub(x) for x in node]
+        return node
+
+    out = dict(payload)
+    if isinstance(out.get("metadata"), dict):
+        out["metadata"] = scrub(out["metadata"])
+    if "metadata-location" in out and out["metadata-location"] is None:
+        del out["metadata-location"]
+    if isinstance(out.get("results"), list):  # commit_transaction
+        out["results"] = [
+            r if not isinstance(r, dict) else _scrub_metadata_nulls(r)
+            for r in out["results"]
+        ]
+    return out
+
+
 class CatalogHandler(BaseHTTPRequestHandler):
     store: CatalogStore  # injected by make_server
     verifier: "TokenVerifier | None" = None  # optional OIDC middleware
@@ -111,6 +143,8 @@ class CatalogHandler(BaseHTTPRequestHandler):
         return json.loads(self.rfile.read(length))
 
     def _send(self, code: int, payload: dict | None = None) -> None:
+        if payload is not None:
+            payload = _scrub_metadata_nulls(payload)
         data = b"" if payload is None else json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")

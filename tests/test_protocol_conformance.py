@@ -29,6 +29,7 @@ import urllib.parse
 import uuid
 
 import pytest
+from openapi_schema import validate_response
 
 from iceberg_rest_server_spark.catalog.server import ServerThread
 
@@ -43,7 +44,12 @@ SCHEMA = {
 
 
 def _req(server, method, path, body=None, headers=None):
-    """One raw HTTP exchange; returns (status, parsed-json-or-None, headers)."""
+    """One raw HTTP exchange; returns (status, parsed-json-or-None, headers).
+
+    Every catalog response that flows through here is ALSO structurally
+    validated against the reference's own OpenAPI document (r8 verdict
+    missing #1) — a field the contract requires but the server omits
+    fails the replaying test, suite-wide."""
     conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=10)
     payload = None if body is None else json.dumps(body)
     hdrs = {"Content-Type": "application/json"}
@@ -52,7 +58,9 @@ def _req(server, method, path, body=None, headers=None):
     resp = conn.getresponse()
     raw = resp.read()
     conn.close()
-    return resp.status, (json.loads(raw) if raw else None), dict(resp.getheaders())
+    parsed = json.loads(raw) if raw else None
+    validate_response(method, path, resp.status, parsed)
+    return resp.status, parsed, dict(resp.getheaders())
 
 
 def _assert_error_envelope(payload, code, etype=None):
