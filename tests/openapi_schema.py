@@ -62,7 +62,16 @@ def _fix(node: Any) -> Any:
 @functools.lru_cache(maxsize=1)
 def spec() -> dict:
     with open(SPEC_PATH) as fh:
-        return _fix(yaml.safe_load(fh))
+        doc = _fix(yaml.safe_load(fh))
+    # One documented inconsistency inside the document itself: the
+    # AssertRefSnapshotId schema types snapshot-id as a plain integer,
+    # but its own description reads "if `snapshot-id` is `null` or
+    # missing, the ref must not already exist" — i.e. real clients DO
+    # send null to assert ref-absence and servers must accept it. The
+    # prose wins for wire behavior, so admit null here.
+    arsi = doc["components"]["schemas"]["AssertRefSnapshotId"]
+    arsi["properties"]["snapshot-id"]["type"] = ["integer", "null"]
+    return doc
 
 
 def _lookup_operation(method: str, path: str) -> dict | None:
@@ -123,6 +132,26 @@ def _validate(payload: Any, schema: dict) -> None:
 
 
 VALIDATED = {"count": 0}  # coverage telemetry for test_openapi_contract
+
+
+def validate_request(method: str, path: str, body: Any) -> bool:
+    """Validate a replayed REQUEST body against the contract's
+    requestBody schema — evidence that the recorded client shapes the
+    conformance suite sends are the shapes a spec-generated client
+    would send, not hand-rolled drift. Returns True if a schema check
+    ran (only for routes in the document with application/json request
+    bodies; the oauth form-encoded body is out of scope)."""
+    op = _lookup_operation(method, path)
+    if op is None or body is None:
+        return False
+    rb = op.get("requestBody")
+    if rb is None:
+        return False
+    media = (_deref(rb).get("content") or {}).get("application/json")
+    if media is None or "schema" not in media:
+        return False
+    _validate(body, media["schema"])
+    return True
 
 
 def validate_response(method: str, path: str, status: int, payload: Any) -> bool:

@@ -11,7 +11,7 @@ import http.client
 import json
 
 import pytest
-from openapi_schema import spec, validate_response
+from openapi_schema import spec, validate_request, validate_response
 
 from iceberg_rest_server_spark.catalog.server import ServerThread
 from iceberg_rest_server_spark.catalog.server import _scrub_metadata_nulls
@@ -84,6 +84,47 @@ def test_route_matching_specificity_and_mount():
     # an unknown catalog route is itself a violation
     with pytest.raises(AssertionError):
         validate_response("GET", "/catalog/v1/p/not-a-route", 200, {})
+
+
+def test_request_validation_has_teeth():
+    path = "/catalog/v1/p/namespaces"
+    good = {"namespace": ["ns"], "properties": {}}
+    assert validate_request("POST", path, good)
+    # missing the required namespace field
+    with pytest.raises(Exception):
+        validate_request("POST", path, {"properties": {}})
+    # namespace must be an array of strings, not a string
+    with pytest.raises(Exception):
+        validate_request("POST", path, {"namespace": "ns"})
+    # the documented AssertRefSnapshotId null (ref-must-not-exist) is
+    # admitted per the spec's own prose, but a null parent-snapshot-id
+    # inside a Snapshot is rejected (optional key must be omitted)
+    commit = "/catalog/v1/p/namespaces/ns/tables/t"
+    req = {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None}
+    snap = {
+        "snapshot-id": 7,
+        "timestamp-ms": 1,
+        "manifest-list": "file:///m.json",
+        "summary": {"operation": "append"},
+    }
+    ok = {
+        "requirements": [req],
+        "updates": [{"action": "add-snapshot", "snapshot": snap}],
+    }
+    assert validate_request("POST", commit, ok)
+    bad = {
+        "requirements": [req],
+        "updates": [
+            {
+                "action": "add-snapshot",
+                "snapshot": {**snap, "parent-snapshot-id": None},
+            }
+        ],
+    }
+    with pytest.raises(Exception):
+        validate_request("POST", commit, bad)
+    # GET routes have no requestBody: nothing to check
+    assert validate_request("GET", "/catalog/v1/p/namespaces", None) is False
 
 
 def test_scrub_drops_null_optionals_but_keeps_page_token():

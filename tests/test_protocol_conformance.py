@@ -29,7 +29,7 @@ import urllib.parse
 import uuid
 
 import pytest
-from openapi_schema import validate_response
+from openapi_schema import validate_request, validate_response
 
 from iceberg_rest_server_spark.catalog.server import ServerThread
 
@@ -46,10 +46,13 @@ SCHEMA = {
 def _req(server, method, path, body=None, headers=None):
     """One raw HTTP exchange; returns (status, parsed-json-or-None, headers).
 
-    Every catalog response that flows through here is ALSO structurally
+    Every catalog exchange that flows through here is ALSO structurally
     validated against the reference's own OpenAPI document (r8 verdict
-    missing #1) — a field the contract requires but the server omits
-    fails the replaying test, suite-wide."""
+    missing #1), on BOTH sides: the replayed request body must be the
+    shape a spec-generated client sends, and a response field the
+    contract requires but the server omits fails the replaying test,
+    suite-wide."""
+    validate_request(method, path, body)
     conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=10)
     payload = None if body is None else json.dumps(body)
     hdrs = {"Content-Type": "application/json"}
@@ -303,6 +306,20 @@ def test_set_table_properties_commit(server):
 
 
 def _add_snapshot_body(md, snapshot_id, ref="main", parent=None):
+    # Jackson-faithful shape: a null snapshot-id in the requirement is a
+    # real client assertion ("ref must not exist yet" — the spec's own
+    # AssertRefSnapshotId prose), but a parentless Snapshot OMITS
+    # parent-snapshot-id rather than writing null (the field is typed
+    # optional-non-nullable; request validation enforces this).
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": int(time.time() * 1000),
+        "operation": "append",
+        "manifest-list": f"{md['location']}/metadata/snap-{snapshot_id}.json",
+        "summary": {"operation": "append"},
+    }
+    if parent is not None:
+        snapshot["parent-snapshot-id"] = parent
     return {
         "requirements": [
             {"type": "assert-ref-snapshot-id", "ref": ref, "snapshot-id": parent}
@@ -310,14 +327,7 @@ def _add_snapshot_body(md, snapshot_id, ref="main", parent=None):
         "updates": [
             {
                 "action": "add-snapshot",
-                "snapshot": {
-                    "snapshot-id": snapshot_id,
-                    "parent-snapshot-id": parent,
-                    "timestamp-ms": int(time.time() * 1000),
-                    "operation": "append",
-                    "manifest-list": f"{md['location']}/metadata/snap-{snapshot_id}.json",
-                    "summary": {"operation": "append"},
-                },
+                "snapshot": snapshot,
             },
             {
                 "action": "set-snapshot-ref",
@@ -562,7 +572,10 @@ def test_rename_table_route(server):
 
 def test_metrics_accepted_and_discarded(server):
     """RESTCatalog reports scan metrics after reads; server must 2xx
-    (catalog/metrics.rs:12-20 accepts and discards)."""
+    (catalog/metrics.rs:12-20 accepts and discards). The body is a
+    spec-complete ScanReport (request validation rejected the earlier
+    minimal stub — a real client sends filter/schema-id/projections/
+    metrics, all required)."""
     prefix = _prefix(server)
     _create_ns(server, prefix, "ns_m")
     _create_table(server, prefix, "ns_m", "t")
@@ -570,7 +583,23 @@ def test_metrics_accepted_and_discarded(server):
         server,
         "POST",
         f"/catalog/v1/{prefix}/namespaces/ns_m/tables/t/metrics",
-        {"report-type": "scan-report", "table-name": "t", "snapshot-id": 1},
+        {
+            "report-type": "scan-report",
+            "table-name": "t",
+            "snapshot-id": 1,
+            "filter": {"type": "not-null", "term": "my_ints", "value": {}},
+            "schema-id": 0,
+            "projected-field-ids": [1, 2],
+            "projected-field-names": ["my_ints", "my_floats"],
+            "metrics": {
+                "total-planning-duration": {
+                    "count": 1,
+                    "time-unit": "nanoseconds",
+                    "total-duration": 2644235116,
+                },
+                "result-data-files": {"unit": "count", "value": 1},
+            },
+        },
     )
     assert status == 204
 
