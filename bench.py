@@ -67,6 +67,11 @@ ISOLATED = {
     "q32_ngram_jaccard_pairs",
     "q32_simhash_pairs",
     "q125_quality_canonical",
+    # joined r9 after the same signature appeared in back-to-back full
+    # runs on an idle box: 2.83 s in one session, a SUSTAINED 18.8 s
+    # (two reruns agreeing) in the next — session-level codegen
+    # pollution luck, not noise; fresh-JVM runs converge tightly.
+    "q59_semantic_dedup",
     # r8 verdict #6: q100's rerun spread (6.59 vs 10.74 on identical
     # code) is the same shared-JVM mechanism, not plan instability —
     # fresh-JVM r9 runs converge immediately ([12.10, 5.07, 5.04] at
