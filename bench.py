@@ -81,6 +81,35 @@ ISOLATED = {
 }
 
 
+def _box_calibration() -> dict:
+    """Fixed CPU microprobes recorded with every bench run, so
+    cross-round (and intra-run) comparisons can normalize for box-speed
+    drift instead of arguing about it: an r9 audit found identical code
+    measuring a median 19% slower across 213 queries between two full
+    runs hours apart on an idle box. numpy GEMM exercises the
+    multi-threaded CPU capacity Spark executors see; the pure-python
+    loop is the single-core baseline. Both deterministic, ~2 s total."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((1024, 1024))
+    b = rng.standard_normal((1024, 1024))
+    a @ b  # untimed: BLAS thread-pool spin-up
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a @ b
+    gemm = (time.perf_counter() - t0) / 3
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    loop = time.perf_counter() - t0
+    return {
+        "numpy_gemm_1024_sec": round(gemm, 4),
+        "python_loop_2m_sec": round(loop, 4),
+    }
+
+
 def run_single(name: str) -> None:
     """--single NAME: run one query in THIS fresh process until the
     timing converges (min 3 / max 7 executions, cache-drop + GC
@@ -151,6 +180,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from iceberg_rest_server_spark.queries import REGISTRY
     from iceberg_rest_server_spark.session import get_spark
+
+    calibration = {"start": _box_calibration()}
 
     # Fresh-JVM family first, BEFORE the shared session exists, so the
     # subprocess JVMs never share the box with a second live JVM.
@@ -304,6 +335,7 @@ def main() -> None:
             print(f"[bench] {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
         _quiesce()
 
+    calibration["end"] = _box_calibration()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "sum_query_wall_sec",
@@ -315,6 +347,10 @@ def main() -> None:
         "queries": times,
         "n_queries": len(times),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # box-speed normalizer for cross-round comparisons (see
+        # _box_calibration): same code, slower probes => slower box,
+        # not a plan regression
+        "box_calibration": calibration,
     }
     if iso_runs:
         # which numbers are fresh-JVM min-of-3 (vs shared-session) —
