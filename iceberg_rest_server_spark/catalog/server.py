@@ -489,8 +489,14 @@ class CatalogHandler(BaseHTTPRequestHandler):
                 ]
                 store.commit_transaction(prefix, changes)
                 return 204, None
-            if rest == ["register"]:
-                # 501 parity (catalog/tables.rs:211-225)
+            if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "register":
+                # 501 parity (catalog/tables.rs:211-225). The spec route
+                # is /v1/{prefix}/namespaces/{namespace}/register; the
+                # pre-r9 match (`rest == ["register"]`) tested a path
+                # that doesn't exist, so a real RESTCatalog
+                # register_table call fell through to a generic 404
+                # instead of the structured 501 — found by the r9
+                # OpenAPI route-coverage test.
                 return _error(501, "register_table is not implemented", "NotImplemented")
             if len(rest) >= 3 and rest[0] == "namespaces" and rest[2] == "views":
                 if method == "GET" and len(rest) == 3:

@@ -372,9 +372,16 @@ def test_rest_roundtrip_and_error_codes():
             )
         assert e.value.code == 409
 
-        # register_table → 501 parity
+        # register_table → 501 parity; the route lives UNDER a namespace
+        # (/v1/{prefix}/namespaces/{ns}/register — this test previously
+        # probed a nonexistent prefix-level path and pinned the 501 to
+        # the wrong route; the r9 OpenAPI route-coverage test caught it)
         with pytest.raises(CatalogHTTPError) as e:
-            c._request("POST", f"/catalog/v1/{c.prefix}/register", {"name": "x"})
+            c._request(
+                "POST",
+                f"/catalog/v1/{c.prefix}/namespaces/ns_a/register",
+                {"name": "x", "metadata-location": "file:///m.json"},
+            )
         assert e.value.code == 501
 
         # oauth tokens → 501 parity (api/iceberg/v1/oauth.rs:22-33 routes
