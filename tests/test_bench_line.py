@@ -51,3 +51,19 @@ def test_errors_truncated_but_present():
     assert parsed["value"] is None
     assert parsed["errors"]
     assert all(len(v) <= 80 for v in parsed["errors"].values())
+
+
+def test_box_calibration_survives_line_trim():
+    """The calibration probes exist to make BENCH_r{N}.json numbers
+    box-comparable — they must ride the stdout line, not just
+    BENCH_FULL.json, and never be sacrificed to the per-query trim."""
+    out = _out(300)
+    out["box_calibration"] = {
+        "start": {"numpy_gemm_1024_sec": 0.0142, "python_loop_2m_sec": 0.0975},
+        "end": {"numpy_gemm_1024_sec": 0.0112, "python_loop_2m_sec": 0.1037},
+    }
+    line = summary_line(out)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["box_calibration"]["start"]["numpy_gemm_1024_sec"] == 0.0142
+    assert parsed["queries_shown"] > 10  # trim still leaves the slow tail
