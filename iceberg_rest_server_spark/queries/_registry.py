@@ -45,85 +45,85 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # on (1) entries with NO driver evidence yet, (2) entries whose code or
 # oracle changed since their last green row, then (3) the STALEST
 # recorded evidence first.
-# r9 WINDOW (exactly 50): 3 no-evidence (q204–q206, landed after the r8
-# driver run; judge-verified in VERDICT r8 but no driver row) + 8
-# changed in r9 (q198 grew an empty-text guard — ADVICE r8 #1; the
-# streaming staging-dir key moved from per-process-randomized
-# abs(hash()) to a stable md5 digest — ADVICE r8 #3 — which touches all
-# 11 streaming entries' shared plumbing, so the 7 stalest of them,
-# last-green r05, re-run now while the 4 recent-green ones, r07/r08,
-# ride the normal rotation) + the 39 entries whose last green is r03.
-# After r9 the oldest recorded evidence anywhere is r04. Cumulative:
-# every registry entry has a green row r03+; tools/driver_sim.py
-# re-checks the WHOLE registry each round regardless — its r9 run is
+# r10 WINDOW (exactly 50): there are no no-evidence entries (every one
+# of the 227 has a green row) and no r10 change touched any registry
+# entry's query code or oracle (r10 work was bench harness, catalog
+# wire fixes, conformance tests, and the read-only scaling study), so
+# the whole window goes to stale evidence: the 42 entries whose last
+# driver-recorded green is r04 (recomputed from CORRECTNESS_r01..r09
+# this round; the exact list matches VERDICT r9 #1) + the 8 next-stalest
+# fills drawn from the 38-entry r05 cohort (all equally stale —
+# alphabetical order is the pinned tie-break so the pick is
+# reproducible). After r10 the oldest evidence anywhere is r05 (30
+# entries), cleared by r11+r12 at steady state. tools/driver_sim.py
+# re-checks the WHOLE registry each round regardless — its r10 run is
 # recorded in PARITY.md.
 # Every entry is always returned — ordering only, never selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (1) no driver evidence yet (landed post-r8-driver-run) ---
-    "q204_array_fold_kernels",
-    "q205_regex_extraction",
-    "q206_bitwise_aggregates",
-    # --- (2) code changed in r9 ---
-    "q198_char_entropy",  # empty-text sequence guard (ADVICE r8)
-    # streaming staging-key change (md5 digest), stalest-affected first:
-    "q30_stream_session_window",
-    "q39_stream_stateful_user_totals",
-    "q57_stream_static_enrich",
-    "q58_stream_stream_join",
-    "q90_stream_catalog_sink",
-    "q115_stream_ingest_dedup",
-    "q134_stream_cdc_upsert",
-    # --- (3) stalest evidence: last green r03 (39 entries) ---
-    "q15_sliding_window",
-    "q23_get_json",
-    "q33_bpe_token_count",
-    "q33_quality_score",
-    "q33_tfidf_top_terms",
-    "q33_token_stats",
-    "q35_cosine_neardup_pairs",
-    "q36_ann_bruteforce_topk",
-    "q37_multimodal_frames",
-    "q37_multimodal_metadata",
-    "q40_curation_pipeline",
-    "q43_sessionize_batch",
-    "q44_pivot_profile",
-    "q47_fuzzy_brand_pairs",
-    "q48_decontamination",
-    "q50_repetition_quality",
-    "q51_range_join",
-    "q52_latest_by_key",
-    "q53_domain_mixture",
-    "q59_semantic_dedup",
-    "q60_embedding_centroids",
-    "q62_stats_moments",
-    "q64_tpch_q3",
-    "q65_tpch_q4",
-    "q66_tpch_q5",
-    "q67_tpch_q6",
-    "q68_tpch_q7",
-    "q70_tpch_q10",
-    "q71_tpch_q13",
-    "q72_tpch_q14",
-    "q73_tpch_q15",
-    "q75_tpch_q18",
-    "q76_tpch_q19",
-    "q77_tpch_q22",
-    "q78_pii_redaction",
-    "q79_sequence_chunking",
-    "q80_token_packing",
-    "q81_epoch_shuffle",
-    "q87_skyline",
-    # --- below here falls outside the 50-entry window ---
-    # next-stalest (r04) entries lead the r10 window unless displaced by
-    # r10 changes; the 4 recent-green streaming entries affected by the
-    # digest change re-run via tools/driver_sim.py + pytest this round
+    # --- (1) stalest evidence: last green r04 (42 entries) ---
     "q100_bloom_decontaminate",
     "q101_incremental_mv",
     "q102_tpch_q2",
-    "q29_stream_tumbling_window",
-    "q162_stream_stream_left_outer",
-    "q171_stream_stream_full_outer",
-    "q172_stream_sliding_window",
+    "q103_tpch_q9",
+    "q104_tpch_q11",
+    "q105_tpch_q16",
+    "q106_tpch_q20",
+    "q107_tpch_q21",
+    "q108_event_funnel",
+    "q109_cohort_retention",
+    "q110_weighted_sample",
+    "q112_domain_kl_drift",
+    "q113_paragraph_dedup",
+    "q114_embedding_quantization",
+    "q116_zorder_clustering",
+    "q117_source_roundtrip",
+    "q118_python_udtf",
+    "q119_right_outer_join",
+    "q120_leakage_safe_split",
+    "q121_vocabulary_oov",
+    "q122_grouped_ols_trend",
+    "q123_variant_json",
+    "q124_asof_attribution",
+    "q125_quality_canonical",
+    "q37_multimodal_features",
+    "q41_percentiles",
+    "q42_histogram",
+    "q45_hash_sample",
+    "q46_stratified_topk",
+    "q56_unpivot",
+    "q84_skewed_distinct_agg",
+    "q85_salted_join",
+    "q86_gap_fill_ffill",
+    "q89_approx_percentiles",
+    "q91_equidepth_histogram",
+    "q92_trailing_window_agg",
+    "q93_data_quality_checks",
+    "q94_unicode_normalize",
+    "q95_tpch_q12",
+    "q97_ratio_to_report",
+    "q98_median_absolute_deviation",
+    "q99_substring_dedup",
+    # --- (2) next-stalest fills: first 8 of the r05 cohort (38 equally
+    # stale entries, alphabetical tie-break) ---
+    "q01_scan_projection",
+    "q03_hash_aggregate",
+    "q06_approx_distinct",
+    "q07_inner_join",
+    "q08_broadcast_join",
+    "q09_multiway_join",
+    "q111_hll_union_rollup",
+    "q127_kmeans_clustering",
+    # --- below here falls outside the 50-entry window ---
+    # the remaining 30 r05 entries lead the r11 window unless displaced
+    # by r11 changes (next alphabetically: q129_scd2_reconstruction,
+    # q130_interval_concurrency, q131_markov_transitions, ...)
+    "q129_scd2_reconstruction",
+    "q130_interval_concurrency",
+    "q131_markov_transitions",
+    "q132_rfm_segmentation",
+    "q133_hard_negative_mining",
+    "q135_time_weighted_average",
+    "q136_cooccurrence_similarity",
     "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 
