@@ -81,33 +81,91 @@ ISOLATED = {
 }
 
 
+# Reference box speed the calibrated numbers are normalized TO: the r9
+# end-of-run probe (BENCH_r09 box_calibration.end numpy_gemm 0.0085 s),
+# taken when that box had reached steady state — the r9 ADVICE
+# established `end` as the only trustworthy r9 sample because the old
+# probe's single untimed warm-up let cold-start noise through (start
+# 0.0415 s vs end 0.0085 s on the same idle box). With REF pinned to
+# the r9 end probe, r9's recorded raw seconds ARE its calibrated
+# seconds (factor 1.0), so calibrated r10+ numbers compare directly
+# against the BENCH_r09 raw record.
+_CALIB_REF_GEMM = 0.0085
+
+
 def _box_calibration() -> dict:
-    """Fixed CPU microprobes recorded with every bench run, so
+    """Fixed CPU microprobes recorded throughout every bench run, so
     cross-round (and intra-run) comparisons can normalize for box-speed
     drift instead of arguing about it: an r9 audit found identical code
     measuring a median 19% slower across 213 queries between two full
-    runs hours apart on an idle box. numpy GEMM exercises the
+    runs hours apart on an idle box, and the r9 recorded run started on
+    a box phase 2.3x slower than its end. numpy GEMM exercises the
     multi-threaded CPU capacity Spark executors see; the pure-python
-    loop is the single-core baseline. Both deterministic, ~2 s total."""
+    loop is the single-core baseline. Steady-state by construction
+    (ADVICE r9): two untimed warm-up multiplies, then min-of-5 timed —
+    the committed r9 artifact proved one untimed rep insufficient
+    (start probe 5x its own end probe on an idle box). ~2 s total."""
     import numpy as np
 
     rng = np.random.default_rng(42)
     a = rng.standard_normal((1024, 1024))
     b = rng.standard_normal((1024, 1024))
     a @ b  # untimed: BLAS thread-pool spin-up
-    t0 = time.perf_counter()
-    for _ in range(3):
+    a @ b  # untimed: second rep — caches + governor ramp
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         a @ b
-    gemm = (time.perf_counter() - t0) / 3
-    t0 = time.perf_counter()
-    s = 0
-    for i in range(2_000_000):
-        s += i * i
-    loop = time.perf_counter() - t0
+        reps.append(time.perf_counter() - t0)
+    gemm = min(reps)
+    loops = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(2_000_000):
+            s += i * i
+        loops.append(time.perf_counter() - t0)
     return {
         "numpy_gemm_1024_sec": round(gemm, 4),
-        "python_loop_2m_sec": round(loop, 4),
+        "python_loop_2m_sec": round(min(loops), 4),
     }
+
+
+class _ProbeLog:
+    """Timestamped probe series + per-query measurement midpoints.
+
+    Each query's calibration factor is the GEMM speed of the probe
+    nearest in time to when that query actually ran (probes bracket
+    every isolated subprocess and every ~20 shared-loop queries, so
+    'nearest' is minutes away at worst — box phase drift is a
+    governor/noisy-neighbor effect on the scale of many minutes).
+    calibrated_sec = raw_sec * (_CALIB_REF_GEMM / nearest_gemm): a box
+    running 2x slower than the r9 reference halves the recorded number
+    instead of reading as a 2x plan regression."""
+
+    def __init__(self) -> None:
+        self.probes: list[dict] = []
+        self.query_mid: dict[str, float] = {}
+
+    def probe(self, label: str) -> dict:
+        rec = dict(_box_calibration())
+        rec["t"] = round(time.monotonic(), 2)
+        rec["label"] = label
+        self.probes.append(rec)
+        return rec
+
+    def mark(self, name: str, t_start: float, t_end: float) -> None:
+        self.query_mid[name] = (t_start + t_end) / 2
+
+    def factor(self, name: str) -> float:
+        mid = self.query_mid.get(name)
+        if mid is None or not self.probes:
+            return 1.0
+        nearest = min(self.probes, key=lambda p: abs(p["t"] - mid))
+        return _CALIB_REF_GEMM / max(nearest["numpy_gemm_1024_sec"], 1e-6)
+
+    def calibrated(self, times: dict[str, float]) -> dict[str, float]:
+        return {n: round(t * self.factor(n), 4) for n, t in times.items()}
 
 
 def run_single(name: str) -> None:
@@ -142,16 +200,23 @@ def run_single(name: str) -> None:
     spark.stop()
 
 
-def _run_isolated(names: list[str]) -> tuple[dict[str, list[float]], dict[str, str]]:
+def _run_isolated(
+    names: list[str], plog: _ProbeLog
+) -> tuple[dict[str, list[float]], dict[str, str]]:
     """Spawn one fresh interpreter+JVM per query, sequentially (never
     concurrently — two JVMs would contend for the same 32 cores and
-    contaminate each other's timings). Returns (raw runs, errors)."""
+    contaminate each other's timings). A calibration probe runs before
+    EACH subprocess (VERDICT r9 #2: the isolated phase is where the r9
+    box ran 2.3x slow, so one start-of-run probe can't attribute
+    per-query swings). Returns (raw runs, errors)."""
     import subprocess
 
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     here = os.path.abspath(__file__)
     for name in names:
+        plog.probe(f"pre:{name}")
+        t_start = time.monotonic()
         try:
             proc = subprocess.run(
                 [sys.executable, here, "--single", name],
@@ -164,6 +229,7 @@ def _run_isolated(names: list[str]) -> tuple[dict[str, list[float]], dict[str, s
             rec = json.loads(line)
             assert rec["name"] == name and rec["runs"]
             runs[name] = rec["runs"]
+            plog.mark(name, t_start, time.monotonic())
             print(
                 f"[bench] {name} (fresh JVM): {min(rec['runs']):.2f}s "
                 f"runs={rec['runs']}",
@@ -173,7 +239,34 @@ def _run_isolated(names: list[str]) -> tuple[dict[str, list[float]], dict[str, s
         except Exception as exc:
             errors[name] = f"isolated: {type(exc).__name__}: {exc}"[:300]
             print(f"[bench] {name}: ISOLATED FAILED {errors[name]}", file=sys.stderr, flush=True)
+    if names:
+        plog.probe("post:isolated")
     return runs, errors
+
+
+def _shared_loop_order(
+    registry: set[str], iso_runs: dict, iso_errors: dict
+) -> list[str]:
+    """Order of the shared-session loop: headline first, then batch
+    alphabetical, streaming last (state-store residue inflates whatever
+    runs next). Excluded entirely: queries with a recorded fresh-JVM
+    number AND queries whose isolated run FAILED (ADVICE r9, medium) —
+    re-running an isolation-family query in the shared session would
+    record exactly the JIT-polluted number the isolation exists to
+    avoid, and the stale isolated error + fallback time double-booked
+    the query in both `queries` and `errors`, nulling the headline
+    while still summing the contaminated number. The error stands and
+    the fix is rerunning the bench, not trusting the fallback."""
+    streaming = {n for n in registry if "_stream" in n}
+    done = set(iso_runs) | set(iso_errors)
+    names = [n for n in HEADLINE if n in registry and n not in done]
+    names += [
+        n
+        for n in sorted(registry)
+        if n not in HEADLINE and n not in streaming and n not in done
+    ]
+    names += sorted(streaming - done)
+    return names
 
 
 def main() -> None:
@@ -181,13 +274,14 @@ def main() -> None:
     from iceberg_rest_server_spark.queries import REGISTRY
     from iceberg_rest_server_spark.session import get_spark
 
-    calibration = {"start": _box_calibration()}
+    plog = _ProbeLog()
+    calibration = {"start": plog.probe("start")}
 
     # Fresh-JVM family first, BEFORE the shared session exists, so the
     # subprocess JVMs never share the box with a second live JVM.
     isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
     iso_names = sorted(n for n in ISOLATED if n in REGISTRY) if isolate else []
-    iso_runs, iso_errors = _run_isolated(iso_names) if iso_names else ({}, {})
+    iso_runs, iso_errors = _run_isolated(iso_names, plog) if iso_names else ({}, {})
 
     spark = get_spark("bench")
 
@@ -263,15 +357,7 @@ def main() -> None:
     # caches, checkpoint IO) that measurably inflates whatever runs next
     # (~+30% on the dedup queries, A/B-tested); run them last so every
     # batch query is timed from comparable session state.
-    streaming = {n for n in REGISTRY if "_stream" in n}
-    done = set(iso_runs)  # fresh-JVM numbers already recorded
-    names = [n for n in HEADLINE if n in REGISTRY and n not in done]
-    names += [
-        n
-        for n in sorted(REGISTRY)
-        if n not in HEADLINE and n not in streaming and n not in done
-    ]
-    names += sorted(streaming - done)
+    names = _shared_loop_order(set(REGISTRY), iso_runs, iso_errors)
     times: dict[str, float] = {n: min(r) for n, r in iso_runs.items()}
     reruns: dict[str, list[float]] = dict(iso_runs)
     errors: dict[str, str] = dict(iso_errors)
@@ -314,8 +400,14 @@ def main() -> None:
     # isolation is disabled and they fall back into this shared loop.
     rerun_sec = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_SEC", "3"))
     iterative3 = set() if isolate else set(ISOLATED)
-    for name in names:
+    for i, name in enumerate(names):
+        if i % 20 == 0:
+            # periodic probe (~2 s each, ~20 s over the run) so every
+            # shared-loop query has a box-speed sample within ~10
+            # queries of when it ran
+            plog.probe(f"shared:{i}")
         q = REGISTRY[name]
+        t_started = time.monotonic()
         try:
             t1 = _run_once(q)
             times[name] = t1
@@ -329,14 +421,16 @@ def main() -> None:
                     t3 = _run_once(q)
                     reruns[name].append(t3)
                     times[name] = min(times[name], t3)
+            plog.mark(name, t_started, time.monotonic())
             print(f"[bench] {name}: {times[name]:.2f}s", file=sys.stderr, flush=True)
         except Exception as exc:  # one bad query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"[bench] {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
         _quiesce()
 
-    calibration["end"] = _box_calibration()
+    calibration["end"] = plog.probe("end")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calibrated = plog.calibrated(times)
     out = {
         "metric": "sum_query_wall_sec",
         # A failed query must not silently LOWER the total (a regression
@@ -345,12 +439,21 @@ def main() -> None:
         "value": round(sum(times.values()), 4) if not errors else None,
         "unit": "sec",
         "queries": times,
+        # Box-speed-normalized seconds (VERDICT r9 #2): each query's raw
+        # time scaled by _CALIB_REF_GEMM / nearest-probe-gemm, so a
+        # round measured on a 2x-slower box phase reads as the SAME
+        # calibrated number, not a 2x plan regression. REF is pinned to
+        # the r9 end-of-run probe, so these compare directly against
+        # BENCH_r09's raw per-query record.
+        "queries_calibrated": calibrated,
+        "value_calibrated": round(sum(calibrated.values()), 4) if not errors else None,
+        "calib_ref_gemm": _CALIB_REF_GEMM,
         "n_queries": len(times),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # box-speed normalizer for cross-round comparisons (see
-        # _box_calibration): same code, slower probes => slower box,
-        # not a plan regression
+        # start/end probes kept for continuity with r9 artifacts; the
+        # full probe series is in BENCH_FULL.json's `probes`
         "box_calibration": calibration,
+        "probes": plog.probes,
     }
     if iso_runs:
         # which numbers are fresh-JVM min-of-3 (vs shared-session) —
@@ -387,19 +490,26 @@ def summary_line(out: dict, budget: int = 1700) -> str:
     """
     line_out = dict(out)
     line_out.pop("reruns", None)  # full record only — too wide for the line
+    line_out.pop("probes", None)  # full record only — the series is long
     times = out.get("queries", {})
+    calibrated = out.get("queries_calibrated", {})
     errors = out.get("errors")
     if errors:
         line_out["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
     slowest = sorted(times, key=times.get, reverse=True)
     kept: dict[str, float] = {}
+    kept_cal: dict[str, float] = {}
     line_out["queries"] = kept
+    line_out["queries_calibrated"] = kept_cal
     line_out["queries_shown"] = 0
     for name in slowest:
         kept[name] = round(times[name], 2)
+        if name in calibrated:
+            kept_cal[name] = round(calibrated[name], 2)
         line_out["queries_shown"] = len(kept)
         if len(json.dumps(line_out)) > budget:
             del kept[name]
+            kept_cal.pop(name, None)
             line_out["queries_shown"] = len(kept)
             break
     return json.dumps(line_out)

@@ -53,6 +53,62 @@ def test_errors_truncated_but_present():
     assert all(len(v) <= 80 for v in parsed["errors"].values())
 
 
+def test_calibrated_queries_ride_the_line_probes_do_not():
+    """r10: per-query calibrated seconds must appear in the stdout line
+    (that's what makes BENCH_r10 deltas attributable without prose);
+    the raw probe SERIES is full-record-only — it would blow the
+    2000-char tail capture."""
+    out = _out(300)
+    out["queries_calibrated"] = {n: round(t * 0.8, 4) for n, t in out["queries"].items()}
+    out["value_calibrated"] = round(sum(out["queries_calibrated"].values()), 4)
+    out["probes"] = [{"t": i, "numpy_gemm_1024_sec": 0.01, "label": "x"} for i in range(40)]
+    line = summary_line(out)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert "probes" not in parsed
+    assert parsed["value_calibrated"] == out["value_calibrated"]
+    kept = parsed["queries"]
+    # every raw entry kept on the line has its calibrated twin
+    assert set(parsed["queries_calibrated"]) == set(kept)
+    for n in kept:
+        assert parsed["queries_calibrated"][n] == round(out["queries"][n] * 0.8, 2)
+
+
+def test_probe_log_nearest_probe_normalization():
+    """A query measured while the box probed 2x slower than the pinned
+    r9 reference must read HALF its raw seconds calibrated — slower box,
+    not plan regression — and the probe chosen must be the one nearest
+    in time to the query's own run."""
+    from bench import _CALIB_REF_GEMM, _ProbeLog
+
+    plog = _ProbeLog()
+    plog.probes.append({"t": 0.0, "numpy_gemm_1024_sec": _CALIB_REF_GEMM * 2, "label": "a"})
+    plog.probes.append({"t": 100.0, "numpy_gemm_1024_sec": _CALIB_REF_GEMM, "label": "b"})
+    plog.mark("slow_phase_q", 0.0, 20.0)   # mid 10 -> nearest probe t=0 (2x slow)
+    plog.mark("fast_phase_q", 90.0, 110.0)  # mid 100 -> nearest probe t=100 (ref speed)
+    cal = plog.calibrated({"slow_phase_q": 8.0, "fast_phase_q": 8.0})
+    assert cal["slow_phase_q"] == 4.0
+    assert cal["fast_phase_q"] == 8.0
+    # unmarked queries fall back to factor 1.0 (raw == calibrated)
+    assert plog.calibrated({"never_marked": 3.0})["never_marked"] == 3.0
+
+
+def test_isolated_failure_never_falls_back_to_shared_session():
+    """ADVICE r9 (medium): a query that failed its fresh-JVM run must
+    NOT re-run in the shared loop — that records the JIT-polluted
+    number the isolation exists to avoid and double-books the query in
+    both `queries` and `errors`."""
+    from bench import _shared_loop_order
+
+    registry = {"q96_pagerank_canonical", "q01_scan_projection", "q29_stream_x"}
+    names = _shared_loop_order(registry, {}, {"q96_pagerank_canonical": "isolated: boom"})
+    assert "q96_pagerank_canonical" not in names
+    assert names == ["q01_scan_projection", "q29_stream_x"]
+    # with a recorded fresh-JVM number it is equally excluded
+    names = _shared_loop_order(registry, {"q96_pagerank_canonical": [1.0]}, {})
+    assert "q96_pagerank_canonical" not in names
+
+
 def test_box_calibration_survives_line_trim():
     """The calibration probes exist to make BENCH_r{N}.json numbers
     box-comparable — they must ride the stdout line, not just
