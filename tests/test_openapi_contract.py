@@ -33,6 +33,31 @@ def test_error_envelope_schema_enforced():
         )
 
 
+def test_off_document_status_fallback_is_bounded():
+    """ADVICE r9: the off-document fallback exists for exactly the two
+    families the reference emits outside its own document — axum-level
+    4xx and the 501 parity stubs. A 5xx (other than 501) on a replay
+    path is a server regression and must FAIL the contract check even
+    when it carries a perfectly well-formed error envelope; same for an
+    undocumented 2xx/3xx."""
+    path = "/catalog/v1/p/namespaces/ns/tables/t"
+    # (500/503 ARE documented for loadTable, so they validate via the
+    # normal branch; the off-document 5xx family is e.g. 502/504)
+    err_5xx = {"error": {"message": "boom", "type": "BadGateway", "code": 502}}
+    with pytest.raises(AssertionError):
+        validate_response("GET", path, 502, err_5xx)
+    with pytest.raises(AssertionError):
+        validate_response("GET", path, 504, err_5xx)
+    # undocumented success statuses stay rejected
+    with pytest.raises(AssertionError):
+        validate_response("GET", path, 201, {"metadata-location": "x"})
+    # the two sanctioned families still validate (with the envelope)
+    stub = {"error": {"message": "ni", "type": "NotImplemented", "code": 501}}
+    assert validate_response("POST", "/catalog/v1/p/namespaces/ns/register", 501, stub)
+    bad_req = {"error": {"message": "malformed", "type": "BadRequest", "code": 405}}
+    assert validate_response("GET", path, 405, bad_req)
+
+
 def test_load_table_result_schema_enforced():
     path = "/catalog/v1/p/namespaces/ns/tables/t"
     md = {
