@@ -14,7 +14,10 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "iceberg_rest_server_spark") -> SparkSession:
+def get_spark(
+    app_name: str = "iceberg_rest_server_spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -40,6 +43,10 @@ def get_spark(app_name: str = "iceberg_rest_server_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # caller overrides (e.g. tools/scaling.py re-enables the UI so the
+    # public monitoring REST API can report per-stage shuffle bytes)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,340 @@
+"""Measured scaling curve for the heavy dedup/graph/ANN family
+(VERDICT r9 #3): build 4x/16x corpora in /tmp by deterministic
+self-union, run each heavy query at 1x/4x/16x in one fresh JVM,
+record wall seconds AND shuffle-write bytes (public Spark monitoring
+REST API), fit the growth exponent, and regenerate SCALING.md.
+
+Corpus construction — the part that makes the curve honest:
+a naive k-fold self-union makes every document an exact twin of its
+k-1 copies, so the *answer itself* (near-dup pairs) grows
+quadratically in k and no engine could look sub-quadratic. Instead
+each copy i:
+
+- documents: every whitespace token gets a per-copy suffix
+  (``tok_c3``), so copies are content-DISJOINT (no shingle collides
+  across copies) while the within-copy duplicate structure — cluster
+  sizes, gram frequencies, text lengths — is preserved exactly. The
+  ideal output (pairs, clusters, canonicals) therefore scales x k,
+  and any super-linear growth we measure is the ENGINE's, not the
+  data's. doc_id offsets keep the mod-10 bench/corpus split of
+  q100/q48 proportionally identical.
+- embeddings: the vector is rotated by i positions (norm-preserving,
+  decorrelates copies) and vec_id offset; the q36 query set
+  (vec_id < 10) stays fixed while the corpus grows — the realistic
+  ANN setup.
+- lineitem: l_orderkey offset by a multiple of 10 (preserves q31's
+  %10 dup-injection class proportions), everything else verbatim.
+
+All scales (including x1) are written through the same parquet
+writer so encoding/row-group differences never masquerade as engine
+scaling. /root/testdata is read-only (TESTDATA.md) — corpora live
+under /tmp and are regenerated on demand.
+
+Usage:
+  python tools/scaling.py                # gen + measure all + SCALING.md
+  python tools/scaling.py --gen          # corpora only
+  python tools/scaling.py --measure Q    # subprocess: one query, all scales
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import subprocess
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/scaling_corpus")
+SCALES = [
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SCALING_LADDER", "1,4,16").split(",")
+]
+UI_PORT = 4099
+
+# stride is a multiple of 10 so doc_id/l_orderkey %-10 splits keep
+# their proportions in every copy (q100's bench split, q31's dup class)
+STRIDE = 10_000_000
+
+# The measured family (VERDICT r9 #3). Every tier here is bucketed /
+# prefix-filtered — sub-quadratic BY DESIGN — so each gets a growth
+# assertion. The exact-GEMM family (q35_cosine_neardup_pairs,
+# q59_semantic_dedup) is all-pairs by spec and documented quadratic;
+# q59 is measured as the CONTROL so the table shows what quadratic
+# looks like on the same box, but is excluded from the assertion.
+BUCKETED = [
+    "q31_exact_dedup",
+    "q32_minhash_lsh_pairs",
+    "q32_ngram_jaccard_pairs",
+    "q49_dedup_clusters",
+    "q96_pagerank_canonical",
+    "q100_bloom_decontaminate",
+    "q36_ann_lsh_topk",
+]
+CONTROL = ["q59_semantic_dedup"]
+# the control's all-pairs GEMM is O(k^2): cap its ladder so the tool
+# stays inside the round budget (16x would be 256x the x1 GEMM)
+CONTROL_SCALES = [1, 4]
+
+
+def _scaled_documents_sql(i: int) -> str:
+    if i == 0:
+        return f"SELECT * FROM read_parquet('{BASE_SF}/documents.parquet')"
+    return f"""
+    SELECT doc_id + {i * STRIDE} AS doc_id,
+           array_to_string(
+             list_transform(string_split(text, ' '), t -> t || '_c{i}'),
+             ' ') AS text,
+           lang, source,
+           length(array_to_string(
+             list_transform(string_split(text, ' '), t -> t || '_c{i}'),
+             ' ')) AS n_chars
+    FROM read_parquet('{BASE_SF}/documents.parquet')
+    """
+
+
+def _scaled_embeddings_sql(i: int) -> str:
+    if i == 0:
+        return f"SELECT * FROM read_parquet('{BASE_SF}/embeddings.parquet')"
+    r = i % 64  # 64-dim vectors; rotate by copy index
+    return f"""
+    SELECT vec_id + {i * STRIDE} AS vec_id,
+           list_slice(embedding, {r + 1}, 64) || list_slice(embedding, 1, {r})
+             AS embedding,
+           label
+    FROM read_parquet('{BASE_SF}/embeddings.parquet')
+    """
+
+
+def _scaled_lineitem_sql(i: int) -> str:
+    if i == 0:
+        return f"SELECT * FROM read_parquet('{BASE_SF}/lineitem.parquet')"
+    return (
+        f"SELECT * REPLACE (l_orderkey + {i * STRIDE} AS l_orderkey) "
+        f"FROM read_parquet('{BASE_SF}/lineitem.parquet')"
+    )
+
+
+def generate(scales: list[int] | None = None, base_sf: str | None = None,
+             root: str | None = None) -> None:
+    import duckdb
+
+    global BASE_SF  # noqa: PLW0603 — test override
+    if base_sf:
+        BASE_SF = base_sf
+    root = root or ROOT
+    con = duckdb.connect()
+    for k in scales or SCALES:
+        d = os.path.join(root, f"x{k}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for table, sql_fn in (
+            ("documents", _scaled_documents_sql),
+            ("embeddings", _scaled_embeddings_sql),
+            ("lineitem", _scaled_lineitem_sql),
+        ):
+            union = " UNION ALL ".join(f"({sql_fn(i)})" for i in range(k))
+            con.execute(
+                f"COPY ({union}) TO '{d}/{table}.parquet' (FORMAT PARQUET)"
+            )
+        # the heavy family never reads these, but symlinks keep every
+        # scaled dir a complete, loadable sf-dir
+        for other in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "events",
+        ):
+            src = os.path.join(BASE_SF, f"{other}.parquet")
+            if os.path.exists(src):
+                os.symlink(src, os.path.join(d, f"{other}.parquet"))
+        print(f"[scaling] generated {d}", file=sys.stderr, flush=True)
+
+
+# ------------------------------------------------------------- measure
+
+def _shuffle_write_bytes(port: int) -> int:
+    """Total shuffle-write bytes across all completed stages, via the
+    public monitoring REST API (the only JVM-metrics surface PySpark
+    exposes without py4j internals). Deltas around a run isolate that
+    run's shuffle volume."""
+    base = f"http://127.0.0.1:{port}/api/v1"
+    with urllib.request.urlopen(f"{base}/applications") as r:
+        app = json.load(r)[0]["id"]
+    with urllib.request.urlopen(f"{base}/applications/{app}/stages?status=COMPLETE") as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def measure(name: str) -> None:
+    """Subprocess mode: one query, every scale, ONE fresh JVM. The x1
+    warm-up run absorbs C2 compilation + Python-worker spawn for this
+    query's plan shapes; plan shapes are scale-invariant, so later
+    scales run JIT-warm and the growth ratio is clean."""
+    from iceberg_rest_server_spark.queries import REGISTRY
+    from iceberg_rest_server_spark.session import get_spark
+
+    scales = CONTROL_SCALES if name in CONTROL else SCALES
+    spark = get_spark(
+        f"scaling-{name}",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            # the whole ladder must stay in the status store or the
+            # before/after shuffle deltas corrupt mid-run
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
+    q = REGISTRY[name]
+
+    def run(sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).toPandas()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        return dt
+
+    run(os.path.join(ROOT, "x1"))  # warm-up, untimed
+    rec: dict = {"name": name, "scales": {}}
+    for k in scales:
+        sf_dir = os.path.join(ROOT, f"x{k}")
+        s0 = _shuffle_write_bytes(UI_PORT)
+        t1 = run(sf_dir)
+        shuffle = _shuffle_write_bytes(UI_PORT) - s0
+        # second timed run at the two cheap scales; by x16 the JVM is
+        # fully warm and one run suffices
+        wall = min(t1, run(sf_dir)) if k < max(scales) else t1
+        rec["scales"][str(k)] = {
+            "wall_sec": round(wall, 3),
+            "shuffle_write_bytes": shuffle,
+        }
+        print(f"[scaling] {name} x{k}: {wall:.2f}s shuffle={shuffle}", file=sys.stderr, flush=True)
+    print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
+def fit_exponent(lo_scale: int, hi_scale: int, lo: float, hi: float) -> float | None:
+    """Growth exponent a in cost ~ scale^a from the ladder endpoints.
+    None when the low end is ~0 (nothing to fit against)."""
+    if lo <= 0 or hi <= 0 or hi_scale <= lo_scale:
+        return None
+    return math.log(hi / lo) / math.log(hi_scale / lo_scale)
+
+
+def _exponents(rec: dict) -> tuple[float | None, float | None]:
+    ks = sorted(int(k) for k in rec["scales"])
+    lo, hi = rec["scales"][str(ks[0])], rec["scales"][str(ks[-1])]
+    return (
+        fit_exponent(ks[0], ks[-1], lo["wall_sec"], hi["wall_sec"]),
+        fit_exponent(
+            ks[0], ks[-1], lo["shuffle_write_bytes"], hi["shuffle_write_bytes"]
+        ),
+    )
+
+
+def orchestrate() -> int:
+    generate()
+    here = os.path.abspath(__file__)
+    results: list[dict] = []
+    failures: list[str] = []
+    for name in BUCKETED + CONTROL:
+        print(f"[scaling] measuring {name} ...", file=sys.stderr, flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--measure", name],
+                capture_output=True, text=True, timeout=2400, cwd=REPO,
+            )
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            results.append(rec)
+        except Exception as exc:
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+            print(f"[scaling] {name} FAILED: {exc}", file=sys.stderr, flush=True)
+    write_report(results, failures)
+    # the gate: every bucketed tier must grow sub-quadratically in BOTH
+    # wall time and shuffle volume
+    bad = []
+    for rec in results:
+        if rec["name"] in CONTROL:
+            continue
+        a_t, a_s = _exponents(rec)
+        if a_t is not None and a_t >= 2.0:
+            bad.append(f"{rec['name']}: time exponent {a_t:.2f} >= 2")
+        if a_s is not None and a_s >= 2.0:
+            bad.append(f"{rec['name']}: shuffle exponent {a_s:.2f} >= 2")
+    for b in bad:
+        print(f"[scaling] QUADRATIC: {b}", file=sys.stderr, flush=True)
+    summary = {
+        "measured": len(results),
+        "failures": failures,
+        "quadratic_bucketed_tiers": bad,
+    }
+    print(json.dumps(summary))
+    return 1 if (failures or bad) else 0
+
+
+def write_report(results: list[dict], failures: list[str]) -> None:
+    lines = [
+        "# SCALING — measured growth of the heavy family",
+        "",
+        f"Regenerate: `python tools/scaling.py` (corpora under `{ROOT}`,",
+        f"base `{BASE_SF}`; ladder x{', x'.join(map(str, SCALES))} by",
+        "content-disjoint self-union — see tools/scaling.py docstring for",
+        "why naive duplication would make the *answer* quadratic and the",
+        "curve meaningless).",
+        "",
+        "Each query runs its whole ladder in ONE fresh JVM (x1 warm-up",
+        "absorbs JIT; plan shapes are scale-invariant). Shuffle bytes are",
+        "per-run deltas of completed-stage `shuffleWriteBytes` from the",
+        "Spark monitoring REST API. Exponent a: cost ~ scale^a fitted on",
+        "the ladder endpoints; a=1 linear, a=2 quadratic. Gate: every",
+        "bucketed tier sub-quadratic (a < 2) in both wall time and",
+        "shuffle volume. q59 (exact all-pairs GEMM, documented quadratic",
+        "exception alongside q35) is measured on a capped ladder as the",
+        "control so the table shows what quadratic growth looks like on",
+        "the same box.",
+        "",
+        "| query | " + " | ".join(
+            f"x{k} wall s / shuffle MiB" for k in SCALES
+        ) + " | a(time) | a(shuffle) | verdict |",
+        "|---|" + "---|" * (len(SCALES) + 3),
+    ]
+    for rec in results:
+        cells = []
+        for k in SCALES:
+            s = rec["scales"].get(str(k))
+            cells.append(
+                "—" if s is None else
+                f"{s['wall_sec']:.2f} / {s['shuffle_write_bytes'] / 2**20:.1f}"
+            )
+        a_t, a_s = _exponents(rec)
+        is_control = rec["name"] in CONTROL
+        verdict = (
+            "quadratic control" if is_control
+            else ("SUB-QUADRATIC" if (a_t or 0) < 2.0 and (a_s or 0) < 2.0 else "FAIL")
+        )
+        lines.append(
+            f"| {rec['name']} | " + " | ".join(cells)
+            + f" | {a_t:.2f} | " + (f"{a_s:.2f}" if a_s is not None else "n/a")
+            + f" | {verdict} |"
+        )
+    if failures:
+        lines += ["", "## Failures", ""] + [f"- {f}" for f in failures]
+    lines.append("")
+    with open(os.path.join(REPO, "SCALING.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"[scaling] wrote SCALING.md ({len(results)} rows)", file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--gen":
+        generate()
+    elif len(sys.argv) == 3 and sys.argv[1] == "--measure":
+        measure(sys.argv[2])
+    else:
+        sys.exit(orchestrate())
