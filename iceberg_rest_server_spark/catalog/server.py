@@ -532,55 +532,170 @@ class CatalogHandler(BaseHTTPRequestHandler):
                 return _error(501, "views are not implemented", "NotImplemented")
         return _error(404, "no such route", "NoSuchObjectException")
 
+    # ------------------------- management wire-shape translation helpers
+    # The reference's management contract is compile-time utoipa
+    # (management/mod.rs ManagementApiDoc + v1/warehouse.rs serde
+    # derives); tests/management_openapi.py is the same document derived
+    # by inspection, and every exchange below is validated against it in
+    # tests/test_management_contract.py. The store keeps its own
+    # neutral keys — only this HTTP layer speaks the wire dialect.
+
+    @staticmethod
+    def _profile_to_wire(profile: dict | None) -> dict | None:
+        """Store profile -> S3Profile wire shape (storage/mod.rs:18
+        internally-tagged `type: s3`, s3.rs:66-86 kebab fields). The
+        storage-secret-id pointer is internal and must NEVER serialize —
+        it indexes the encrypted secret table."""
+        if not profile:
+            return None
+        out = {"type": "s3"}
+        for k in (
+            "bucket", "key-prefix", "assume-role-arn",
+            "endpoint", "region", "path-style-access",
+        ):
+            if profile.get(k) is not None:
+                out[k] = profile[k]
+        return out
+
+    @staticmethod
+    def _profile_from_wire(p: dict) -> dict:
+        if p.get("type") != "s3":
+            # storage/mod.rs:18 — S3 is the only StorageProfile variant
+            raise ValidationError(f"unsupported storage profile type {p.get('type')!r}")
+        return {k: v for k, v in p.items() if k != "type" and v is not None}
+
+    @staticmethod
+    def _credential_from_wire(c: dict | None) -> dict | None:
+        """StorageCredential wire (nested tags `type: s3` +
+        `credential-type: access-key`, storage/mod.rs:161 + s3.rs:428)
+        -> store credential keys. The legacy flat shape (access-key-id,
+        ...) is kept as a local extension for pre-r10 callers."""
+        if c is None:
+            return None
+        if "credential-type" in c or "aws-access-key-id" in c:
+            if c.get("credential-type", "access-key") != "access-key":
+                raise ValidationError(
+                    f"unsupported credential-type {c.get('credential-type')!r}"
+                )
+            return {
+                "access-key-id": c["aws-access-key-id"],
+                "secret-access-key": c["aws-secret-access-key"],
+            }
+        return c
+
+    def _warehouse_to_wire(self, w: dict) -> dict:
+        """Store row -> GetWarehouseResponse (warehouse.rs:84-97: id,
+        name, project-id, storage-profile, status; kebab-case)."""
+        out = {
+            "id": w["warehouse_id"],
+            "name": w["name"],
+            "project-id": w["project_id"],
+            "status": w["status"],
+        }
+        profile = self._profile_to_wire(w.get("storage_profile"))
+        if profile is not None:
+            # always present on reference-shaped warehouses (the create
+            # request requires a profile); absent only for the
+            # base-location local-testing extension
+            out["storage-profile"] = profile
+        return out
+
     def _management_route(self, method: str, p: list[str], qs: dict) -> tuple[int, dict | None]:
         store = self.store
         if p == ["project"] and method == "GET":
-            # management/mod.rs:261-262 + warehouse.rs:168-196
+            # management/mod.rs:214-218 + warehouse.rs:70-81.
+            # ProjectResponse is the one management struct WITHOUT
+            # #[serde(rename_all = "kebab-case")] (warehouse.rs:70-74),
+            # so the key is snake_case project_id on the wire — pinned
+            # by tests/test_management_contract.py (pre-r10 we emitted
+            # kebab project-id; found deriving the contract document).
             return 200, {
-                "projects": [{"project-id": pid} for pid in store.list_projects()]
+                "projects": [{"project_id": pid} for pid in store.list_projects()]
             }
         if p == ["warehouse"]:
             if method == "POST":
+                # CreateWarehouseRequest (warehouse.rs:14-26): requires
+                # warehouse-name, project-id, storage-profile; optional
+                # storage-credential. `base-location` is OUR local
+                # extension (the reference is S3-only; this container
+                # has no S3, so file:// warehouses keep e2e tests real).
                 body = self._body()
-                wid = store.create_warehouse(
-                    body["project-id"], body["warehouse-name"], body["base-location"]
-                )
-                return 201, {"warehouse-id": wid}
+                if "storage-profile" in body:
+                    profile = self._profile_from_wire(body["storage-profile"])
+                    creds = self._credential_from_wire(body.get("storage-credential"))
+                    base = f"s3://{profile.get('bucket', '')}"
+                    if profile.get("key-prefix"):
+                        base += f"/{profile['key-prefix']}"
+                    wid = store.create_warehouse(
+                        body["project-id"], body["warehouse-name"], base
+                    )
+                    store.set_storage_profile(wid, {**profile, **(creds or {})})
+                else:
+                    wid = store.create_warehouse(
+                        body["project-id"], body["warehouse-name"], body["base-location"]
+                    )
+                return 201, {"warehouse-id": wid}  # axum 201 (warehouse.rs:115-119)
             if method == "GET":
-                project = qs.get("project", [""])[0]
-                include_inactive = qs.get("include-inactive", ["false"])[0] == "true"
-                return 200, {"warehouses": store.list_warehouses(project, include_inactive)}
+                # ListWarehousesRequest query params (warehouse.rs:50-62):
+                # project-id + repeatable warehouse-status enum; only
+                # active returned unless `inactive` is requested. The
+                # pre-r10 `project`/`include-inactive` params stay as
+                # legacy aliases.
+                project = (qs.get("project-id") or qs.get("project") or [""])[0]
+                statuses = qs.get("warehouse-status", [])
+                include_inactive = (
+                    "inactive" in statuses
+                    or qs.get("include-inactive", ["false"])[0] == "true"
+                )
+                return 200, {
+                    "warehouses": [
+                        self._warehouse_to_wire(w)
+                        for w in store.list_warehouses(project, include_inactive)
+                    ]
+                }
         if len(p) == 2 and p[0] == "warehouse":
             if method == "GET":
-                return 200, store.get_warehouse(p[1])
+                return 200, self._warehouse_to_wire(store.get_warehouse(p[1]))
             if method == "DELETE":
                 # management/mod.rs:268-270 `.delete(delete_warehouse)`;
                 # 409 WarehouseNotEmpty on contained namespaces/tables
-                # (typed ConflictError → envelope via the generic handler)
+                # (typed ConflictError → envelope via the generic
+                # handler). Result<()> responds 200 with empty body
+                # (axum IntoResponse for unit), not 204.
                 store.delete_warehouse(p[1])
-                return 204, None
+                return 200, None
         if len(p) == 3 and p[0] == "warehouse":
             wid, action = p[1], p[2]
+            if action == "storage":
+                # the REFERENCE route (management/mod.rs:282-285):
+                # UpdateWarehouseStorageRequest carries a typed
+                # storage-profile + optional storage-credential
+                body = self._body()
+                profile = self._profile_from_wire(body["storage-profile"])
+                creds = self._credential_from_wire(body.get("storage-credential"))
+                store.set_storage_profile(wid, {**profile, **(creds or {})})
+                return 200, None
             if action == "storage-profile":
+                # legacy local alias (flat un-tagged profile dict)
                 store.set_storage_profile(wid, self._body())
-                return 204, None
+                return 200, None
             if action == "storage-credential":
                 # management/mod.rs:288-292: rotate only the credential,
                 # storage profile untouched
                 body = self._body()
                 store.update_storage_credential(
-                    wid, body.get("new-storage-credential")
+                    wid, self._credential_from_wire(body.get("new-storage-credential"))
                 )
-                return 204, None
+                return 200, None
             if action == "activate":
                 store.set_warehouse_status(wid, "active")
-                return 204, None
+                return 200, None
             if action == "deactivate":
                 store.set_warehouse_status(wid, "inactive")
-                return 204, None
+                return 200, None
             if action == "rename":
                 store.rename_warehouse(wid, self._body()["new-name"])
-                return 204, None
+                return 200, None
         return _error(404, "no such route", "NoSuchObjectException")
 
 

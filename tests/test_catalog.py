@@ -479,8 +479,9 @@ def test_update_storage_credential_rotates_only_secret(store):
 
 
 def test_warehouse_delete_and_credential_routes_http():
-    """Route-level: DELETE 204/409/404 and storage-credential 204 over HTTP
-    (management/mod.rs:268-292 router shape)."""
+    """Route-level: DELETE 200/409/404 and storage-credential 200 over
+    HTTP (management/mod.rs:268-292 router shape; Result<()> handlers
+    answer 200 with an empty body — axum IntoResponse for unit)."""
     with ServerThread() as server:
         c = RestCatalogClient(server.base_url)
         wid = c.create_warehouse("p", "wh", "s3://bucket-a/prefix")

@@ -1,0 +1,271 @@
+"""Management-surface conformance (VERDICT r9 #5): replay every one of
+the 10 reference management routes with reference-shaped bodies and
+validate BOTH sides of each exchange against the hand-derived contract
+in tests/management_openapi.py (transcribed from the reference's
+compile-time utoipa document — citations in that module's docstring).
+
+Deriving the document found real pre-r10 wire bugs, same as the r9
+catalog pass did: ProjectResponse serialized kebab `project-id` where
+the reference emits snake `project_id` (warehouse.rs:70-74 has no
+rename_all), the ()-returning handlers answered 204 where axum's
+IntoResponse for unit answers 200 empty-body, the reference route
+POST /warehouse/{id}/storage did not exist (only our local
+`storage-profile` alias), list-warehouses ignored the contract's
+`project-id`/`warehouse-status` query params, and GET /warehouse/{id}
+leaked raw store rows — including the internal storage-secret-id
+pointer — instead of the GetWarehouseResponse shape."""
+
+from __future__ import annotations
+
+import http.client
+import json
+import uuid
+
+import jsonschema
+import pytest
+from management_openapi import ROUTES, validate_request, validate_response
+
+from iceberg_rest_server_spark.catalog.server import ServerThread
+
+PROJECT = str(uuid.uuid4())
+
+PROFILE = {
+    "type": "s3",
+    "bucket": "bucket-a",
+    "key-prefix": "prefix/x",
+    "region": "eu-central-1",
+}
+CREDENTIAL = {
+    "type": "s3",
+    "credential-type": "access-key",
+    "aws-access-key-id": "AKIA123",
+    "aws-secret-access-key": "s3cr3t",
+}
+
+
+def _req(server, method, path, body=None, query=""):
+    """One raw management exchange, contract-validated on both sides."""
+    validate_request(method, path, body)
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=10)
+    conn.request(
+        method,
+        path + (f"?{query}" if query else ""),
+        body=None if body is None else json.dumps(body),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    raw = resp.read()
+    conn.close()
+    parsed = json.loads(raw) if raw else None
+    validate_response(method, path, resp.status, parsed)
+    return resp.status, parsed
+
+
+@pytest.fixture()
+def server():
+    with ServerThread() as s:
+        yield s
+
+
+def _create(server, name="wh", project=PROJECT, credential=CREDENTIAL):
+    body = {
+        "warehouse-name": name,
+        "project-id": project,
+        "storage-profile": PROFILE,
+    }
+    if credential is not None:
+        body["storage-credential"] = credential
+    status, payload = _req(server, "POST", "/management/v1/warehouse", body)
+    assert status == 201  # warehouse.rs:115-119 CREATED
+    return payload["warehouse-id"]
+
+
+def test_full_reference_lifecycle(server):
+    """Every route of ManagementApiDoc (mod.rs:27-38) in one lifecycle,
+    each exchange schema-validated."""
+    wid = _create(server)
+
+    # GET /project — snake_case project_id (warehouse.rs:70-74 quirk)
+    status, payload = _req(server, "GET", "/management/v1/project")
+    assert status == 200
+    assert payload == {"projects": [{"project_id": PROJECT}]}
+
+    # GET /warehouse/{id} — GetWarehouseResponse shape, secret NEVER leaks
+    status, w = _req(server, "GET", f"/management/v1/warehouse/{wid}")
+    assert status == 200
+    assert w["id"] == wid and w["name"] == "wh" and w["project-id"] == PROJECT
+    assert w["status"] == "active"
+    assert w["storage-profile"]["bucket"] == "bucket-a"
+    assert "storage-secret-id" not in json.dumps(w)
+    assert "aws-secret-access-key" not in json.dumps(w)
+
+    # GET /warehouse?project-id=... — contract query params
+    status, listing = _req(
+        server, "GET", "/management/v1/warehouse", query=f"project-id={PROJECT}"
+    )
+    assert status == 200 and [x["id"] for x in listing["warehouses"]] == [wid]
+
+    # POST rename — 200 empty body
+    status, payload = _req(
+        server, "POST", f"/management/v1/warehouse/{wid}/rename", {"new-name": "wh2"}
+    )
+    assert (status, payload) == (200, None)
+    assert _req(server, "GET", f"/management/v1/warehouse/{wid}")[1]["name"] == "wh2"
+
+    # POST deactivate / activate — 200 empty; status filter honors it
+    assert _req(server, "POST", f"/management/v1/warehouse/{wid}/deactivate") == (200, None)
+    _, listing = _req(
+        server, "GET", "/management/v1/warehouse", query=f"project-id={PROJECT}"
+    )
+    assert listing["warehouses"] == []  # only active by default (warehouse.rs:52-56)
+    _, listing = _req(
+        server,
+        "GET",
+        "/management/v1/warehouse",
+        query=f"project-id={PROJECT}&warehouse-status=active&warehouse-status=inactive",
+    )
+    assert [x["status"] for x in listing["warehouses"]] == ["inactive"]
+    assert _req(server, "POST", f"/management/v1/warehouse/{wid}/activate") == (200, None)
+
+    # POST storage — the REFERENCE route (mod.rs:282-285); same
+    # bucket/region/key-prefix per the immutability contract
+    status, payload = _req(
+        server,
+        "POST",
+        f"/management/v1/warehouse/{wid}/storage",
+        {"storage-profile": {**PROFILE, "path-style-access": True}},
+    )
+    assert (status, payload) == (200, None)
+    _, w = _req(server, "GET", f"/management/v1/warehouse/{wid}")
+    assert w["storage-profile"]["path-style-access"] is True
+
+    # POST storage-credential — rotate; null detaches (warehouse.rs:106-112)
+    assert _req(
+        server,
+        "POST",
+        f"/management/v1/warehouse/{wid}/storage-credential",
+        {"new-storage-credential": {**CREDENTIAL, "aws-access-key-id": "AKIA456"}},
+    ) == (200, None)
+    assert _req(
+        server,
+        "POST",
+        f"/management/v1/warehouse/{wid}/storage-credential",
+        {"new-storage-credential": None},
+    ) == (200, None)
+
+    # DELETE — Result<()> = 200 empty body (mod.rs:268-270)
+    assert _req(server, "DELETE", f"/management/v1/warehouse/{wid}") == (200, None)
+    status, err = _req(server, "GET", f"/management/v1/warehouse/{wid}")
+    assert status == 404 and err["error"]["code"] == 404
+
+
+def test_profile_immutability_and_bad_type_envelopes(server):
+    wid = _create(server)
+    # bucket change through the reference route → 400 ValidationError
+    status, err = _req(
+        server,
+        "POST",
+        f"/management/v1/warehouse/{wid}/storage",
+        {"storage-profile": {**PROFILE, "bucket": "other-bucket"}},
+    )
+    assert status == 400 and "immutable" in err["error"]["message"]
+    # non-s3 profile type → 400 (storage/mod.rs:18 single variant).
+    # Deliberately off-contract, so it bypasses the request validator
+    # (a spec-generated client cannot emit this shape) — only the
+    # response is contract-checked.
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=10)
+    conn.request(
+        "POST",
+        f"/management/v1/warehouse/{wid}/storage",
+        body=json.dumps({"storage-profile": {"type": "gcs", "bucket": "b", "region": "r"}}),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    err = json.loads(resp.read())
+    conn.close()
+    assert resp.status == 400
+    validate_response("POST", f"/management/v1/warehouse/{wid}/storage", 400, err)
+
+
+def test_create_without_credential_and_listing_shape(server):
+    wid = _create(server, name="nocred", credential=None)
+    _, listing = _req(
+        server, "GET", "/management/v1/warehouse", query=f"project-id={PROJECT}"
+    )
+    (w,) = listing["warehouses"]
+    assert w["id"] == wid
+    # strict GetWarehouseResponse: exactly the five contract keys
+    assert set(w) == {"id", "name", "project-id", "storage-profile", "status"}
+
+
+def test_every_management_route_replayed():
+    """Route coverage: the lifecycle tests above must touch every
+    (method, path) pair in the derived document — a route added to the
+    document but never replayed would be unvalidated parity."""
+    replayed = {
+        ("POST", "management/v1/warehouse"),
+        ("GET", "management/v1/project"),
+        ("GET", "management/v1/warehouse"),
+        ("GET", "management/v1/warehouse/{warehouse_id}"),
+        ("DELETE", "management/v1/warehouse/{warehouse_id}"),
+        ("POST", "management/v1/warehouse/{warehouse_id}/rename"),
+        ("POST", "management/v1/warehouse/{warehouse_id}/deactivate"),
+        ("POST", "management/v1/warehouse/{warehouse_id}/activate"),
+        ("POST", "management/v1/warehouse/{warehouse_id}/storage"),
+        ("POST", "management/v1/warehouse/{warehouse_id}/storage-credential"),
+    }
+    assert replayed == set(ROUTES)
+
+
+# ------------------------------------------------- validator self-tests
+
+def test_validator_rejects_kebab_project_id():
+    """The exact pre-r10 bug: kebab project-id must FAIL the contract."""
+    with pytest.raises(jsonschema.ValidationError):
+        validate_response(
+            "GET", "/management/v1/project", 200,
+            {"projects": [{"project-id": PROJECT}]},
+        )
+    assert validate_response(
+        "GET", "/management/v1/project", 200,
+        {"projects": [{"project_id": PROJECT}]},
+    )
+
+
+def test_validator_rejects_secret_leak_and_extra_keys():
+    good = {
+        "id": str(uuid.uuid4()),
+        "name": "wh",
+        "project-id": PROJECT,
+        "storage-profile": {"type": "s3", "bucket": "b", "region": "r"},
+        "status": "active",
+    }
+    assert validate_response(
+        "GET", f"/management/v1/warehouse/{good['id']}", 200, good
+    )
+    leaked = dict(good)
+    leaked["storage-profile"] = {
+        **good["storage-profile"], "storage-secret-id": "sek",
+    }
+    with pytest.raises(jsonschema.ValidationError):
+        validate_response("GET", f"/management/v1/warehouse/{good['id']}", 200, leaked)
+    legacy_row = {**good, "base_location": "s3://b"}
+    with pytest.raises(jsonschema.ValidationError):
+        validate_response(
+            "GET", f"/management/v1/warehouse/{good['id']}", 200, legacy_row
+        )
+
+
+def test_validator_rejects_undocumented_statuses():
+    with pytest.raises(AssertionError):
+        validate_response("DELETE", "/management/v1/warehouse/x", 204, None)
+    with pytest.raises(AssertionError):
+        validate_response("GET", "/management/v1/project", 500, {"error": {
+            "message": "m", "type": "T", "code": 500}})
+
+
+def test_validator_requires_empty_body_on_unit_routes():
+    with pytest.raises(AssertionError):
+        validate_response(
+            "POST", "/management/v1/warehouse/x/rename", 200, {"ok": True}
+        )

@@ -618,11 +618,15 @@ def test_oauth_tokens_unimplemented_envelope(server):
 
 
 def test_list_projects_route(server):
-    """GET /management/v1/project (management/mod.rs:261-262): projects
-    are derived from warehouse rows, kebab-case project-id objects."""
+    """GET /management/v1/project (management/mod.rs:214-218): projects
+    are derived from warehouse rows. The key is snake_case project_id —
+    ProjectResponse is the one management struct WITHOUT
+    serde(rename_all) (warehouse.rs:70-74); the pre-r10 version of this
+    test pinned kebab project-id, found wrong while deriving
+    tests/management_openapi.py from the Rust source."""
     status, payload, _ = _req(server, "GET", "/management/v1/project")
     assert status == 200
-    assert payload == {"projects": [{"project-id": "p"}]}
+    assert payload == {"projects": [{"project_id": "p"}]}
     # second project appears after its first warehouse
     _req(
         server,
@@ -631,7 +635,7 @@ def test_list_projects_route(server):
         {"project-id": "p2", "warehouse-name": "wh", "base-location": "s3://b/x"},
     )
     _, payload, _ = _req(server, "GET", "/management/v1/project")
-    assert [p["project-id"] for p in payload["projects"]] == ["p", "p2"]
+    assert [p["project_id"] for p in payload["projects"]] == ["p", "p2"]
 
 
 def test_x_request_id_set_and_propagated(server):
