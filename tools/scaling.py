@@ -10,14 +10,23 @@ k-1 copies, so the *answer itself* (near-dup pairs) grows
 quadratically in k and no engine could look sub-quadratic. Instead
 each copy i:
 
-- documents: every whitespace token gets a per-copy suffix
-  (``tok_c3``), so copies are content-DISJOINT (no shingle collides
-  across copies) while the within-copy duplicate structure — cluster
-  sizes, gram frequencies, text lengths — is preserved exactly. The
-  ideal output (pairs, clusters, canonicals) therefore scales x k,
-  and any super-linear growth we measure is the ENGINE's, not the
-  data's. doc_id offsets keep the mod-10 bench/corpus split of
-  q100/q48 proportionally identical.
+- documents: the text goes through a per-copy BIJECTIVE character
+  cipher (rot-i independently over a-z, A-Z and 0-9; space and
+  punctuation fixed). A bijection on characters maps every doc's
+  3-gram shingle set bijectively, so the Jaccard similarity of ANY
+  two docs within a copy is EXACTLY its x1 value — cluster sizes,
+  candidate mass, gram frequencies and text lengths are all
+  preserved — while any cross-copy shingle containing an
+  alphanumeric character cannot collide, so no near-dup pair forms
+  across copies and the ideal output scales exactly x k. Any
+  super-linear growth we measure is the ENGINE's, not the data's.
+  (The first r10 attempt suffixed every TOKEN with ``_c3`` instead:
+  disjoint across copies, but the shared suffix shingles inflated
+  every within-copy pairwise Jaccard, ballooning the true candidate
+  mass quadratically — the x16 LSH run OOM-spilled and died. The
+  cipher keeps the similarity geometry untouched by construction.)
+  doc_id offsets keep the mod-10 bench/corpus split of q100/q48
+  proportionally identical.
 - embeddings: the vector is rotated by i positions (norm-preserving,
   decorrelates copies) and vec_id offset; the q36 query set
   (vec_id < 10) stays fixed while the corpus grows — the realistic
@@ -83,18 +92,35 @@ CONTROL = ["q59_semantic_dedup"]
 CONTROL_SCALES = [1, 4]
 
 
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+_DIGIT = "0123456789"
+
+
+def _cipher_maps(i: int) -> tuple[str, str]:
+    """Per-copy bijection: rot-i over each character class, everything
+    else (space, punctuation) fixed so tokenization boundaries and
+    whitespace statistics are untouched."""
+    lo, up, dg = i % 26, i % 26, i % 10
+    src = _LOWER + _UPPER + _DIGIT
+    dst = (
+        _LOWER[lo:] + _LOWER[:lo]
+        + _UPPER[up:] + _UPPER[:up]
+        + _DIGIT[dg:] + _DIGIT[:dg]
+    )
+    return src, dst
+
+
 def _scaled_documents_sql(i: int) -> str:
     if i == 0:
         return f"SELECT * FROM read_parquet('{BASE_SF}/documents.parquet')"
+    src, dst = _cipher_maps(i)
+    # translate() is a character bijection: length (and so n_chars) is
+    # preserved exactly, as is every within-copy pairwise similarity
     return f"""
     SELECT doc_id + {i * STRIDE} AS doc_id,
-           array_to_string(
-             list_transform(string_split(text, ' '), t -> t || '_c{i}'),
-             ' ') AS text,
-           lang, source,
-           length(array_to_string(
-             list_transform(string_split(text, ' '), t -> t || '_c{i}'),
-             ' ')) AS n_chars
+           translate(text, '{src}', '{dst}') AS text,
+           lang, source, n_chars
     FROM read_parquet('{BASE_SF}/documents.parquet')
     """
 
@@ -250,11 +276,19 @@ def orchestrate() -> int:
                 [sys.executable, here, "--measure", name],
                 capture_output=True, text=True, timeout=2400, cwd=REPO,
             )
-            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            lines = proc.stdout.strip().splitlines()
+            if not lines:
+                # subprocess died before printing: surface its stderr
+                # tail, or the failure is undiagnosable after the fact
+                raise RuntimeError(
+                    f"exit {proc.returncode}, stderr tail: "
+                    + " | ".join(proc.stderr.strip().splitlines()[-6:])
+                )
+            rec = json.loads(lines[-1])
             results.append(rec)
         except Exception as exc:
-            failures.append(f"{name}: {type(exc).__name__}: {exc}")
-            print(f"[scaling] {name} FAILED: {exc}", file=sys.stderr, flush=True)
+            failures.append(f"{name}: {type(exc).__name__}: {exc}"[:600])
+            print(f"[scaling] {name} FAILED: {failures[-1]}", file=sys.stderr, flush=True)
     write_report(results, failures)
     # the gate: every bucketed tier must grow sub-quadratically in BOTH
     # wall time and shuffle volume
