@@ -83,9 +83,26 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
 
 # Above this many distinct grams the corpus-wide bitmap dictionary stops
 # being broadcastable / per-doc bitmaps stop being small, and verify falls
-# back to array_intersect on the gram arrays. 8192 grams = 128 longs =
-# 1 KB per doc bitmap, dictionary ≤ ~128 KB broadcast.
-_BITMAP_MAX_GRAMS = 8192
+# back to array_intersect on the gram arrays.
+#
+# r10 re-derivation, from a MEASURED scale inversion (tools/scaling.py):
+# the inline-bitmap verify rides ON the inverted-index self-join, so
+# every raw candidate match processes rows n_words longs wide — and
+# n_words grows with the GLOBAL distinct-gram count while per-doc gram
+# sets stay fixed-size. At a 16x corpus (6k distinct grams -> 95-long
+# bitmaps, 115M raw candidates) the verify stage measured ~360x its 1x
+# cost (~21,600 CPU-s observed live at 14/32 tasks) because each of the
+# 115M matches materializes ~1.5 KB of joined bitmap row — the strategy
+# inverts even though per-candidate popcount is still cheap. The old
+# 8192-gram bound allowed 128-long rows; the bound must cap the row
+# WIDTH in absolute terms, small enough that the inline row (~32 B key
+# cols + 8·n_words) stays within ~4x of the narrow array-path candidate
+# row. 1024 grams = 16 longs = 128 B: sf0.1's 377-gram corpus keeps the
+# measured-50x bitmap win, and big-vocabulary corpora take the array
+# path, whose inverted-index join ships NARROW (id1,id2) rows, dedups,
+# and only fetches gram arrays once per surviving pair — linear row
+# volume at any vocabulary.
+_BITMAP_MAX_GRAMS = 1024
 
 
 def exact_jaccard_pairs(
@@ -114,6 +131,15 @@ def exact_jaccard_pairs(
     # canonical total order, so (df, hash) ordering is as correct as
     # (df, gram) — and int comparisons/intersections are far cheaper
     # than strings. 64-bit collisions are ~1e-13 per doc pair.
+    #
+    # SPARK_GRAFT_JACCARD_VERIFY ∈ {auto, array, bitmap}: measurement
+    # control for tools/scaling.py — a scaling ladder must hold ONE
+    # strategy across its points or the adaptive cutover's flip shows
+    # up as fake super-linearity. Results are identical either way
+    # (both verifies are exact); default auto picks by corpus stats.
+    import os as _os
+
+    verify_mode = _os.environ.get("SPARK_GRAFT_JACCARD_VERIFY", "auto")
     g = (
         hashed_shingles(docs, id_col, text_col, n)
         .withColumnRenamed("hgrams", "grams")
@@ -156,7 +182,11 @@ def exact_jaccard_pairs(
     jaccard_of = lambda inter: inter.cast("double") / (  # noqa: E731
         F.col("size1") + F.col("size2") - inter
     )
-    if n_distinct_grams <= _BITMAP_MAX_GRAMS:
+    use_bitmap = (
+        verify_mode == "bitmap"
+        or (verify_mode == "auto" and n_distinct_grams <= _BITMAP_MAX_GRAMS)
+    )
+    if use_bitmap:
         # Small-vocabulary corpora are exactly where the prefix filter
         # prunes worst (few distinct grams → no rare grams → candidate
         # multiplicity ~2× and candidate count near-quadratic in the hot

@@ -45,22 +45,30 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # on (1) entries with NO driver evidence yet, (2) entries whose code or
 # oracle changed since their last green row, then (3) the STALEST
 # recorded evidence first.
-# r10 WINDOW (exactly 50): there are no no-evidence entries (every one
-# of the 227 has a green row) and no r10 change touched any registry
-# entry's query code or oracle (r10 work was bench harness, catalog
-# wire fixes, conformance tests, and the read-only scaling study), so
-# the whole window goes to stale evidence: the 42 entries whose last
-# driver-recorded green is r04 (recomputed from CORRECTNESS_r01..r09
-# this round; the exact list matches VERDICT r9 #1) + the 8 next-stalest
-# fills drawn from the 38-entry r05 cohort (all equally stale —
-# alphabetical order is the pinned tie-break so the pick is
-# reproducible). After r10 the oldest evidence anywhere is r05 (30
-# entries), cleared by r11+r12 at steady state. tools/driver_sim.py
-# re-checks the WHOLE registry each round regardless — its r10 run is
-# recorded in PARITY.md.
+# r10 WINDOW (exactly 50): no no-evidence entries (every one of the
+# 227 has a green row). ONE r10 change touched registry query code:
+# the exact-Jaccard verify cutover re-derivation (operators/dedup.py
+# _BITMAP_MAX_GRAMS 8192→1024 + the SPARK_GRAFT_JACCARD_VERIFY
+# measurement control), found when the r10 scaling study measured the
+# inline-bitmap strategy inverting at 16x corpus scale. Results are
+# strategy-independent (both verifies exact), but per the pinned
+# policy the 6 entries sharing that operator re-run: q125 is already
+# in the stale backlog below; the other 5 lead the window. Then the
+# whole 42-entry r04-stale backlog (recomputed from
+# CORRECTNESS_r01..r09; matches VERDICT r9 #1), then 3 next-stalest
+# fills from the 38-entry r05 cohort (equal staleness — alphabetical
+# tie-break). After r10 the oldest evidence anywhere is r05. Whole-
+# registry re-check: tools/driver_sim.py, recorded in PARITY.md.
 # Every entry is always returned — ordering only, never selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (1) stalest evidence: last green r04 (42 entries) ---
+    # --- (1) code changed in r10 (exact-Jaccard verify cutover) ---
+    "q32_ngram_jaccard_pairs",
+    "q40_curation_pipeline",
+    "q49_dedup_clusters",
+    "q96_pagerank_canonical",
+    "q152_cluster_safe_split",
+    # --- (2) stalest evidence: last green r04 (42 entries; includes
+    # q125_quality_canonical, the 6th changed-operator entry) ---
     "q100_bloom_decontaminate",
     "q101_incremental_mv",
     "q102_tpch_q2",
@@ -103,27 +111,22 @@ _DRIVER_ORDER_HEAD = [
     "q97_ratio_to_report",
     "q98_median_absolute_deviation",
     "q99_substring_dedup",
-    # --- (2) next-stalest fills: first 8 of the r05 cohort (38 equally
+    # --- (3) next-stalest fills: first 3 of the r05 cohort (38 equally
     # stale entries, alphabetical tie-break) ---
     "q01_scan_projection",
     "q03_hash_aggregate",
     "q06_approx_distinct",
+    # --- below here falls outside the 50-entry window ---
+    # the remaining 35 r05 entries lead the r11 window unless displaced
+    # by r11 changes (next alphabetically: q07_inner_join,
+    # q08_broadcast_join, q09_multiway_join, q111_hll_union_rollup, ...)
     "q07_inner_join",
     "q08_broadcast_join",
     "q09_multiway_join",
     "q111_hll_union_rollup",
     "q127_kmeans_clustering",
-    # --- below here falls outside the 50-entry window ---
-    # the remaining 30 r05 entries lead the r11 window unless displaced
-    # by r11 changes (next alphabetically: q129_scd2_reconstruction,
-    # q130_interval_concurrency, q131_markov_transitions, ...)
     "q129_scd2_reconstruction",
     "q130_interval_concurrency",
-    "q131_markov_transitions",
-    "q132_rfm_segmentation",
-    "q133_hard_negative_mining",
-    "q135_time_weighted_average",
-    "q136_cooccurrence_similarity",
     "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 

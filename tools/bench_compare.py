@@ -1,0 +1,67 @@
+"""Compare a calibrated bench record against a previous round's raw
+record (VERDICT r9 #2 'done' criterion: an untouched query's CALIBRATED
+delta vs the previous round should sit within noise, so raw swings are
+attributable to box phase inside the artifact itself).
+
+The calibration reference (bench.py _CALIB_REF_GEMM) is pinned to the
+r9 end-of-run probe, so BENCH_r09's raw seconds ARE its calibrated
+seconds and the comparison is one-sided by construction.
+
+Usage: python tools/bench_compare.py [NEW_JSON] [OLD_JSON]
+       (defaults: BENCH_FULL.json vs BENCH_r09.json)
+Prints one JSON line with per-decile calibrated deltas + the biggest
+movers, and a markdown table to stderr for PARITY.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def compare(new: dict, old: dict) -> dict:
+    new_cal = new.get("queries_calibrated") or new.get("queries", {})
+    new_raw = new.get("queries", {})
+    old_raw = old.get("queries", {})
+    deltas = {}
+    for name, old_sec in old_raw.items():
+        if name in new_cal and old_sec and old_sec > 0:
+            deltas[name] = (new_cal[name] - old_sec) / old_sec
+    if not deltas:
+        return {"compared": 0}
+    vals = sorted(deltas.values())
+    movers = sorted(deltas.items(), key=lambda kv: abs(kv[1]), reverse=True)[:8]
+    return {
+        "compared": len(deltas),
+        "median_delta_pct": round(100 * statistics.median(vals), 1),
+        "p10_pct": round(100 * vals[int(0.10 * len(vals))], 1),
+        "p90_pct": round(100 * vals[int(0.90 * len(vals))], 1),
+        "within_10pct": sum(1 for v in vals if abs(v) <= 0.10),
+        "biggest_movers": {
+            n: {
+                "old_raw": old_raw[n],
+                "new_raw": new_raw.get(n),
+                "new_calibrated": new_cal[n],
+                "delta_pct": round(100 * d, 1),
+            }
+            for n, d in movers
+        },
+    }
+
+
+def main() -> None:
+    new_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_FULL.json")
+    old_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_r09.json")
+    with open(new_path) as fh:
+        new = json.load(fh)
+    with open(old_path) as fh:
+        old = json.load(fh)
+    print(json.dumps(compare(new, old)))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,29 @@ CONTROL = ["q59_semantic_dedup"]
 # stays inside the round budget (16x would be 256x the x1 GEMM)
 CONTROL_SCALES = [1, 4]
 
+# The EXACT near-dup tier (PPJoin verify) is candidate-mass bound: this
+# corpus carries ~4.5M j>=0.5 template-similar pairs per 5k-doc copy
+# (measured with DuckDB; true j>=0.8 pairs are ~35/copy), every one of
+# which any EXACT verifier must touch. Candidates scale linearly
+# (x16 -> ~50M pairs) but each array-verify pair ships both gram
+# arrays (~2.2 KB at avg 142 grams/doc) => >100 GB of verify traffic
+# at x16 — beyond this box's disk, and honestly so: the 100 TB answer
+# for template-heavy corpora is the LSH count-banding tier (it REJECTS
+# the j~0.5 mass before any verify; measured at the full ladder), or
+# the inline-bitmap verify when the gram vocabulary is bounded (real
+# char-trigram corpora saturate; the cipher corpus inflates vocabulary
+# x k by construction — the price of keeping copies disjoint). So the
+# exact tier runs [1, 4] with the ARRAY strategy pinned
+# (SPARK_GRAFT_JACCARD_VERIFY=array): ONE strategy across the ladder,
+# or the auto bitmap/array cutover's flip between points would read as
+# fake super-linearity.
+EXACT_TIER = {
+    "q32_ngram_jaccard_pairs",
+    "q49_dedup_clusters",
+    "q96_pagerank_canonical",
+}
+EXACT_SCALES = [1, 4]
+
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
@@ -204,7 +227,14 @@ def measure(name: str) -> None:
     from iceberg_rest_server_spark.queries import REGISTRY
     from iceberg_rest_server_spark.session import get_spark
 
-    scales = CONTROL_SCALES if name in CONTROL else SCALES
+    if name in CONTROL:
+        scales = CONTROL_SCALES
+    elif name in EXACT_TIER:
+        scales = EXACT_SCALES
+        # pin ONE verify strategy across the ladder (see EXACT_TIER)
+        os.environ["SPARK_GRAFT_JACCARD_VERIFY"] = "array"
+    else:
+        scales = SCALES
     spark = get_spark(
         f"scaling-{name}",
         extra_conf={
@@ -332,6 +362,20 @@ def write_report(results: list[dict], failures: list[str]) -> None:
         "exception alongside q35) is measured on a capped ladder as the",
         "control so the table shows what quadratic growth looks like on",
         "the same box.",
+        "",
+        "The EXACT near-dup tier (q32_ngram/q49/q96) runs a [1, 4]",
+        "ladder with the array verify strategy pinned",
+        "(SPARK_GRAFT_JACCARD_VERIFY=array): its cost driver is the",
+        "corpus's ~4.5M-per-copy j>=0.5 template-similar candidate mass",
+        "(linear in scale, every pair touched by ANY exact verifier,",
+        "each shipping ~2.2 KB of gram arrays), which exceeds this",
+        "box's disk at x16 (>100 GB verify traffic). That ceiling is a",
+        "property of exact verification on template-heavy corpora, not",
+        "of the plan shape — the 100 TB tier for this workload is LSH",
+        "count-banding (q32_minhash, full ladder: it rejects the j~0.5",
+        "mass before any verify), or the inline-bitmap verify where the",
+        "gram vocabulary is bounded (the r10 cutover fix caps bitmap",
+        "row width at 16 longs — operators/dedup.py _BITMAP_MAX_GRAMS).",
         "",
         "| query | " + " | ".join(
             f"x{k} wall s / shuffle MiB" for k in SCALES
