@@ -359,9 +359,17 @@ def write_report(results: list[dict], failures: list[str]) -> None:
         "the ladder endpoints; a=1 linear, a=2 quadratic. Gate: every",
         "bucketed tier sub-quadratic (a < 2) in both wall time and",
         "shuffle volume. q59 (exact all-pairs GEMM, documented quadratic",
-        "exception alongside q35) is measured on a capped ladder as the",
-        "control so the table shows what quadratic growth looks like on",
-        "the same box.",
+        "exception alongside q35) rides a capped ladder as the all-pairs",
+        "control; note its FLOP count is x k^2 by construction but at",
+        "these corpus sizes (2k-8k vectors) the GEMM is scheduler/",
+        "overhead-dominated, so its measured wall exponent UNDERSTATES",
+        "the asymptotic quadratic — the honest reading is the verdict",
+        "column, not a demonstration of quadratic wall growth at toy",
+        "sizes. Wall exponents below ~1 on the cheap tiers mean the",
+        "same thing in reverse: fixed per-job overhead amortizes as",
+        "data grows. Shuffle-byte exponents are the cleaner signal",
+        "(no scheduler floor): every tier measures ~1.0 — the data",
+        "volume the engine moves grows linearly with corpus scale.",
         "",
         "The EXACT near-dup tier (q32_ngram/q49/q96) runs a [1, 4]",
         "ladder with the array verify strategy pinned",
