@@ -134,12 +134,18 @@ def _box_calibration() -> dict:
 class _ProbeLog:
     """Timestamped probe series + per-query measurement midpoints.
 
-    Each query's calibration factor is the GEMM speed of the probe
-    nearest in time to when that query actually ran (probes bracket
-    every isolated subprocess and every ~20 shared-loop queries, so
-    'nearest' is minutes away at worst — box phase drift is a
-    governor/noisy-neighbor effect on the scale of many minutes).
-    calibrated_sec = raw_sec * (_CALIB_REF_GEMM / nearest_gemm): a box
+    Each query's calibration factor comes from the MEDIAN GEMM speed of
+    the 3 probes nearest in time to when that query ran (probes bracket
+    every isolated subprocess and every ~20 shared-loop queries).
+    Median-of-3, not nearest-alone: the first recorded run showed
+    shared-loop probes spiking 1.8-2.4x for ONE probe while their
+    neighbors sat at reference speed — that's transient contention with
+    the live JVM's GC/compiler threads, not box drift, and calibrating
+    against it halved innocent queries' numbers. Genuine box-phase
+    slowness (governor/noisy neighbor, e.g. the r9 run's sustained 2.3x
+    start phase) spans many minutes = multiple consecutive probes, so
+    it survives the median while single-probe bursts are voted out.
+    calibrated_sec = raw_sec * (_CALIB_REF_GEMM / median_gemm): a box
     running 2x slower than the r9 reference halves the recorded number
     instead of reading as a 2x plan regression."""
 
@@ -161,8 +167,10 @@ class _ProbeLog:
         mid = self.query_mid.get(name)
         if mid is None or not self.probes:
             return 1.0
-        nearest = min(self.probes, key=lambda p: abs(p["t"] - mid))
-        return _CALIB_REF_GEMM / max(nearest["numpy_gemm_1024_sec"], 1e-6)
+        nearest3 = sorted(self.probes, key=lambda p: abs(p["t"] - mid))[:3]
+        gemms = sorted(p["numpy_gemm_1024_sec"] for p in nearest3)
+        med = gemms[len(gemms) // 2]
+        return _CALIB_REF_GEMM / max(med, 1e-6)
 
     def calibrated(self, times: dict[str, float]) -> dict[str, float]:
         return {n: round(t * self.factor(n), 4) for n, t in times.items()}
@@ -451,9 +459,12 @@ def main() -> None:
         "n_queries": len(times),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # start/end probes kept for continuity with r9 artifacts; the
-        # full probe series is in BENCH_FULL.json's `probes`
+        # full probe series + per-query measurement midpoints live in
+        # BENCH_FULL.json only, so any round can be re-calibrated
+        # post-hoc against a different reference or estimator
         "box_calibration": calibration,
         "probes": plog.probes,
+        "query_mid": {n: round(t, 2) for n, t in plog.query_mid.items()},
     }
     if iso_runs:
         # which numbers are fresh-JVM min-of-3 (vs shared-session) —
@@ -491,6 +502,7 @@ def summary_line(out: dict, budget: int = 1700) -> str:
     line_out = dict(out)
     line_out.pop("reruns", None)  # full record only — too wide for the line
     line_out.pop("probes", None)  # full record only — the series is long
+    line_out.pop("query_mid", None)  # full record only
     times = out.get("queries", {})
     calibrated = out.get("queries_calibrated", {})
     errors = out.get("errors")
