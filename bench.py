@@ -134,18 +134,23 @@ def _box_calibration() -> dict:
 class _ProbeLog:
     """Timestamped probe series + per-query measurement midpoints.
 
-    Each query's calibration factor comes from the MEDIAN GEMM speed of
-    the 3 probes nearest in time to when that query ran (probes bracket
+    Each query's calibration factor comes from the MINIMUM GEMM time of
+    the 5 probes nearest in time to when that query ran (probes bracket
     every isolated subprocess and every ~20 shared-loop queries).
-    Median-of-3, not nearest-alone: the first recorded run showed
-    shared-loop probes spiking 1.8-2.4x for ONE probe while their
-    neighbors sat at reference speed — that's transient contention with
-    the live JVM's GC/compiler threads, not box drift, and calibrating
-    against it halved innocent queries' numbers. Genuine box-phase
-    slowness (governor/noisy neighbor, e.g. the r9 run's sustained 2.3x
-    start phase) spans many minutes = multiple consecutive probes, so
-    it survives the median while single-probe bursts are voted out.
-    calibrated_sec = raw_sec * (_CALIB_REF_GEMM / median_gemm): a box
+    Estimator derivation, from two recorded r10 runs: nearest-alone was
+    wrong (single probes spiked 1.8-2.4x from transient JVM GC/compiler
+    contention, halving innocent queries), and median-of-3 was still
+    wrong on this virtualized box, whose probe series bounces
+    0.009<->0.033 with no sustained structure (hypervisor steal on the
+    32-thread BLAS burst) even while Spark query raws move only ~13%.
+    Throttle/steal/contention only ever SLOW a probe, never speed it
+    up, so the minimum over a window is the honest estimate of the
+    box's capacity when the query ran; a GENUINE slow phase (the r9
+    record's 2.3x start, many minutes wide) covers all 5 nearest
+    probes and still registers. Residual swings after this correction
+    (~±15% on this box, measured) are unattributable virtualization
+    noise — recorded as such rather than over-corrected.
+    calibrated_sec = raw_sec * (_CALIB_REF_GEMM / min5_gemm): a box
     running 2x slower than the r9 reference halves the recorded number
     instead of reading as a 2x plan regression."""
 
@@ -167,10 +172,9 @@ class _ProbeLog:
         mid = self.query_mid.get(name)
         if mid is None or not self.probes:
             return 1.0
-        nearest3 = sorted(self.probes, key=lambda p: abs(p["t"] - mid))[:3]
-        gemms = sorted(p["numpy_gemm_1024_sec"] for p in nearest3)
-        med = gemms[len(gemms) // 2]
-        return _CALIB_REF_GEMM / max(med, 1e-6)
+        nearest5 = sorted(self.probes, key=lambda p: abs(p["t"] - mid))[:5]
+        best = min(p["numpy_gemm_1024_sec"] for p in nearest5)
+        return _CALIB_REF_GEMM / max(best, 1e-6)
 
     def calibrated(self, times: dict[str, float]) -> dict[str, float]:
         return {n: round(t * self.factor(n), 4) for n, t in times.items()}

@@ -74,29 +74,35 @@ def test_calibrated_queries_ride_the_line_probes_do_not():
         assert parsed["queries_calibrated"][n] == round(out["queries"][n] * 0.8, 2)
 
 
-def test_probe_log_median_of_3_normalization():
-    """A query measured during a SUSTAINED slow box phase (2x slower
-    across consecutive probes, like the r9 start phase) must read half
-    its raw seconds calibrated; a TRANSIENT single-probe spike (JVM
-    GC/compiler contention, observed 1.8-2.4x for one probe with
-    at-reference neighbors in the first r10 run) must be voted out by
-    the median-of-3-nearest estimator."""
+def test_probe_log_min_of_5_normalization():
+    """Calibration uses the MINIMUM of the 5 nearest probes: probe
+    slowness is one-sided (steal/contention only ever slows a probe),
+    and the r10 runs measured dense 2-3x probe bounce with no sustained
+    structure on this virtualized box while query raws barely moved.
+    A GENUINE slow phase — wide enough to cover all 5 nearest probes —
+    must still halve the calibrated number; any single fast probe in
+    the window restores the capacity estimate."""
     from bench import _CALIB_REF_GEMM, _ProbeLog
 
     REF = _CALIB_REF_GEMM
     plog = _ProbeLog()
-    for t, g in ((0.0, 2 * REF), (100.0, 2 * REF), (200.0, REF), (300.0, REF), (400.0, REF)):
+    # sustained slow phase: five consecutive 2x probes around the query
+    for t, g in (
+        (0.0, 2 * REF), (100.0, 2 * REF), (200.0, 2 * REF),
+        (300.0, 2 * REF), (400.0, 2 * REF), (500.0, REF), (600.0, REF),
+    ):
         plog.probes.append({"t": t, "numpy_gemm_1024_sec": g, "label": "x"})
-    plog.mark("sustained_slow_q", 40.0, 60.0)   # mid 50: probes 0,100,200 -> median 2x
-    plog.mark("fast_phase_q", 340.0, 360.0)     # mid 350: probes 300,400,200 -> ref
+    plog.mark("sustained_slow_q", 190.0, 210.0)  # 5 nearest all 2x
+    plog.mark("fast_phase_q", 590.0, 610.0)      # window reaches a REF probe
     cal = plog.calibrated({"sustained_slow_q": 8.0, "fast_phase_q": 8.0})
     assert cal["sustained_slow_q"] == 4.0
     assert cal["fast_phase_q"] == 8.0
-    # transient spike: one slow probe flanked by reference-speed ones
+    # dense transient bounce (the measured r10 pattern): spikes adjacent
+    # to reference-speed probes never distort innocent queries
     spiky = _ProbeLog()
-    for t, g in ((0.0, REF), (100.0, 2.2 * REF), (200.0, REF)):
+    for t, g in ((0.0, 2.4 * REF), (100.0, 2.2 * REF), (200.0, REF), (300.0, 3 * REF)):
         spiky.probes.append({"t": t, "numpy_gemm_1024_sec": g, "label": "x"})
-    spiky.mark("innocent_q", 95.0, 105.0)  # mid on the spike itself
+    spiky.mark("innocent_q", 95.0, 105.0)
     assert spiky.calibrated({"innocent_q": 8.0})["innocent_q"] == 8.0
     # unmarked queries fall back to factor 1.0 (raw == calibrated)
     assert spiky.calibrated({"never_marked": 3.0})["never_marked"] == 3.0
