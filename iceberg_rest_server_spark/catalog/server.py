@@ -39,6 +39,7 @@ import re
 import threading
 import urllib.parse
 from collections.abc import Callable
+from typing import Any
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .auth import TokenVerifier, UnauthorizedError
@@ -162,6 +163,20 @@ class CatalogHandler(BaseHTTPRequestHandler):
         if not length:
             return {}
         return json.loads(self.rfile.read(length))
+
+    @staticmethod
+    def _require(body: dict, *keys: str) -> Any:
+        """Fetch a required wire field, 400-ing (ValidationException)
+        when absent — parity with axum/serde extraction, which rejects
+        malformed bodies with 4xx before the handler runs. A bare
+        KeyError would fall through to the generic 500 handler, and the
+        repo's own contract validators treat undocumented 5xx as a
+        contract failure (openapi_schema.py, ADVICE r9/r10)."""
+        for key in keys:
+            if not isinstance(body, dict) or key not in body:
+                raise ValidationError(f"missing required field {key!r}")
+            body = body[key]
+        return body
 
     def _send(self, code: int, payload: dict | None = None) -> None:
         if payload is not None:
@@ -578,8 +593,8 @@ class CatalogHandler(BaseHTTPRequestHandler):
                     f"unsupported credential-type {c.get('credential-type')!r}"
                 )
             return {
-                "access-key-id": c["aws-access-key-id"],
-                "secret-access-key": c["aws-secret-access-key"],
+                "access-key-id": CatalogHandler._require(c, "aws-access-key-id"),
+                "secret-access-key": CatalogHandler._require(c, "aws-secret-access-key"),
             }
         return c
 
@@ -627,30 +642,41 @@ class CatalogHandler(BaseHTTPRequestHandler):
                     if profile.get("key-prefix"):
                         base += f"/{profile['key-prefix']}"
                     wid = store.create_warehouse(
-                        body["project-id"], body["warehouse-name"], base
+                        self._require(body, "project-id"),
+                        self._require(body, "warehouse-name"),
+                        base,
                     )
                     store.set_storage_profile(wid, {**profile, **(creds or {})})
                 else:
                     wid = store.create_warehouse(
-                        body["project-id"], body["warehouse-name"], body["base-location"]
+                        self._require(body, "project-id"),
+                        self._require(body, "warehouse-name"),
+                        self._require(body, "base-location"),
                     )
                 return 201, {"warehouse-id": wid}  # axum 201 (warehouse.rs:115-119)
             if method == "GET":
                 # ListWarehousesRequest query params (warehouse.rs:50-62):
-                # project-id + repeatable warehouse-status enum; only
-                # active returned unless `inactive` is requested. The
+                # repeatable warehouse-status enum is an INCLUSION filter
+                # (postgres/warehouse.rs:152 `unwrap_or([Active])` then
+                # `status = ANY(...)`) — `?warehouse-status=inactive`
+                # alone excludes active warehouses. project-id absent →
+                # 400 MissingProjectId (warehouse.rs:205-211). The
                 # pre-r10 `project`/`include-inactive` params stay as
                 # legacy aliases.
                 project = (qs.get("project-id") or qs.get("project") or [""])[0]
-                statuses = qs.get("warehouse-status", [])
-                include_inactive = (
-                    "inactive" in statuses
-                    or qs.get("include-inactive", ["false"])[0] == "true"
-                )
+                if not project:
+                    return _error(400, "project-id is required", "MissingProjectId")
+                statuses = tuple(qs.get("warehouse-status", []))
+                if not statuses:
+                    statuses = (
+                        ("active", "inactive")
+                        if qs.get("include-inactive", ["false"])[0] == "true"
+                        else ("active",)
+                    )
                 return 200, {
                     "warehouses": [
                         self._warehouse_to_wire(w)
-                        for w in store.list_warehouses(project, include_inactive)
+                        for w in store.list_warehouses(project, statuses)
                     ]
                 }
         if len(p) == 2 and p[0] == "warehouse":
@@ -669,11 +695,19 @@ class CatalogHandler(BaseHTTPRequestHandler):
             if action == "storage":
                 # the REFERENCE route (management/mod.rs:282-285):
                 # UpdateWarehouseStorageRequest carries a typed
-                # storage-profile + optional storage-credential
+                # storage-profile + optional storage-credential. With no
+                # credential the OLD secret is detached and deleted
+                # (warehouse.rs:360-386: 'The existing credential is not
+                # re-used. If no credential is provided, we assume that
+                # this storage does not require credentials.') — silently
+                # retaining it would leave the signer using a credential
+                # the caller believes was dropped.
                 body = self._body()
-                profile = self._profile_from_wire(body["storage-profile"])
+                profile = self._profile_from_wire(self._require(body, "storage-profile"))
                 creds = self._credential_from_wire(body.get("storage-credential"))
-                store.set_storage_profile(wid, {**profile, **(creds or {})})
+                store.set_storage_profile(
+                    wid, {**profile, **(creds or {})}, retain_credential=False
+                )
                 return 200, None
             if action == "storage-profile":
                 # legacy local alias (flat un-tagged profile dict)
@@ -694,7 +728,7 @@ class CatalogHandler(BaseHTTPRequestHandler):
                 store.set_warehouse_status(wid, "inactive")
                 return 200, None
             if action == "rename":
-                store.rename_warehouse(wid, self._body()["new-name"])
+                store.rename_warehouse(wid, self._require(self._body(), "new-name"))
                 return 200, None
         return _error(404, "no such route", "NoSuchObjectException")
 

@@ -229,12 +229,22 @@ class CatalogStore:
     # credential keys never stored in plaintext (postgres/secrets.rs:99-103)
     CREDENTIAL_KEYS = ("access-key-id", "secret-access-key", "session-token")
 
-    def set_storage_profile(self, warehouse_id: str, profile: dict) -> None:
+    def set_storage_profile(
+        self, warehouse_id: str, profile: dict, retain_credential: bool = True
+    ) -> None:
         """Attach/update the S3 storage profile. bucket/region/key_prefix
         are immutable once set (storage/s3.rs:184-220). Credentials are
         split out of the profile and stored pgp_sym_encrypt-style in the
         secret table (postgres/secrets.rs:99-103); the warehouse row
-        keeps only a storage-secret-id pointer."""
+        keeps only a storage-secret-id pointer.
+
+        `retain_credential=False` is the reference `update_storage`
+        semantics (warehouse.rs:360-386: 'The existing credential is not
+        re-used. If no credential is provided, we assume that this
+        storage does not require credentials.') — with no credential
+        keys in `profile`, the old secret is detached AND deleted.
+        `True` keeps the pre-r11 retain behavior for the legacy
+        storage-profile alias."""
         if not profile.get("region"):
             raise ValidationError("storage profile requires 'region'")
         if not profile.get("bucket"):
@@ -258,7 +268,13 @@ class CatalogStore:
                     c.execute("DELETE FROM secret WHERE secret_id = ?", (old,))
                 profile["storage-secret-id"] = secret_id
             elif current and current.get("storage-secret-id"):
-                profile["storage-secret-id"] = current["storage-secret-id"]
+                if retain_credential:
+                    profile["storage-secret-id"] = current["storage-secret-id"]
+                else:
+                    c.execute(
+                        "DELETE FROM secret WHERE secret_id = ?",
+                        (current["storage-secret-id"],),
+                    )
             c.execute(
                 "UPDATE warehouse SET storage_profile = ? WHERE warehouse_id = ?",
                 (json.dumps(profile), warehouse_id),
@@ -299,11 +315,26 @@ class CatalogStore:
             )
         ]
 
-    def list_warehouses(self, project_id: str, include_inactive: bool = False) -> list[dict]:
-        q = "SELECT warehouse_id FROM warehouse WHERE project_id = ?"
-        if not include_inactive:
-            q += " AND status = 'active'"
-        return [self.get_warehouse(r[0]) for r in self._conn.execute(q, (project_id,))]
+    def list_warehouses(
+        self, project_id: str, statuses: tuple[str, ...] = ("active",)
+    ) -> list[dict]:
+        """Warehouses in the project whose status is IN the requested
+        set — an inclusion filter, not an 'also include inactive' flag
+        (postgres/warehouse.rs:152 `unwrap_or([Active])` then
+        `status = ANY(...)`): `statuses=('inactive',)` must EXCLUDE
+        active warehouses."""
+        statuses = tuple(statuses) or ("active",)
+        for s in statuses:
+            if s not in ("active", "inactive"):  # service/mod.rs:186-191
+                raise ValidationError(f"invalid warehouse status {s!r}")
+        q = (
+            "SELECT warehouse_id FROM warehouse WHERE project_id = ?"
+            f" AND status IN ({','.join('?' * len(statuses))})"
+        )
+        return [
+            self.get_warehouse(r[0])
+            for r in self._conn.execute(q, (project_id, *statuses))
+        ]
 
     def set_warehouse_status(self, warehouse_id: str, status: str) -> None:
         if status not in ("active", "inactive"):  # service/mod.rs:186-191

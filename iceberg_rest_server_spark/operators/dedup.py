@@ -102,6 +102,17 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
 # path, whose inverted-index join ships NARROW (id1,id2) rows, dedups,
 # and only fetches gram arrays once per surviving pair — linear row
 # volume at any vocabulary.
+#
+# Which path runs at registry scale (measured r11, pinned by
+# tests/test_operators.py::test_bitmap_strategy_runs_at_registry_scale):
+# the documents corpus has exactly 377 distinct character trigrams at
+# sf0.001, sf0.01 AND sf0.1 (the generator's template alphabet
+# saturates), so `auto` selects the BITMAP verify at every registry
+# scale factor — the r10 8192→1024 cutover did not flip the strategy
+# the driver/bench actually run, and EXPLAIN.md's q32 section remains
+# the live plan. Only corpora with >1024 distinct grams (e.g. the
+# cipher-scaled SCALING.md corpus, vocabulary ~= 377·k) take the array
+# path under `auto`.
 _BITMAP_MAX_GRAMS = 1024
 
 

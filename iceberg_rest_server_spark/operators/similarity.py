@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -290,6 +292,23 @@ def cosine_topk_ivf(
     )
 
 
+def _auto_blocks(
+    n: int, dim: int, target_block_bytes: int, target_score_bytes: int
+) -> int:
+    """Size-aware block count: rows per block bounded by BOTH the input
+    payload (rows · dim · 8 ≤ target_block_bytes) and the per-task
+    score matrix (rows² · 8 ≤ target_score_bytes). See the caller's
+    docstring for why either cap alone is insufficient."""
+    rows_per_block = max(
+        1,
+        min(
+            target_block_bytes // (dim * 8),
+            math.isqrt(target_score_bytes // 8),
+        ),
+    )
+    return max(2, -(-n // rows_per_block))
+
+
 def cosine_neardup_pairs_blocked(
     df: DataFrame,
     id_col: str,
@@ -297,6 +316,7 @@ def cosine_neardup_pairs_blocked(
     threshold: float = 0.95,
     blocks: int | None = None,
     target_block_bytes: int = 32 << 20,
+    target_score_bytes: int = 256 << 20,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via *blocked GEMM* — the 100 TB path.
 
@@ -315,13 +335,21 @@ def cosine_neardup_pairs_blocked(
     instead of a fixed 32 letting block payload grow unbounded. Total
     work is (N/blocks)²·blocks²/2 FLOPs regardless of the block count,
     so sizing blocks for memory costs no extra compute.
+
+    r11: the per-task SCORE matrix (rows² · 8 bytes) is capped too —
+    the input-payload cap alone admits 65536-row blocks at dim 64,
+    whose 34 GB score matrix OOMs the Python worker long before the
+    3 MB input payload matters. With both caps, low dims bind on the
+    score side (dim 64 → 5792 rows, 256 MB scores) and high dims on
+    the payload side (dim 4096 → 1024 rows); registry-scale corpora
+    (≤2000 vectors) still yield blocks=2 either way, so the plan the
+    driver/bench runs is unchanged.
     """
     if blocks is None:
         n = df.count()  # metadata-scale job: count pushes down to parquet row counts
         first = df.select(vec_col).first()
         dim = len(first[0]) if first and first[0] is not None else 1
-        rows_per_block = max(1, target_block_bytes // (dim * 8))
-        blocks = max(2, -(-n // rows_per_block))
+        blocks = _auto_blocks(n, dim, target_block_bytes, target_score_bytes)
     v = _prepped(df, id_col, vec_col, "id", "v").withColumn(
         "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(blocks))
     )

@@ -138,3 +138,50 @@ def test_box_calibration_survives_line_trim():
     parsed = json.loads(line)
     assert parsed["box_calibration"]["start"]["numpy_gemm_1024_sec"] == 0.0142
     assert parsed["queries_shown"] > 10  # trim still leaves the slow tail
+
+
+def test_isolated_failure_artifact_shape():
+    """VERDICT r10 #5: a round with ONE isolated-subprocess failure must
+    still ship a well-formed artifact — error recorded, headline null
+    (raw AND calibrated), failed query absent from `queries` (no
+    double-booking), partial sum only under sum_succeeded_sec — and the
+    summary line must parse and carry all of it."""
+    from bench import _ProbeLog, _shared_loop_order, build_artifact
+
+    registry = {"q96_pagerank_canonical", "q49_dedup_clusters", "q01_scan_projection"}
+    iso_runs = {"q49_dedup_clusters": [2.4, 1.9, 2.0]}
+    iso_errors = {"q96_pagerank_canonical": "isolated: RuntimeError: boom"}
+    # the iso-failed query never re-enters the shared loop (ADVICE r9)
+    shared = _shared_loop_order(registry, iso_runs, iso_errors)
+    assert shared == ["q01_scan_projection"]
+    times = {n: min(r) for n, r in iso_runs.items()}
+    times["q01_scan_projection"] = 0.42  # the shared loop's one result
+    plog = _ProbeLog()
+    out = build_artifact(
+        times, dict(iso_errors), dict(iso_runs), iso_runs, plog,
+        "/root/testdata/sf0.1", {},
+    )
+    assert out["value"] is None and out["value_calibrated"] is None
+    assert out["errors"] == iso_errors
+    assert "q96_pagerank_canonical" not in out["queries"]
+    assert "q96_pagerank_canonical" not in out["queries_calibrated"]
+    assert out["sum_succeeded_sec"] == round(1.9 + 0.42, 4)
+    assert out["isolated"] == ["q49_dedup_clusters"]
+    assert out["n_queries"] == 2
+    line = summary_line(out)
+    parsed = json.loads(line)
+    assert parsed["value"] is None
+    assert parsed["errors"]["q96_pagerank_canonical"].startswith("isolated:")
+    assert parsed["sum_succeeded_sec"] == out["sum_succeeded_sec"]
+
+
+def test_clean_run_artifact_has_no_error_keys():
+    from bench import _ProbeLog, build_artifact
+
+    plog = _ProbeLog()
+    out = build_artifact(
+        {"q01_scan_projection": 1.0}, {}, {}, {}, plog, "/root/testdata/sf0.1", {},
+    )
+    assert out["value"] == 1.0 and out["value_calibrated"] == 1.0
+    assert "errors" not in out and "sum_succeeded_sec" not in out
+    assert "isolated" not in out

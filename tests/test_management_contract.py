@@ -269,3 +269,119 @@ def test_validator_requires_empty_body_on_unit_routes():
         validate_response(
             "POST", "/management/v1/warehouse/x/rename", 200, {"ok": True}
         )
+
+
+# --------------------------------------------- ADVICE r10 regressions
+
+def _raw(server, method, path, body=None, query=""):
+    """Off-contract exchange: skip the request validator (a spec-
+    generated client cannot emit these shapes), contract-check only the
+    response — the same pattern as the bad-profile-type test."""
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=10)
+    conn.request(
+        method,
+        path + (f"?{query}" if query else ""),
+        body=None if body is None else json.dumps(body),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    raw = resp.read()
+    conn.close()
+    parsed = json.loads(raw) if raw else None
+    validate_response(method, path, resp.status, parsed)
+    return resp.status, parsed
+
+
+def test_warehouse_status_is_an_inclusion_filter(server):
+    """ADVICE r10: `?warehouse-status=inactive` alone must EXCLUDE
+    active warehouses (postgres/warehouse.rs:152 `unwrap_or([Active])`
+    then `status = ANY(...)`) — not behave as 'also include inactive'."""
+    active = _create(server, name="on")
+    inactive = _create(server, name="off")
+    _req(server, "POST", f"/management/v1/warehouse/{inactive}/deactivate")
+
+    def ids(query):
+        _, listing = _req(server, "GET", "/management/v1/warehouse", query=query)
+        return sorted(x["id"] for x in listing["warehouses"])
+
+    base = f"project-id={PROJECT}"
+    assert ids(base) == [active]  # default = active only
+    assert ids(f"{base}&warehouse-status=active") == [active]
+    assert ids(f"{base}&warehouse-status=inactive") == [inactive]  # the bug
+    assert ids(
+        f"{base}&warehouse-status=active&warehouse-status=inactive"
+    ) == sorted([active, inactive])
+
+
+def test_list_warehouses_requires_project_id(server):
+    """ADVICE r10: the reference 400s MissingProjectId when project-id
+    is absent (warehouse.rs:205-211); pre-r11 this returned 200 []."""
+    status, err = _raw(server, "GET", "/management/v1/warehouse")
+    assert status == 400
+    assert err["error"]["type"] == "MissingProjectId"
+
+
+def test_storage_update_without_credential_detaches_secret(server):
+    """ADVICE r10: POST .../storage with no storage-credential must
+    detach AND delete the old secret (warehouse.rs:360-386), not
+    silently keep the signer using it."""
+    wid = _create(server)  # created WITH a credential
+    assert server.store.get_storage_credentials(wid) != {}
+    status, payload = _req(
+        server,
+        "POST",
+        f"/management/v1/warehouse/{wid}/storage",
+        {"storage-profile": PROFILE},
+    )
+    assert (status, payload) == (200, None)
+    assert server.store.get_storage_credentials(wid) == {}
+    # and the secret row itself is gone, not just the pointer
+    assert server.store._conn.execute("SELECT count(*) FROM secret").fetchone()[0] == 0
+    # the legacy flat alias keeps the pre-r11 retain behavior
+    wid2 = _create(server, name="legacy")
+    before = server.store.get_storage_credentials(wid2)
+    assert before != {}
+    # (plain request: the legacy alias is a local extension, not a
+    # contract route, so the response validator has no entry for it)
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=10)
+    conn.request(
+        "POST",
+        f"/management/v1/warehouse/{wid2}/storage-profile",
+        body=json.dumps({k: v for k, v in PROFILE.items() if k != "type"}),
+        headers={"Content-Type": "application/json"},
+    )
+    assert conn.getresponse().status == 200
+    conn.close()
+    assert server.store.get_storage_credentials(wid2) == before
+
+
+@pytest.mark.parametrize(
+    "method,path,body",
+    [
+        ("POST", "/management/v1/warehouse", {"project-id": "p"}),  # no name
+        ("POST", "/management/v1/warehouse/{wid}/storage", {}),  # no profile
+        (
+            "POST",
+            "/management/v1/warehouse/{wid}/storage",
+            {
+                "storage-profile": PROFILE,
+                # typed credential missing aws-secret-access-key
+                "storage-credential": {
+                    "type": "s3",
+                    "credential-type": "access-key",
+                    "aws-access-key-id": "AKIA123",
+                },
+            },
+        ),
+        ("POST", "/management/v1/warehouse/{wid}/rename", {}),  # no new-name
+    ],
+)
+def test_malformed_management_bodies_are_400_not_500(server, method, path, body):
+    """ADVICE r10: axum/serde extraction rejects malformed bodies with
+    4xx before the handler runs; a bare KeyError surfacing as 500 both
+    diverges from the reference and violates the repo's own bounded
+    status fallback (openapi_schema.py: any undocumented 5xx fails)."""
+    wid = _create(server, name=f"m-{abs(hash((method, path, str(body)))) % 10**6}")
+    status, err = _raw(server, method, path.replace("{wid}", wid), body)
+    assert status == 400, (path, err)
+    assert err["error"]["type"] == "ValidationException"

@@ -350,3 +350,49 @@ def test_substring_dedup_flags_verbatim_overlap(spark):
     assert out[4]["n_dup_windows"] >= 2
     for r in out.values():
         assert 0.0 <= r["dup_fraction"] <= 1.0
+
+
+def test_bitmap_strategy_runs_at_registry_scale():
+    """VERDICT r10 advisory: the r10 verify cutover (_BITMAP_MAX_GRAMS
+    8192→1024) changes which q32 physical strategy runs for corpora
+    with 1024 < vocabulary <= 8192 — so pin the measured vocabulary of
+    the registry corpora, proving the cutover did NOT flip the strategy
+    at any scale the driver or bench runs (and that EXPLAIN.md's q32
+    section is the live plan). DuckDB measures the same character
+    trigrams hashed_shingles() extracts; if the testdata generator ever
+    changes, this flips and EXPLAIN.md must be regenerated."""
+    import duckdb
+
+    from iceberg_rest_server_spark.operators.dedup import _BITMAP_MAX_GRAMS
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = con.execute(f"""
+            SELECT count(DISTINCT g) FROM (
+              SELECT unnest([substr(text, i, 3)
+                             for i in range(1, length(text) - 1)]) AS g
+              FROM read_parquet('/root/testdata/{sf}/documents.parquet')
+            )
+        """).fetchone()[0]
+        assert n == 377, (sf, n)
+        assert n <= _BITMAP_MAX_GRAMS  # auto → bitmap verify at this sf
+
+
+def test_auto_blocks_caps_score_matrix_and_payload():
+    """r11: the input-payload cap alone admitted 65536-row blocks at
+    dim 64 — a 34 GB per-task score matrix that OOMs the Python worker.
+    Both caps must bind, and registry-scale corpora keep blocks=2 so
+    the plan the driver/bench runs is unchanged."""
+    from iceberg_rest_server_spark.operators.similarity import _auto_blocks
+
+    MB = 1 << 20
+    # dim 64, 128k vectors: score cap binds (5792 rows -> 23 blocks),
+    # where the old payload-only sizing gave 2 blocks of 64k rows
+    assert _auto_blocks(128_000, 64, 32 * MB, 256 * MB) == 23
+    rows = -(-128_000 // 23)
+    assert rows * rows * 8 <= 256 * MB + rows * 8  # score matrix bounded
+    # dim 4096: payload cap binds (1024 rows/block)
+    assert _auto_blocks(128_000, 4096, 32 * MB, 256 * MB) == 125
+    # registry scale: 500 and 2000 vectors stay at the 2-block minimum
+    assert _auto_blocks(500, 64, 32 * MB, 256 * MB) == 2
+    assert _auto_blocks(2000, 64, 32 * MB, 256 * MB) == 2
