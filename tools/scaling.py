@@ -1,6 +1,6 @@
 """Measured scaling curve for the heavy dedup/graph/ANN family
-(VERDICT r9 #3): build 4x/16x corpora in /tmp by deterministic
-self-union, run each heavy query at 1x/4x/16x in one fresh JVM,
+(VERDICT r9 #3): build scaled corpora in /tmp by deterministic
+self-union, run each heavy query at its ladder in one fresh JVM,
 record wall seconds AND shuffle-write bytes (public Spark monitoring
 REST API), fit the growth exponent, and regenerate SCALING.md.
 
@@ -11,8 +11,8 @@ quadratically in k and no engine could look sub-quadratic. Instead
 each copy i:
 
 - documents: the text goes through a per-copy BIJECTIVE character
-  cipher (rot-i independently over a-z, A-Z and 0-9; space and
-  punctuation fixed). A bijection on characters maps every doc's
+  cipher (rot-i over a-z and A-Z, an affine permutation over 0-9;
+  space and punctuation fixed). A bijection on characters maps every doc's
   3-gram shingle set bijectively, so the Jaccard similarity of ANY
   two docs within a copy is EXACTLY its x1 value — cluster sizes,
   candidate mass, gram frequencies and text lengths are all
@@ -43,6 +43,8 @@ Usage:
   python tools/scaling.py                # gen + measure all + SCALING.md
   python tools/scaling.py --gen          # corpora only
   python tools/scaling.py --measure Q    # subprocess: one query, all scales
+  python tools/scaling.py --only A,B     # re-measure a subset, merge cache
+  python tools/scaling.py --report       # SCALING.md from the cache only
 """
 
 from __future__ import annotations
@@ -63,7 +65,7 @@ BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROOT = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/scaling_corpus")
 SCALES = [
     int(x)
-    for x in os.environ.get("SPARK_GRAFT_SCALING_LADDER", "1,4,16").split(",")
+    for x in os.environ.get("SPARK_GRAFT_SCALING_LADDER", "1,2,4,16").split(",")
 ]
 UI_PORT = 4099
 
@@ -75,8 +77,8 @@ STRIDE = 10_000_000
 # prefix-filtered — sub-quadratic BY DESIGN — so each gets a growth
 # assertion. The exact-GEMM family (q35_cosine_neardup_pairs,
 # q59_semantic_dedup) is all-pairs by spec and documented quadratic;
-# q59 is measured as the CONTROL so the table shows what quadratic
-# looks like on the same box, but is excluded from the assertion.
+# both are measured as CONTROLS so the table shows what quadratic
+# looks like on the same box, but are excluded from the assertion.
 BUCKETED = [
     "q31_exact_dedup",
     "q32_minhash_lsh_pairs",
@@ -86,10 +88,26 @@ BUCKETED = [
     "q100_bloom_decontaminate",
     "q36_ann_lsh_topk",
 ]
-CONTROL = ["q59_semantic_dedup"]
-# the control's all-pairs GEMM is O(k^2): cap its ladder so the tool
-# stays inside the round budget (16x would be 256x the x1 GEMM)
-CONTROL_SCALES = [1, 4]
+CONTROL = ["q35_cosine_neardup_pairs", "q59_semantic_dedup"]
+# The control must actually EXHIBIT quadratic wall growth (VERDICT r10
+# #2: the old [1, 4] ladder at 2k-8k vectors measured a=0.64 — pure
+# scheduler floor). Quadratic compute only dominates the ~2 s fixed
+# floor once the GEMM task count saturates the cores for many waves,
+# which at dim 64 with the r11 score-matrix cap (5792-row blocks)
+# means >=100k vectors. So the control rides DEDICATED embeddings-only
+# corpora ("more vectors, fewer docs"): ctl_x{k} scales ONLY the
+# embeddings table (x64 = 128k vectors -> 23 blocks/276 GEMM tasks,
+# x256 = 512k -> 89 blocks/4005 tasks); documents/lineitem symlink to
+# the 1x base — the control queries never read them, and cipher-scaling
+# 256 document copies would break the letter cipher's 26-rotation
+# injectivity anyway. Vector rotations repeat every 64 copies, so
+# x128/x256 contain cross-copy EXACT-dup pairs (rotation classes of
+# 2/4 copies: ~128k/768k cos=1.0 pairs) — linear in k per class pair,
+# acceptable noise for a control row that carries no sub-quadratic
+# assertion. q35 (pairs only) is the clean quadratic control; q59
+# (pairs + connected components) rides the same ladder to show the
+# full-pipeline shape.
+CONTROL_SCALES = [64, 128, 256]
 
 # The EXACT near-dup tier (PPJoin verify) is candidate-mass bound: this
 # corpus carries ~4.5M j>=0.5 template-similar pairs per 5k-doc copy
@@ -103,7 +121,7 @@ CONTROL_SCALES = [1, 4]
 # the inline-bitmap verify when the gram vocabulary is bounded (real
 # char-trigram corpora saturate; the cipher corpus inflates vocabulary
 # x k by construction — the price of keeping copies disjoint). So the
-# exact tier runs [1, 4] with the ARRAY strategy pinned
+# exact tier runs EXACT_SCALES with the ARRAY strategy pinned
 # (SPARK_GRAFT_JACCARD_VERIFY=array): ONE strategy across the ladder,
 # or the auto bitmap/array cutover's flip between points would read as
 # fake super-linearity.
@@ -112,7 +130,10 @@ EXACT_TIER = {
     "q49_dedup_clusters",
     "q96_pagerank_canonical",
 }
-EXACT_SCALES = [1, 4]
+# r11 (VERDICT r10 #2): third rung at x2 — x16 stays beyond the disk
+# ceiling, but [1, 2, 4] makes the exponent a 3-point least-squares
+# fit instead of a 2-point anecdote.
+EXACT_SCALES = [1, 2, 4]
 
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
@@ -121,15 +142,26 @@ _DIGIT = "0123456789"
 
 
 def _cipher_maps(i: int) -> tuple[str, str]:
-    """Per-copy bijection: rot-i over each character class, everything
-    else (space, punctuation) fixed so tokenization boundaries and
-    whitespace statistics are untouched."""
-    lo, up, dg = i % 26, i % 26, i % 10
+    """Per-copy bijection: rot-i over the letter classes plus an AFFINE
+    permutation d -> (m*d + i) mod 10 over digits, everything else
+    (space, punctuation) fixed so tokenization boundaries and
+    whitespace statistics are untouched.
+
+    The digit map must be affine rather than rot-(i % 10) (ADVICE r10):
+    with a plain rotation, copies i and i+10 share the digit mapping,
+    so at the x16 ladder pure-digit shingles/tokens of copy 10 collide
+    with copy 0's (both identity), breaking the cross-copy
+    disjointness the curve rests on. The multiplier m cycles the four
+    units mod 10, so maps repeat only at i == j (mod 20) — distinct for
+    every pair on any ladder up to x20. i=0 stays the identity
+    (m=1, shift 0)."""
+    lo, up = i % 26, i % 26
+    m = (1, 3, 7, 9)[i % 4]
     src = _LOWER + _UPPER + _DIGIT
     dst = (
         _LOWER[lo:] + _LOWER[:lo]
         + _UPPER[up:] + _UPPER[:up]
-        + _DIGIT[dg:] + _DIGIT[:dg]
+        + "".join(str((m * d + i) % 10) for d in range(10))
     )
     return src, dst
 
@@ -171,7 +203,7 @@ def _scaled_lineitem_sql(i: int) -> str:
 
 
 def generate(scales: list[int] | None = None, base_sf: str | None = None,
-             root: str | None = None) -> None:
+             root: str | None = None, control_scales: list[int] | None = None) -> None:
     import duckdb
 
     global BASE_SF  # noqa: PLW0603 — test override
@@ -179,6 +211,20 @@ def generate(scales: list[int] | None = None, base_sf: str | None = None,
         BASE_SF = base_sf
     root = root or ROOT
     con = duckdb.connect()
+
+    def _symlink_rest(d: str, skip: tuple[str, ...]) -> None:
+        # never read by the measured queries, but symlinks keep every
+        # scaled dir a complete, loadable sf-dir
+        for other in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "events", "documents", "lineitem",
+        ):
+            if other in skip:
+                continue
+            src = os.path.join(BASE_SF, f"{other}.parquet")
+            if os.path.exists(src):
+                os.symlink(src, os.path.join(d, f"{other}.parquet"))
+
     for k in scales or SCALES:
         d = os.path.join(root, f"x{k}")
         shutil.rmtree(d, ignore_errors=True)
@@ -192,15 +238,17 @@ def generate(scales: list[int] | None = None, base_sf: str | None = None,
             con.execute(
                 f"COPY ({union}) TO '{d}/{table}.parquet' (FORMAT PARQUET)"
             )
-        # the heavy family never reads these, but symlinks keep every
-        # scaled dir a complete, loadable sf-dir
-        for other in (
-            "region", "nation", "customer", "supplier", "part",
-            "orders", "events",
-        ):
-            src = os.path.join(BASE_SF, f"{other}.parquet")
-            if os.path.exists(src):
-                os.symlink(src, os.path.join(d, f"{other}.parquet"))
+        _symlink_rest(d, skip=("documents", "lineitem"))
+        print(f"[scaling] generated {d}", file=sys.stderr, flush=True)
+    # control corpora: embeddings-only scaling (see CONTROL_SCALES) —
+    # documents/lineitem stay at 1x via symlink
+    for k in (control_scales if control_scales is not None else CONTROL_SCALES):
+        d = os.path.join(root, f"ctl_x{k}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        union = " UNION ALL ".join(f"({_scaled_embeddings_sql(i)})" for i in range(k))
+        con.execute(f"COPY ({union}) TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+        _symlink_rest(d, skip=())
         print(f"[scaling] generated {d}", file=sys.stderr, flush=True)
 
 
@@ -227,7 +275,8 @@ def measure(name: str) -> None:
     from iceberg_rest_server_spark.queries import REGISTRY
     from iceberg_rest_server_spark.session import get_spark
 
-    if name in CONTROL:
+    is_control = name in CONTROL
+    if is_control:
         scales = CONTROL_SCALES
     elif name in EXACT_TIER:
         scales = EXACT_SCALES
@@ -235,17 +284,26 @@ def measure(name: str) -> None:
         os.environ["SPARK_GRAFT_JACCARD_VERIFY"] = "array"
     else:
         scales = SCALES
-    spark = get_spark(
-        f"scaling-{name}",
-        extra_conf={
-            "spark.ui.enabled": "true",
-            "spark.ui.port": str(UI_PORT),
-            # the whole ladder must stay in the status store or the
-            # before/after shuffle deltas corrupt mid-run
-            "spark.ui.retainedStages": "100000",
-            "spark.ui.retainedJobs": "100000",
-        },
-    )
+    extra_conf = {
+        "spark.ui.enabled": "true",
+        "spark.ui.port": str(UI_PORT),
+        # the whole ladder must stay in the status store or the
+        # before/after shuffle deltas corrupt mid-run
+        "spark.ui.retainedStages": "100000",
+        "spark.ui.retainedJobs": "100000",
+    }
+    if is_control:
+        # pin ONE join strategy across the control ladder, mirroring
+        # the exact tier's pinned verify: measured (r11, .explain at
+        # ctl_x64 vs ctl_x128) Catalyst broadcasts the ~130 MB vector
+        # table at x64 (BroadcastHashJoin + BroadcastNestedLoopJoin)
+        # and flips to SortMergeJoin/CartesianProduct at x128 — the
+        # x64 rung then measures the broadcast build, not the growth,
+        # making q35's wall NON-monotone (216 s at x64 vs 174 s at
+        # x128 across two independent runs). A ladder must hold one
+        # strategy or the flip reads as fake sub/super-linearity.
+        extra_conf["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    spark = get_spark(f"scaling-{name}", extra_conf=extra_conf)
     q = REGISTRY[name]
 
     def run(sf_dir: str) -> float:
@@ -256,10 +314,11 @@ def measure(name: str) -> None:
         spark.sparkContext._jvm.System.gc()
         return dt
 
-    run(os.path.join(ROOT, "x1"))  # warm-up, untimed
+    run(os.path.join(ROOT, "x1"))  # warm-up, untimed (plan shapes are scale-invariant)
     rec: dict = {"name": name, "scales": {}}
     for k in scales:
-        sf_dir = os.path.join(ROOT, f"x{k}")
+        # control rows ride the embeddings-only ctl corpora
+        sf_dir = os.path.join(ROOT, f"ctl_x{k}" if is_control else f"x{k}")
         s0 = _shuffle_write_bytes(UI_PORT)
         t1 = run(sf_dir)
         shuffle = _shuffle_write_bytes(UI_PORT) - s0
@@ -275,31 +334,58 @@ def measure(name: str) -> None:
     spark.stop()
 
 
-def fit_exponent(lo_scale: int, hi_scale: int, lo: float, hi: float) -> float | None:
-    """Growth exponent a in cost ~ scale^a from the ladder endpoints.
-    None when the low end is ~0 (nothing to fit against)."""
-    if lo <= 0 or hi <= 0 or hi_scale <= lo_scale:
+def fit_exponent(scales: list[int], costs: list[float]) -> float | None:
+    """Growth exponent a in cost ~ scale^a: least-squares slope of
+    log(cost) on log(scale) over ALL ladder points (VERDICT r10 #2 —
+    an endpoint-only fit on a 2-point ladder is an anecdote; with 3+
+    rungs the middle points constrain the fit). Degrades gracefully:
+    2 points = the endpoint fit; None when any cost is ~0 or the
+    ladder is degenerate."""
+    if len(scales) < 2 or any(c <= 0 for c in costs) or any(s <= 0 for s in scales):
         return None
-    return math.log(hi / lo) / math.log(hi_scale / lo_scale)
+    xs = [math.log(s) for s in scales]
+    ys = [math.log(c) for c in costs]
+    mx = sum(xs) / len(xs)
+    my = sum(ys) / len(ys)
+    sxx = sum((x - mx) ** 2 for x in xs)
+    if sxx == 0:
+        return None
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
 
 
 def _exponents(rec: dict) -> tuple[float | None, float | None]:
     ks = sorted(int(k) for k in rec["scales"])
-    lo, hi = rec["scales"][str(ks[0])], rec["scales"][str(ks[-1])]
-    return (
-        fit_exponent(ks[0], ks[-1], lo["wall_sec"], hi["wall_sec"]),
-        fit_exponent(
-            ks[0], ks[-1], lo["shuffle_write_bytes"], hi["shuffle_write_bytes"]
-        ),
-    )
+    walls = [rec["scales"][str(k)]["wall_sec"] for k in ks]
+    shuffles = [rec["scales"][str(k)]["shuffle_write_bytes"] for k in ks]
+    return fit_exponent(ks, walls), fit_exponent(ks, shuffles)
 
 
-def orchestrate() -> int:
+RESULTS_CACHE = os.path.join(ROOT, "results.json")
+
+
+def orchestrate(only: list[str] | None = None) -> int:
+    """Full run, or — with `only` — re-measure a subset and merge with
+    the cached rows of the previous run (the corpora are regenerated
+    either way; measurements are per-query subprocesses, so a noisy
+    rung can be re-taken without paying for the whole family)."""
     generate()
     here = os.path.abspath(__file__)
+    cached: dict[str, dict] = {}
+    if only:
+        try:
+            with open(RESULTS_CACHE) as fh:
+                cached = {r["name"]: r for r in json.load(fh)}
+        except (OSError, ValueError):
+            print("[scaling] --only without a results cache; measuring "
+                  "the subset fresh, other rows will be missing",
+                  file=sys.stderr, flush=True)
     results: list[dict] = []
     failures: list[str] = []
     for name in BUCKETED + CONTROL:
+        if only and name not in only:
+            if name in cached:
+                results.append(cached[name])
+            continue
         print(f"[scaling] measuring {name} ...", file=sys.stderr, flush=True)
         try:
             proc = subprocess.run(
@@ -319,6 +405,11 @@ def orchestrate() -> int:
         except Exception as exc:
             failures.append(f"{name}: {type(exc).__name__}: {exc}"[:600])
             print(f"[scaling] {name} FAILED: {failures[-1]}", file=sys.stderr, flush=True)
+    try:
+        with open(RESULTS_CACHE, "w") as fh:
+            json.dump(results, fh, indent=1)
+    except OSError:
+        pass
     write_report(results, failures)
     # the gate: every bucketed tier must grow sub-quadratically in BOTH
     # wall time and shuffle volume
@@ -342,6 +433,35 @@ def orchestrate() -> int:
     return 1 if (failures or bad) else 0
 
 
+def _table(rows: list[dict], scales: list[int]) -> list[str]:
+    lines = [
+        "| query | " + " | ".join(
+            f"x{k} wall s / shuffle MiB" for k in scales
+        ) + " | a(time) | a(shuffle) | verdict |",
+        "|---|" + "---|" * (len(scales) + 3),
+    ]
+    for rec in rows:
+        cells = []
+        for k in scales:
+            s = rec["scales"].get(str(k))
+            cells.append(
+                "—" if s is None else
+                f"{s['wall_sec']:.2f} / {s['shuffle_write_bytes'] / 2**20:.1f}"
+            )
+        a_t, a_s = _exponents(rec)
+        verdict = (
+            "quadratic control" if rec["name"] in CONTROL
+            else ("SUB-QUADRATIC" if (a_t or 0) < 2.0 and (a_s or 0) < 2.0 else "FAIL")
+        )
+        lines.append(
+            f"| {rec['name']} | " + " | ".join(cells)
+            + " | " + (f"{a_t:.2f}" if a_t is not None else "n/a")
+            + " | " + (f"{a_s:.2f}" if a_s is not None else "n/a")
+            + f" | {verdict} |"
+        )
+    return lines
+
+
 def write_report(results: list[dict], failures: list[str]) -> None:
     lines = [
         "# SCALING — measured growth of the heavy family",
@@ -355,60 +475,70 @@ def write_report(results: list[dict], failures: list[str]) -> None:
         "Each query runs its whole ladder in ONE fresh JVM (x1 warm-up",
         "absorbs JIT; plan shapes are scale-invariant). Shuffle bytes are",
         "per-run deltas of completed-stage `shuffleWriteBytes` from the",
-        "Spark monitoring REST API. Exponent a: cost ~ scale^a fitted on",
-        "the ladder endpoints; a=1 linear, a=2 quadratic. Gate: every",
-        "bucketed tier sub-quadratic (a < 2) in both wall time and",
-        "shuffle volume. q59 (exact all-pairs GEMM, documented quadratic",
-        "exception alongside q35) rides a capped ladder as the all-pairs",
-        "control; note its FLOP count is x k^2 by construction but at",
-        "these corpus sizes (2k-8k vectors) the GEMM is scheduler/",
-        "overhead-dominated, so its measured wall exponent UNDERSTATES",
-        "the asymptotic quadratic — the honest reading is the verdict",
-        "column, not a demonstration of quadratic wall growth at toy",
-        "sizes. Wall exponents below ~1 on the cheap tiers mean the",
-        "same thing in reverse: fixed per-job overhead amortizes as",
-        "data grows. Shuffle-byte exponents are the cleaner signal",
-        "(no scheduler floor): every tier measures ~1.0 — the data",
-        "volume the engine moves grows linearly with corpus scale.",
+        "Spark monitoring REST API. Exponent a: cost ~ scale^a, the",
+        "least-squares slope of log(cost) on log(scale) over ALL ladder",
+        "rungs (r11; 2-point rows degrade to the endpoint fit); a=1",
+        "linear, a=2 quadratic. Gate: every bucketed tier sub-quadratic",
+        "(a < 2) in both wall time and shuffle volume. Wall exponents",
+        "below ~1 on the cheap tiers mean fixed per-job overhead",
+        "amortizing as data grows. Shuffle-byte exponents are the",
+        "cleaner signal (no scheduler floor): every bucketed tier",
+        "measures ~1.0 — the data volume the engine moves grows",
+        "linearly with corpus scale.",
         "",
-        "The EXACT near-dup tier (q32_ngram/q49/q96) runs a [1, 4]",
-        "ladder with the array verify strategy pinned",
-        "(SPARK_GRAFT_JACCARD_VERIFY=array): its cost driver is the",
-        "corpus's ~4.5M-per-copy j>=0.5 template-similar candidate mass",
-        "(linear in scale, every pair touched by ANY exact verifier,",
-        "each shipping ~2.2 KB of gram arrays), which exceeds this",
-        "box's disk at x16 (>100 GB verify traffic). That ceiling is a",
-        "property of exact verification on template-heavy corpora, not",
-        "of the plan shape — the 100 TB tier for this workload is LSH",
-        "count-banding (q32_minhash, full ladder: it rejects the j~0.5",
-        "mass before any verify), or the inline-bitmap verify where the",
-        "gram vocabulary is bounded (the r10 cutover fix caps bitmap",
-        "row width at 16 longs — operators/dedup.py _BITMAP_MAX_GRAMS).",
+        "The EXACT near-dup tier (q32_ngram/q49/q96) runs a [1, 2, 4]",
+        "ladder (3-point fit since r11) with the array verify strategy",
+        "pinned (SPARK_GRAFT_JACCARD_VERIFY=array): its cost driver is",
+        "the corpus's ~4.5M-per-copy j>=0.5 template-similar candidate",
+        "mass (linear in scale, every pair touched by ANY exact",
+        "verifier, each shipping ~2.2 KB of gram arrays), which exceeds",
+        "this box's disk at x16 (>100 GB verify traffic). That ceiling",
+        "is a property of exact verification on template-heavy corpora,",
+        "not of the plan shape — the 100 TB tier for this workload is",
+        "LSH count-banding (q32_minhash, full ladder: it rejects the",
+        "j~0.5 mass before any verify), or the inline-bitmap verify",
+        "where the gram vocabulary is bounded (operators/dedup.py",
+        "_BITMAP_MAX_GRAMS; the registry corpora measure 377 grams, so",
+        "the bitmap path runs at every registry sf).",
         "",
-        "| query | " + " | ".join(
-            f"x{k} wall s / shuffle MiB" for k in SCALES
-        ) + " | a(time) | a(shuffle) | verdict |",
-        "|---|" + "---|" * (len(SCALES) + 3),
     ]
-    for rec in results:
-        cells = []
-        for k in SCALES:
-            s = rec["scales"].get(str(k))
-            cells.append(
-                "—" if s is None else
-                f"{s['wall_sec']:.2f} / {s['shuffle_write_bytes'] / 2**20:.1f}"
-            )
-        a_t, a_s = _exponents(rec)
-        is_control = rec["name"] in CONTROL
-        verdict = (
-            "quadratic control" if is_control
-            else ("SUB-QUADRATIC" if (a_t or 0) < 2.0 and (a_s or 0) < 2.0 else "FAIL")
-        )
-        lines.append(
-            f"| {rec['name']} | " + " | ".join(cells)
-            + f" | {a_t:.2f} | " + (f"{a_s:.2f}" if a_s is not None else "n/a")
-            + f" | {verdict} |"
-        )
+    bucketed = [r for r in results if r["name"] not in CONTROL]
+    control = [r for r in results if r["name"] in CONTROL]
+    lines += _table(bucketed, SCALES)
+    if control:
+        lines += [
+            "",
+            "## Quadratic control (all-pairs GEMM family, documented",
+            "quadratic by spec)",
+            "",
+            "Embeddings-only ctl_x{k} corpora sized so quadratic compute",
+            "actually dominates the ~2 s fixed floor (VERDICT r10 #2: the",
+            "old 2k-8k-vector ladder measured a=0.64 of pure scheduler",
+            "floor; at x64-x256 = 128k-512k vectors the blocked GEMM runs",
+            "hundreds-to-thousands of tasks and the true pair count grows",
+            "~720k -> ~11.6M, so GEMM, candidate volume and result",
+            "materialization are all genuinely quadratic). The control",
+            "ladder pins ONE join strategy across its rungs",
+            "(autoBroadcastJoinThreshold=-1), mirroring the exact tier's",
+            "pinned verify: unpinned, Catalyst broadcast the ~130 MB",
+            "vector table at x64 and flipped to SortMergeJoin/",
+            "CartesianProduct at x128, making q35's wall NON-monotone",
+            "(216 s at x64 vs 174 s at x128 across two independent runs",
+            "— the rung measured the broadcast build, not growth).",
+            "q35 is the designated clean control: pairs-only, every pair",
+            "materialized, wall a >= 1.8 measured. q59 runs the same",
+            "pairs but only aggregates per-label counts after connected",
+            "components, so a larger share of its wall is the",
+            "linear-scaling prep (collect_list, per-block Arrow",
+            "deserialization ~ N·d) and its fitted wall exponent reads",
+            "lower; its top-pair slope (x128 -> x256) and its shuffle",
+            "exponent ~1.8 carry the quadratic signal. x128/x256 contain",
+            "cross-copy exact-dup pairs from 64-period vector-rotation",
+            "classes — linear per class pair, acceptable for rows",
+            "carrying no sub-quadratic assertion.",
+            "",
+        ]
+        lines += _table(control, CONTROL_SCALES)
     if failures:
         lines += ["", "## Failures", ""] + [f"- {f}" for f in failures]
     lines.append("")
@@ -422,5 +552,11 @@ if __name__ == "__main__":
         generate()
     elif len(sys.argv) == 3 and sys.argv[1] == "--measure":
         measure(sys.argv[2])
+    elif len(sys.argv) == 3 and sys.argv[1] == "--only":
+        sys.exit(orchestrate(only=sys.argv[2].split(",")))
+    elif len(sys.argv) == 2 and sys.argv[1] == "--report":
+        # rebuild SCALING.md from the results cache, no re-measurement
+        with open(RESULTS_CACHE) as fh:
+            write_report(json.load(fh), failures=[])
     else:
         sys.exit(orchestrate())
