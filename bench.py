@@ -413,20 +413,32 @@ def main() -> None:
     rerun_sec = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_SEC", "3"))
     # VERDICT r10 #3: sub-threshold queries were single-shot, and two
     # same-code r10 full runs differed ±40-80% on exactly those — the
-    # per-query record was noise below ~2 s. Every shared-loop query
-    # whose first run lands under the rerun threshold now repeats to
-    # min-of-N (default 3; clearCache between reps so a query can never
-    # replay its own persisted intermediates, but no full System.gc —
+    # per-query record was noise below ~2 s. Every sub-threshold query
+    # now reports a min-of-N (default 3). The N samples run as SEPARATE
+    # PASSES over the whole fast set, not back-to-back reps: this box's
+    # probe series shows hypervisor-steal bursts minutes wide (r11,
+    # three same-code runs: probes 0.009 steady, then 0.05-0.134 for
+    # 1-2 probe slots), and three back-to-back reps land inside one
+    # burst together — min-of-reps then records the burst, not the
+    # query. Passes are ~2-4 min apart, so a burst hits DIFFERENT
+    # queries each pass and the per-query min escapes it. clearCache
+    # between samples (a query must never replay its own persisted
+    # intermediates) but no full System.gc inside the fast passes —
     # sub-second queries leave little garbage and the gc would triple
-    # the added wall-clock). Cost: ~2 extra sub-2 s runs × ~170 queries
-    # ≈ 2-3 min; the slow tail keeps its full-quiesce min-of-2.
+    # the added wall-clock. Batch fast passes run BEFORE the streaming
+    # section (state-store residue inflates batch queries, measured
+    # ~+30%); streaming entries keep back-to-back reps (each drain is
+    # a fresh-uuid memory-sink replay; their noise is dominated by
+    # micro-batch scheduling, not box bursts).
     fastrep_n = int(os.environ.get("SPARK_GRAFT_BENCH_FASTREP_N", "3"))
     iterative3 = set() if isolate else set(ISOLATED)
-    for i, name in enumerate(names):
+    streaming_names = {n for n in names if "_stream" in n}
+    fast_batch: list[str] = []
+
+    def _measure(name: str, i: int) -> None:
         if i % 20 == 0:
-            # periodic probe (~2 s each, ~20 s over the run) so every
-            # shared-loop query has a box-speed sample within ~10
-            # queries of when it ran
+            # periodic probe (~2 s each) so every shared-loop query has
+            # a box-speed sample within ~10 queries of when it ran
             plog.probe(f"shared:{i}")
         q = REGISTRY[name]
         t_started = time.monotonic()
@@ -443,19 +455,52 @@ def main() -> None:
                     t3 = _run_once(q)
                     reruns[name].append(t3)
                     times[name] = min(times[name], t3)
-            else:
+            elif name in streaming_names:
                 rs = [t1]
                 for _ in range(fastrep_n - 1):
                     spark.catalog.clearCache()
                     rs.append(_run_once(q))
                 reruns[name] = rs
                 times[name] = min(rs)
+            else:
+                reruns[name] = [t1]
+                fast_batch.append(name)
             plog.mark(name, t_started, time.monotonic())
             print(f"[bench] {name}: {times[name]:.2f}s", file=sys.stderr, flush=True)
         except Exception as exc:  # one bad query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"[bench] {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
         _quiesce()
+
+    batch_names = [n for n in names if n not in streaming_names]
+    for i, name in enumerate(batch_names):
+        _measure(name, i)
+    # fast passes 2..N over the batch fast set (see the burst comment)
+    for p in range(1, fastrep_n):
+        plog.probe(f"fastpass:{p}")
+        for j, name in enumerate(fast_batch):
+            if name in errors:
+                continue
+            if j and j % 40 == 0:
+                plog.probe(f"fastpass:{p}:{j}")
+            try:
+                t = _run_once(REGISTRY[name])
+                reruns[name].append(t)
+                times[name] = min(times[name], t)
+            except Exception as exc:
+                # keep the errors/queries sets disjoint (a query never
+                # appears in both — the artifact invariant): a pass-1
+                # success followed by a pass-N failure is flakiness the
+                # error should surface, not average away
+                errors[name] = f"fastpass: {type(exc).__name__}: {exc}"[:300]
+                times.pop(name, None)
+                reruns.pop(name, None)
+            spark.catalog.clearCache()
+        print(f"[bench] fast pass {p + 1}/{fastrep_n} done ({len(fast_batch)} queries)",
+              file=sys.stderr, flush=True)
+        _quiesce()
+    for i, name in enumerate(n for n in names if n in streaming_names):
+        _measure(name, i)
 
     calibration["end"] = plog.probe("end")
     out = build_artifact(times, errors, reruns, iso_runs, plog, sf_dir, calibration)
