@@ -484,9 +484,18 @@ def main() -> None:
             if j and j % 40 == 0:
                 plog.probe(f"fastpass:{p}:{j}")
             try:
+                t_started = time.monotonic()
                 t = _run_once(REGISTRY[name])
                 reruns[name].append(t)
-                times[name] = min(times[name], t)
+                if t < times[name]:
+                    # ADVICE r11: the calibration factor brackets the
+                    # run window of whichever SAMPLE produced the
+                    # reported min — a pass-2/3 win minutes after
+                    # pass 1 must re-anchor query_mid, or the nearest
+                    # probes describe a different box phase than the
+                    # one the winning sample actually ran in
+                    times[name] = t
+                    plog.mark(name, t_started, time.monotonic())
             except Exception as exc:
                 # keep the errors/queries sets disjoint (a query never
                 # appears in both — the artifact invariant): a pass-1

@@ -45,83 +45,19 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # on (1) entries with NO driver evidence yet, (2) entries whose code or
 # oracle changed since their last green row, then (3) the STALEST
 # recorded evidence first.
-# r11 WINDOW (exactly 50): no no-evidence entries. The r11 code
-# changes (ADVICE r10) are all in the catalog MANAGEMENT layer
-# (server.py/store.py: warehouse-status inclusion filter, credential
-# detach on storage update, 400s on malformed bodies) — no registry
-# query operator changed, but per the pinned policy the catalog-
-# surface entries whose execution path crosses the changed store code
-# (q34/q82/q83 e2e family; q141 Python Data Source) lead their
-# cohorts. The window is the entire 34-entry r05-stale cohort
-# (recomputed from CORRECTNESS_r01..r10; matches VERDICT r10 #1) +
-# the first 16 of the 46-entry r07 cohort (equal staleness —
-# alphabetical tie-break). After r11 the oldest evidence anywhere is
-# r07 (30 entries). Whole-registry re-check: tools/driver_sim.py,
-# recorded in PARITY.md.
+# r12 WINDOW (exactly 50): no no-evidence entries and no r12 query-
+# operator code changes (r12 changes are bench/scaling tooling and
+# docs only), so the window is pure staleness: the ENTIRE 32-entry
+# r07-stale cohort (recomputed from CORRECTNESS_r01..r11; matches
+# VERDICT r11 #3 name-for-name) + the first 18 of the 48-entry r08
+# cohort (equal staleness — alphabetical tie-break). After r12 the
+# oldest evidence anywhere becomes r08 (30 entries). Whole-registry
+# re-check: tools/driver_sim.py, recorded in PARITY.md.
 # Every entry is always returned — ordering only, never selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (1) code changed in r11: cosine_neardup_pairs_blocked gained
-    # a score-matrix cap (similarity.py target_score_bytes; blocks stays
-    # 2 at registry scale so results/plans are unchanged — but per the
-    # pinned policy the 2 entries sharing the operator re-run) ---
-    "q35_cosine_neardup_pairs",
-    "q59_semantic_dedup",
-    # --- (2) the 34-entry r05-stale cohort; catalog-surface entries
-    # (store.py changed in r11) first, then alphabetical ---
-    "q34_catalog_end_to_end",
-    "q82_merge_upsert",
-    "q83_row_level_delete",
-    "q07_inner_join",
-    "q08_broadcast_join",
-    "q09_multiway_join",
-    "q111_hll_union_rollup",
-    "q127_kmeans_clustering",
-    "q129_scd2_reconstruction",
-    "q130_interval_concurrency",
-    "q131_markov_transitions",
-    "q132_rfm_segmentation",
-    "q133_hard_negative_mining",
-    "q135_time_weighted_average",
-    "q136_cooccurrence_similarity",
-    "q137_observed_metrics",
-    "q138_quantile_bucket_scores",
-    "q139_xml_roundtrip",
-    "q142_zscore_outliers",
-    "q143_basket_affinity",
-    "q144_theta_set_operations",
-    "q145_kll_quantile_rollup",
-    "q14_asof_join",
-    "q15_rollup",
-    "q16_window_ranking",
-    "q18_topk",
-    "q31_exact_dedup",
-    "q32_minhash_lsh_pairs",
-    "q36_ann_lsh_topk",
-    "q38_ann_ivf_topk",
-    "q63_tpch_q1",
-    "q69_tpch_q8",
-    "q74_tpch_q17",
-    "q88_cms_heavy_hitters",
-    # --- (3) fills: first 14 of the 46-entry r07 cohort (q141 first:
-    # its path crosses the changed catalog store; q158/q159 displaced
-    # to r12 by the two changed-operator entries above) ---
-    "q141_python_datasource",
-    "q126_pmi_collocations",
-    "q128_edit_distance_join",
-    "q146_bigram_lm_perplexity",
-    "q147_bm25_topk",
-    "q148_vocab_growth",
-    "q149_skipgram_associations",
-    "q150_winsorized_stats",
-    "q151_embedding_dim_audit",
-    "q153_join_key_skew_profile",
-    "q154_eval_quota_sample",
-    "q155_intradoc_repeat_collapse",
-    "q156_analyze_column_stats",
-    "q157_triangle_count",
-    # --- below here falls outside the 50-entry window ---
-    # the remaining 32 r07 entries lead the r12 window unless
-    # displaced by r12 changes
+    # --- (1) the 32-entry r07-stale cohort, alphabetical (q158/q159
+    # were displaced from the r11 window by the changed-operator
+    # entries; the rest is the r07 tail in its pinned order) ---
     "q158_linear_interpolation",
     "q159_bpe_merge_candidates",
     "q160_lateral_topk_per_group",
@@ -154,6 +90,59 @@ _DRIVER_ORDER_HEAD = [
     "q188_seasonality_strength",
     "q29_stream_tumbling_window",
     "q32_simhash_pairs",
+    # --- (2) fills: first 18 of the 48-entry r08 cohort,
+    # alphabetical ---
+    "q02_filter",
+    "q04_global_aggregate",
+    "q05_distinct_aggregate",
+    "q10_left_outer_join",
+    "q11_left_semi_join",
+    "q12_left_anti_join",
+    "q13_theta_join",
+    "q140_processor_logic_batch",
+    "q15_cube",
+    "q15_grouping_sets",
+    "q166_pca_top_components",
+    "q172_stream_sliding_window",
+    "q17_window_frames",
+    "q189_stable_row_ids",
+    "q190_ohlc_bars",
+    "q191_benford_deviation",
+    "q192_fk_integrity_audit",
+    "q193_inverted_index_postings",
+    # --- below here falls outside the 50-entry window ---
+    # the remaining 30 r08 entries lead the r13 window unless
+    # displaced by r13 changes (alphabetical)
+    "q194_ks_two_sample",
+    "q195_gini_concentration",
+    "q196_running_distinct_users",
+    "q197_activity_streaks",
+    "q199_multitouch_attribution",
+    "q19_except",
+    "q19_intersect",
+    "q19_union_all",
+    "q19_union_distinct",
+    "q200_percentile_rank_transform",
+    "q201_priority_sample",
+    "q202_ngram_novelty",
+    "q203_sliding_distinct_users",
+    "q20_string_functions",
+    "q21_date_functions",
+    "q22_math_functions",
+    "q23_array_map_json",
+    "q23_explode_json",
+    "q24_conditional_null",
+    "q25_correlated_subquery",
+    "q25_subqueries",
+    "q26_cte",
+    "q27_udf_parity",
+    "q28_grouped_pandas_udaf",
+    "q33_fingerprint",
+    "q33_lang_id",
+    "q33_top_terms",
+    "q54_full_outer_join",
+    "q55_window_navigation",
+    "q61_grouping_id",
     "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 

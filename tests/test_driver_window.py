@@ -1,7 +1,7 @@
 """Driver-window contract: the correctness driver checks only the FIRST
 50 ``queries()`` entries per round, so the registry's explicit ordering
 is load-bearing evidence policy, not cosmetics. These tests freeze the
-r11 rotation (policy pinned in _registry.py since r8): entries with no
+r12 rotation (policy pinned in _registry.py since r8): entries with no
 driver evidence lead, then entries whose code changed this round, then
 the stalest recorded evidence; every _DRIVER_ORDER_HEAD name must
 actually exist (a typo would silently demote an entry to the unchecked
@@ -12,80 +12,71 @@ from __future__ import annotations
 from iceberg_rest_server_spark.queries import REGISTRY, queries
 from iceberg_rest_server_spark.queries._registry import _DRIVER_ORDER_HEAD
 
-# (1) code changed in r11: cosine_neardup_pairs_blocked gained a
-# score-matrix cap (operators/similarity.py target_score_bytes) — the
-# input-payload cap alone admitted 34 GB per-task score matrices at
-# scale. blocks stays 2 at registry corpus sizes (results and plans
-# unchanged), but the 2 entries sharing the operator re-run per the
-# pinned changed-code-first policy.
-R11_CHANGED = [
-    "q35_cosine_neardup_pairs",
-    "q59_semantic_dedup",
+# r12 has NO query-operator code changes (the round's diffs are bench
+# pass-window tracking, tools/scaling.py cache/gate hygiene, tests and
+# docs), so the window is pure staleness per the pinned policy.
+
+# (1) the 32 entries whose last driver-recorded green was r07 (computed
+# from CORRECTNESS_r01..r11; matches VERDICT r11 "Next round #3"
+# name-for-name). q158/q159 lead: they were displaced from the r11
+# window by the two changed-operator entries.
+STALE_R07 = [
+    "q158_linear_interpolation",
+    "q159_bpe_merge_candidates",
+    "q160_lateral_topk_per_group",
+    "q161_recursive_cte_hierarchy",
+    "q162_stream_stream_left_outer",
+    "q163_except_all",
+    "q163_intersect_all",
+    "q164_auc_rank_sum",
+    "q165_chi_squared_independence",
+    "q167_ewma_bounded",
+    "q168_spatial_grid_join",
+    "q169_event_pattern_match",
+    "q170_calibration_bins",
+    "q171_stream_stream_full_outer",
+    "q173_threshold_sweep",
+    "q174_rolling_anomaly_flags",
+    "q175_lagged_cross_correlation",
+    "q176_bfs_levels",
+    "q177_ordered_listagg",
+    "q178_bitmap_distinct_rollup",
+    "q179_weighted_median",
+    "q180_ab_test_zscore",
+    "q181_filtered_aggregates",
+    "q182_null_safe_join",
+    "q183_union_by_name",
+    "q184_try_cast_hygiene",
+    "q185_bootstrap_ci",
+    "q186_curriculum_interleave",
+    "q187_reciprocal_rank_fusion",
+    "q188_seasonality_strength",
+    "q29_stream_tumbling_window",
+    "q32_simhash_pairs",
 ]
 
-# (2) the 34 entries whose last driver-recorded green was r05 (computed
-# from CORRECTNESS_r01..r10 at the start of r11; matches VERDICT r10
-# "Next round #1"). The other r11 code changes (ADVICE r10) are all
-# management-layer — no query operator — but the catalog-surface
-# entries whose execution path crosses the changed store code lead
-# their cohort per the same policy.
-STALE_R05 = [
-    "q34_catalog_end_to_end",
-    "q82_merge_upsert",
-    "q83_row_level_delete",
-    "q07_inner_join",
-    "q08_broadcast_join",
-    "q09_multiway_join",
-    "q111_hll_union_rollup",
-    "q127_kmeans_clustering",
-    "q129_scd2_reconstruction",
-    "q130_interval_concurrency",
-    "q131_markov_transitions",
-    "q132_rfm_segmentation",
-    "q133_hard_negative_mining",
-    "q135_time_weighted_average",
-    "q136_cooccurrence_similarity",
-    "q137_observed_metrics",
-    "q138_quantile_bucket_scores",
-    "q139_xml_roundtrip",
-    "q142_zscore_outliers",
-    "q143_basket_affinity",
-    "q144_theta_set_operations",
-    "q145_kll_quantile_rollup",
-    "q14_asof_join",
-    "q15_rollup",
-    "q16_window_ranking",
-    "q18_topk",
-    "q31_exact_dedup",
-    "q32_minhash_lsh_pairs",
-    "q36_ann_lsh_topk",
-    "q38_ann_ivf_topk",
-    "q63_tpch_q1",
-    "q69_tpch_q8",
-    "q74_tpch_q17",
-    "q88_cms_heavy_hitters",
-]
-
-# (3) fills: the r07 cohort is 46 entries of equal staleness, so the
-# pinned tie-break is alphabetical; the first 14 fill the window
-# exactly (q141 leads: Python Data Source, catalog-store path;
-# q158/q159 displaced to r12 by the changed-operator entries).
-# The remaining 32 lead r12.
-R07_FILLS = [
-    "q141_python_datasource",
-    "q126_pmi_collocations",
-    "q128_edit_distance_join",
-    "q146_bigram_lm_perplexity",
-    "q147_bm25_topk",
-    "q148_vocab_growth",
-    "q149_skipgram_associations",
-    "q150_winsorized_stats",
-    "q151_embedding_dim_audit",
-    "q153_join_key_skew_profile",
-    "q154_eval_quota_sample",
-    "q155_intradoc_repeat_collapse",
-    "q156_analyze_column_stats",
-    "q157_triangle_count",
+# (2) fills: the r08 cohort is 48 entries of equal staleness, so the
+# pinned tie-break is alphabetical; the first 18 fill the window
+# exactly. The remaining 30 lead r13.
+R08_FILLS = [
+    "q02_filter",
+    "q04_global_aggregate",
+    "q05_distinct_aggregate",
+    "q10_left_outer_join",
+    "q11_left_semi_join",
+    "q12_left_anti_join",
+    "q13_theta_join",
+    "q140_processor_logic_batch",
+    "q15_cube",
+    "q15_grouping_sets",
+    "q166_pca_top_components",
+    "q172_stream_sliding_window",
+    "q17_window_frames",
+    "q189_stable_row_ids",
+    "q190_ohlc_bars",
+    "q191_benford_deviation",
+    "q192_fk_integrity_audit",
+    "q193_inverted_index_postings",
 ]
 
 
@@ -95,20 +86,36 @@ def test_every_head_name_exists():
     assert missing in ([], ["q140_stream_transform_with_state"]), missing
 
 
-def test_window_covers_changed_then_stale_then_fills():
+def test_window_covers_stale_then_fills():
     window = list(queries())[:50]
-    assert window[: len(R11_CHANGED)] == R11_CHANGED
-    n1 = len(R11_CHANGED)
-    assert window[n1 : n1 + len(STALE_R05)] == STALE_R05
-    assert window[n1 + len(STALE_R05) :] == R07_FILLS
-    # catalog-surface entries crossing the r11 store change lead their cohort
-    assert window[n1 : n1 + 3] == [
-        "q34_catalog_end_to_end", "q82_merge_upsert", "q83_row_level_delete"
-    ]
-    assert window[n1 + len(STALE_R05)] == "q141_python_datasource"
+    assert window[: len(STALE_R07)] == STALE_R07
+    assert window[len(STALE_R07) :] == R08_FILLS
     # exactly full: nothing wasted, nothing spilled
     assert len(set(window)) == 50
-    assert len(R11_CHANGED) + len(STALE_R05) + len(R07_FILLS) == 50
+    assert len(STALE_R07) + len(R08_FILLS) == 50
+
+
+def test_window_matches_recorded_staleness():
+    """The frozen lists above must agree with the committed CORRECTNESS
+    artifacts — if a new round record lands, the window (and this test)
+    must be recomputed, not left stale."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if rnd >= 12:  # this round's own record lands after the window ran
+            continue
+        for k in json.load(open(f)):
+            latest[k] = max(latest.get(k, 0), rnd)
+    r07 = {k for k, v in latest.items() if v == 7}
+    r08 = {k for k, v in latest.items() if v == 8}
+    assert set(STALE_R07) == r07
+    assert set(R08_FILLS) == set(sorted(r08)[:18])
 
 
 def test_ordering_is_reordering_not_selection():

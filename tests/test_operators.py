@@ -396,3 +396,79 @@ def test_auto_blocks_caps_score_matrix_and_payload():
     # registry scale: 500 and 2000 vectors stay at the 2-block minimum
     assert _auto_blocks(500, 64, 32 * MB, 256 * MB) == 2
     assert _auto_blocks(2000, 64, 32 * MB, 256 * MB) == 2
+
+
+def test_auto_blocks_holds_budget_at_ctl_scales():
+    """VERDICT r11 #5: prove the 34 GB score-matrix OOM class is dead at
+    the quadratic-control corpus sizes themselves, not just at one
+    hand-picked n. For every ctl ladder rung (x64/x128/x256 = 128k/256k/
+    512k vectors, tools/scaling.py CONTROL_SCALES x sf0.001's 2000-row
+    embeddings) and for dims on BOTH sides of the binding-side flip, the
+    rows-per-block the sizing actually produces (ceil(n / blocks)) must
+    satisfy BOTH budgets — score matrix rows^2*8 <= target_score_bytes
+    and payload rows*dim*8 <= target_block_bytes."""
+    from iceberg_rest_server_spark.operators.similarity import _auto_blocks
+
+    MB = 1 << 20
+    score_b, block_b = 256 * MB, 32 * MB
+    for n in (128_000, 256_000, 512_000):  # ctl_x64 / x128 / x256
+        for dim in (64, 256, 1024, 4096):  # score-bound ... payload-bound
+            blocks = _auto_blocks(n, dim, block_b, score_b)
+            rows = -(-n // blocks)  # what a block actually holds
+            assert rows * rows * 8 <= score_b, (n, dim, blocks, rows)
+            assert rows * dim * 8 <= block_b, (n, dim, blocks, rows)
+    # the old payload-only sizing at dim 64 for contrast: rows-per-block
+    # = 32 MB / (64*8 B) = 65536 -> a 34 GB per-task score matrix; the
+    # both-caps sizing above keeps it <= 256 MB at every ctl rung
+    old_rows = block_b // (64 * 8)
+    assert old_rows == 65536 and old_rows * old_rows * 8 == 32 * 2**30  # = 34.4e9 B
+
+
+def test_blocked_gemm_score_cap_binds_end_to_end(spark, sf_dir):
+    """VERDICT r11 #5 (end-to-end half): run the operator with a score
+    budget small enough that the SCORE side binds (the r11 fix's new
+    code path), and verify (a) results stay bit-identical to brute
+    force across the many-block plan, and (b) the hash-assigned blocks
+    the tasks actually receive respect the budget — max measured
+    rows-per-block stays within hash-skew tolerance of the sizing's
+    rows_per_block, so per-task score matrices are bounded in fact,
+    not just in arithmetic. Skew tolerance: block occupancy is
+    ~Poisson(n/blocks); at test scale (mean 32) relative sigma is
+    ~18%, at ctl scale (mean 5792) it is ~1.3%, so a 2x-budget
+    assertion here is conservative for every larger corpus."""
+    from pyspark.sql import functions as F
+
+    from iceberg_rest_server_spark.operators.similarity import (
+        _auto_blocks,
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blocked,
+    )
+    from iceberg_rest_server_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    # score budget for ~32-row blocks; payload budget huge so ONLY the
+    # score cap can bind (the inverse of the size-aware test above)
+    score_budget = 32 * 32 * 8
+    blocks = _auto_blocks(n, dim, 1 << 40, score_budget)
+    assert blocks == max(2, -(-n // 32))  # the score side bound it
+    blocked = {
+        (r.id1, r.id2): r.cosine
+        for r in cosine_neardup_pairs_blocked(
+            emb, "vec_id", "embedding", 0.45,
+            target_block_bytes=1 << 40, target_score_bytes=score_budget,
+        ).collect()
+    }
+    brute = {
+        (r.id1, r.id2): r.cosine
+        for r in cosine_neardup_pairs(emb, "vec_id", "embedding", 0.45).collect()
+    }
+    assert blocked == brute and len(blocked) > 0
+    # measure the block occupancy the tasks actually see (same
+    # assignment expression as the operator: pmod(xxhash64(id), blocks))
+    occupancy = (
+        emb.select(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(blocks)).alias("blk"))
+        .groupBy("blk").count().agg(F.max("count")).first()[0]
+    )
+    assert occupancy * occupancy * 8 <= 2 * score_budget, (occupancy, blocks)

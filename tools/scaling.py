@@ -363,24 +363,75 @@ def _exponents(rec: dict) -> tuple[float | None, float | None]:
 RESULTS_CACHE = os.path.join(ROOT, "results.json")
 
 
+def _load_cache() -> tuple[list[dict], list[str]]:
+    """Read the results cache, accepting both the current
+    {"results": [...], "failures": [...]} shape and the legacy bare
+    list (pre-r12 caches persisted rows only — ADVICE r11: a report
+    regenerated from such a cache silently dropped the Failures
+    section of the run that produced it)."""
+    with open(RESULTS_CACHE) as fh:
+        data = json.load(fh)
+    if isinstance(data, list):
+        return data, []
+    return data.get("results", []), data.get("failures", [])
+
+
+def _gate(results: list[dict]) -> list[str]:
+    """The gate: every bucketed tier must grow sub-quadratically in
+    BOTH wall time and shuffle volume. ADVICE r11: a None fit (any
+    zero-cost rung) is NOT evidence of sub-quadratic growth — an
+    unfittable bucketed tier fails the gate rather than passing it."""
+    bad: list[str] = []
+    for rec in results:
+        if rec["name"] in CONTROL:
+            continue
+        a_t, a_s = _exponents(rec)
+        if a_t is None:
+            bad.append(f"{rec['name']}: time exponent unfittable "
+                       "(degenerate rung) — not measured sub-quadratic")
+        elif a_t >= 2.0:
+            bad.append(f"{rec['name']}: time exponent {a_t:.2f} >= 2")
+        if a_s is None:
+            bad.append(f"{rec['name']}: shuffle exponent unfittable "
+                       "(degenerate rung) — not measured sub-quadratic")
+        elif a_s >= 2.0:
+            bad.append(f"{rec['name']}: shuffle exponent {a_s:.2f} >= 2")
+    return bad
+
+
 def orchestrate(only: list[str] | None = None) -> int:
     """Full run, or — with `only` — re-measure a subset and merge with
     the cached rows of the previous run (the corpora are regenerated
     either way; measurements are per-query subprocesses, so a noisy
     rung can be re-taken without paying for the whole family)."""
+    if only:
+        # ADVICE r11: a typo'd --only name used to produce a report
+        # silently missing that row; unknown names are an error
+        known = set(BUCKETED + CONTROL)
+        unknown = [n for n in only if n not in known]
+        if unknown:
+            print(f"[scaling] unknown --only names {unknown}; "
+                  f"known: {sorted(known)}", file=sys.stderr, flush=True)
+            return 2
     generate()
     here = os.path.abspath(__file__)
     cached: dict[str, dict] = {}
+    cached_failures: list[str] = []
     if only:
         try:
-            with open(RESULTS_CACHE) as fh:
-                cached = {r["name"]: r for r in json.load(fh)}
+            rows, cached_failures = _load_cache()
+            cached = {r["name"]: r for r in rows}
         except (OSError, ValueError):
             print("[scaling] --only without a results cache; measuring "
                   "the subset fresh, other rows will be missing",
                   file=sys.stderr, flush=True)
     results: list[dict] = []
-    failures: list[str] = []
+    # replay cached failures for rows NOT being re-measured (a failure
+    # belongs to the run that produced the cache until it is retaken)
+    failures: list[str] = [
+        f for f in cached_failures
+        if only and f.split(":", 1)[0] not in only
+    ]
     for name in BUCKETED + CONTROL:
         if only and name not in only:
             if name in cached:
@@ -407,21 +458,11 @@ def orchestrate(only: list[str] | None = None) -> int:
             print(f"[scaling] {name} FAILED: {failures[-1]}", file=sys.stderr, flush=True)
     try:
         with open(RESULTS_CACHE, "w") as fh:
-            json.dump(results, fh, indent=1)
+            json.dump({"results": results, "failures": failures}, fh, indent=1)
     except OSError:
         pass
     write_report(results, failures)
-    # the gate: every bucketed tier must grow sub-quadratically in BOTH
-    # wall time and shuffle volume
-    bad = []
-    for rec in results:
-        if rec["name"] in CONTROL:
-            continue
-        a_t, a_s = _exponents(rec)
-        if a_t is not None and a_t >= 2.0:
-            bad.append(f"{rec['name']}: time exponent {a_t:.2f} >= 2")
-        if a_s is not None and a_s >= 2.0:
-            bad.append(f"{rec['name']}: shuffle exponent {a_s:.2f} >= 2")
+    bad = _gate(results)
     for b in bad:
         print(f"[scaling] QUADRATIC: {b}", file=sys.stderr, flush=True)
     summary = {
@@ -449,10 +490,15 @@ def _table(rows: list[dict], scales: list[int]) -> list[str]:
                 f"{s['wall_sec']:.2f} / {s['shuffle_write_bytes'] / 2**20:.1f}"
             )
         a_t, a_s = _exponents(rec)
-        verdict = (
-            "quadratic control" if rec["name"] in CONTROL
-            else ("SUB-QUADRATIC" if (a_t or 0) < 2.0 and (a_s or 0) < 2.0 else "FAIL")
-        )
+        if rec["name"] in CONTROL:
+            verdict = "quadratic control"
+        elif a_t is None or a_s is None:
+            # ADVICE r11: a None fit must not read as sub-quadratic
+            verdict = "NO FIT (gate failure)"
+        elif a_t < 2.0 and a_s < 2.0:
+            verdict = "SUB-QUADRATIC"
+        else:
+            verdict = "FAIL"
         lines.append(
             f"| {rec['name']} | " + " | ".join(cells)
             + " | " + (f"{a_t:.2f}" if a_t is not None else "n/a")
@@ -555,8 +601,11 @@ if __name__ == "__main__":
     elif len(sys.argv) == 3 and sys.argv[1] == "--only":
         sys.exit(orchestrate(only=sys.argv[2].split(",")))
     elif len(sys.argv) == 2 and sys.argv[1] == "--report":
-        # rebuild SCALING.md from the results cache, no re-measurement
-        with open(RESULTS_CACHE) as fh:
-            write_report(json.load(fh), failures=[])
+        # rebuild SCALING.md from the results cache, no re-measurement;
+        # failures are persisted alongside results (ADVICE r11) so the
+        # regenerated report keeps the Failures section of the run that
+        # produced the cache
+        rows, fails = _load_cache()
+        write_report(rows, failures=fails)
     else:
         sys.exit(orchestrate())
