@@ -190,8 +190,13 @@ def run_single(name: str) -> None:
     enough for the deepest iterative plans: q96's per-iteration stages
     JIT across ~5 executions ([23.4, 19.6, 12.4, ...] still descending
     at run 3), so keep going while the latest run still improves the
-    best by >15%."""
+    best by >15%. SPARK_GRAFT_SINGLE_MIN_RUNS (default 3) lowers the
+    floor for the isolated family's SECOND separated pass (r12): pass 2
+    exists to give each query a steady-state sample in a different box
+    phase, so warm-up + one steady run suffices when it stops
+    improving."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    min_runs = max(2, int(os.environ.get("SPARK_GRAFT_SINGLE_MIN_RUNS", "3")))
     from iceberg_rest_server_spark.queries import REGISTRY
     from iceberg_rest_server_spark.session import get_spark
 
@@ -204,7 +209,7 @@ def run_single(name: str) -> None:
         runs.append(round(time.perf_counter() - t0, 4))
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-        if len(runs) >= 3 and (
+        if len(runs) >= min_runs and (
             len(runs) >= 7 or runs[-1] > 0.85 * min(runs[:-1])
         ):
             break
@@ -220,39 +225,69 @@ def _run_isolated(
     contaminate each other's timings). A calibration probe runs before
     EACH subprocess (VERDICT r9 #2: the isolated phase is where the r9
     box ran 2.3x slow, so one start-of-run probe can't attribute
-    per-query swings). Returns (raw runs, errors)."""
+    per-query swings).
+
+    r12: the family runs as TWO separated subprocess passes, mirroring
+    the fast set's separated-pass scheme. All of a query's pass-1 runs
+    execute back-to-back inside ONE subprocess window (~30-60 s), so a
+    minutes-wide hypervisor-steal burst covers every rep at once — the
+    r12 A/B same-code runs measured exactly that (q59 fresh-JVM min
+    4.41 s in run A vs 2.81 s in run B, probes steady both times).
+    Pass 2 revisits each query ~the family's whole duration later in a
+    new JVM (warm-up + one steady sample, SPARK_GRAFT_SINGLE_MIN_RUNS=2,
+    same >15%-improvement extension), so the two steady-state samples
+    sit in different box phases and min-of-both escapes a single burst.
+    SPARK_GRAFT_BENCH_ISOPASS=1 restores the single pass (smoke runs).
+    Returns (raw runs, errors)."""
     import subprocess
 
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ISOPASS", "2")))
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    best: dict[str, float] = {}
     here = os.path.abspath(__file__)
-    for name in names:
-        plog.probe(f"pre:{name}")
-        t_start = time.monotonic()
-        try:
-            proc = subprocess.run(
-                [sys.executable, here, "--single", name],
-                capture_output=True,
-                text=True,
-                timeout=900,
-                cwd=os.path.dirname(here),
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            rec = json.loads(line)
-            assert rec["name"] == name and rec["runs"]
-            runs[name] = rec["runs"]
-            plog.mark(name, t_start, time.monotonic())
-            print(
-                f"[bench] {name} (fresh JVM): {min(rec['runs']):.2f}s "
-                f"runs={rec['runs']}",
-                file=sys.stderr,
-                flush=True,
-            )
-        except Exception as exc:
-            errors[name] = f"isolated: {type(exc).__name__}: {exc}"[:300]
-            print(f"[bench] {name}: ISOLATED FAILED {errors[name]}", file=sys.stderr, flush=True)
-    if names:
-        plog.probe("post:isolated")
+    for p in range(passes):
+        for name in names:
+            if name in errors:
+                continue
+            plog.probe(f"pre{p + 1 if p else ''}:{name}")
+            t_start = time.monotonic()
+            env = dict(os.environ)
+            if p:
+                env["SPARK_GRAFT_SINGLE_MIN_RUNS"] = "2"
+            try:
+                proc = subprocess.run(
+                    [sys.executable, here, "--single", name],
+                    capture_output=True,
+                    text=True,
+                    timeout=900,
+                    cwd=os.path.dirname(here),
+                    env=env,
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                rec = json.loads(line)
+                assert rec["name"] == name and rec["runs"]
+                runs.setdefault(name, []).extend(rec["runs"])
+                if min(rec["runs"]) < best.get(name, float("inf")):
+                    # calibration brackets whichever PASS produced the
+                    # recorded min (same ADVICE-r11 rule as fast passes)
+                    best[name] = min(rec["runs"])
+                    plog.mark(name, t_start, time.monotonic())
+                print(
+                    f"[bench] {name} (fresh JVM pass {p + 1}): "
+                    f"{min(runs[name]):.2f}s runs={rec['runs']}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            except Exception as exc:
+                # a pass-2 failure after a pass-1 success is flakiness
+                # the error should surface, not average away (same
+                # policy as the fast passes): drop the query entirely
+                errors[name] = f"isolated p{p + 1}: {type(exc).__name__}: {exc}"[:300]
+                runs.pop(name, None)
+                print(f"[bench] {name}: ISOLATED FAILED {errors[name]}", file=sys.stderr, flush=True)
+        if names:
+            plog.probe(f"post:isolated:{p + 1}")
     return runs, errors
 
 
@@ -455,6 +490,17 @@ def main() -> None:
                     t3 = _run_once(q)
                     reruns[name].append(t3)
                     times[name] = min(times[name], t3)
+                if name not in streaming_names and times[name] < 2 * rerun_sec:
+                    # r12: a burst-inflated FIRST sample >= rerun_sec
+                    # used to trap a fast query in this back-to-back
+                    # path, where the same minutes-wide burst covers
+                    # both reps (run B measured q63_tpch_q1 at
+                    # [3.28, 3.92] while run A's separated passes gave
+                    # 1.65 on identical code). Borderline queries —
+                    # min under 2x the threshold — now ALSO get the
+                    # separated passes; genuinely heavy queries (>= 2x)
+                    # stay rerun-only, bounding the added pass cost.
+                    fast_batch.append(name)
             elif name in streaming_names:
                 rs = [t1]
                 for _ in range(fastrep_n - 1):
