@@ -185,3 +185,37 @@ def test_clean_run_artifact_has_no_error_keys():
     assert out["value"] == 1.0 and out["value_calibrated"] == 1.0
     assert "errors" not in out and "sum_succeeded_sec" not in out
     assert "isolated" not in out
+
+
+def test_bench_compare_same_code_ab():
+    """tools/bench_compare.py --ab: same-code reproducibility stats —
+    within-10% shares split at the 2 s fast/slow boundary, movers
+    ranked by |delta|, totals carried through verbatim."""
+    import importlib.util
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(here, "tools", "bench_compare.py")
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+
+    a = {
+        "value": 10.0, "value_calibrated": 9.0,
+        "queries": {"fast_ok": 1.0, "fast_bad": 1.0, "slow_ok": 5.0, "slow_bad": 4.0},
+        "queries_calibrated": {"fast_ok": 1.0, "fast_bad": 1.0, "slow_ok": 5.0, "slow_bad": 4.0},
+    }
+    b = {
+        "value": 11.0, "value_calibrated": 10.0,
+        "queries": {"fast_ok": 1.05, "fast_bad": 1.5, "slow_ok": 5.2, "slow_bad": 8.0},
+        "queries_calibrated": {"fast_ok": 1.05, "fast_bad": 1.5, "slow_ok": 5.2, "slow_bad": 8.0},
+    }
+    out = bc.compare_same_code(a, b)
+    raw = out["raw"]
+    assert raw["compared"] == 4 and raw["within_10pct"] == 2
+    assert raw["within_10pct_share"] == 0.5
+    assert raw["fast_within_10pct_share"] == 0.5  # fast_ok yes, fast_bad no
+    assert raw["slow_within_10pct_share"] == 0.5
+    assert list(raw["movers"])[0] == "slow_bad"  # +100% is the top mover
+    assert out["totals"] == {"a": [10.0, 9.0], "b": [11.0, 10.0]}

@@ -53,14 +53,60 @@ def compare(new: dict, old: dict) -> dict:
     }
 
 
+def compare_same_code(a: dict, b: dict) -> dict:
+    """Same-code A/B reproducibility (VERDICT r10 #3 / r11 #2): given
+    two full BENCH_FULL records from IDENTICAL code, report the share
+    of per-query values agreeing within ±10%, raw and calibrated,
+    split by the fast(<2 s)/slow boundary, plus the biggest movers.
+    Unlike compare(), both sides use the same key (min-of-samples), so
+    this measures the MEASUREMENT's stability, not code deltas."""
+    out: dict = {}
+    for label, key in (("raw", "queries"), ("calibrated", "queries_calibrated")):
+        qa, qb = a.get(key, {}), b.get(key, {})
+        rel = {
+            n: (qb[n] - qa[n]) / qa[n]
+            for n in set(qa) & set(qb)
+            if qa[n] and qa[n] > 0
+        }
+        if not rel:
+            out[label] = {"compared": 0}
+            continue
+        fast = {n for n in rel if max(qa[n], qb[n]) < 2.0}
+        vals = sorted(abs(v) for v in rel.values())
+        movers = sorted(rel.items(), key=lambda kv: -abs(kv[1]))[:8]
+        out[label] = {
+            "compared": len(rel),
+            "within_10pct": sum(1 for v in rel.values() if abs(v) <= 0.10),
+            "within_10pct_share": round(
+                sum(1 for v in rel.values() if abs(v) <= 0.10) / len(rel), 3
+            ),
+            "fast_within_10pct_share": round(
+                sum(1 for n in fast if abs(rel[n]) <= 0.10) / len(fast), 3
+            ) if fast else None,
+            "slow_within_10pct_share": round(
+                sum(1 for n in rel if n not in fast and abs(rel[n]) <= 0.10)
+                / max(len(rel) - len(fast), 1), 3,
+            ),
+            "median_abs_delta_pct": round(100 * statistics.median(vals), 1),
+            "movers": {n: round(100 * v, 1) for n, v in movers},
+        }
+    out["totals"] = {
+        "a": [a.get("value"), a.get("value_calibrated")],
+        "b": [b.get("value"), b.get("value_calibrated")],
+    }
+    return out
+
+
 def main() -> None:
-    new_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_FULL.json")
-    old_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_r09.json")
+    argv = [x for x in sys.argv[1:] if x != "--ab"]
+    ab = "--ab" in sys.argv
+    new_path = argv[0] if argv else os.path.join(REPO, "BENCH_FULL.json")
+    old_path = argv[1] if len(argv) > 1 else os.path.join(REPO, "BENCH_r09.json")
     with open(new_path) as fh:
         new = json.load(fh)
     with open(old_path) as fh:
         old = json.load(fh)
-    print(json.dumps(compare(new, old)))
+    print(json.dumps(compare_same_code(new, old) if ab else compare(new, old)))
 
 
 if __name__ == "__main__":
