@@ -217,5 +217,8 @@ def test_bench_compare_same_code_ab():
     assert raw["within_10pct_share"] == 0.5
     assert raw["fast_within_10pct_share"] == 0.5  # fast_ok yes, fast_bad no
     assert raw["slow_within_10pct_share"] == 0.5
+    # absolute-floor lens: slow_ok (+4%) and fast_ok (+50ms) pass both
+    # ways; fast_bad (+0.5s, +50%) and slow_bad (+4s, +100%) fail both
+    assert raw["within_10pct_or_200ms_share"] == 0.5
     assert list(raw["movers"])[0] == "slow_bad"  # +100% is the top mover
     assert out["totals"] == {"a": [10.0, 9.0], "b": [11.0, 10.0]}
