@@ -105,10 +105,15 @@ def test_window_matches_recorded_staleness():
     import re
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # the r12 window was computed from CORRECTNESS_r01..r11; records
+    # from later rounds land AFTER the window ran and must not feed
+    # this recomputation. The next rotation bumps this together with
+    # the frozen lists above.
+    evidence_through = 11
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        if rnd >= 12:  # this round's own record lands after the window ran
+        if rnd > evidence_through:
             continue
         for k in json.load(open(f)):
             latest[k] = max(latest.get(k, 0), rnd)
