@@ -222,3 +222,57 @@ def test_bench_compare_same_code_ab():
     assert raw["within_10pct_or_200ms_share"] == 0.5
     assert list(raw["movers"])[0] == "slow_bad"  # +100% is the top mover
     assert out["totals"] == {"a": [10.0, 9.0], "b": [11.0, 10.0]}
+
+
+def test_isolated_two_pass_merges_runs_and_marks_winning_pass(monkeypatch):
+    """r12 two-pass isolated scheme: each query's runs accumulate across
+    both subprocess passes, the recorded time is the min over both, the
+    calibration midpoint tracks whichever PASS produced that min, pass 2
+    subprocesses get SPARK_GRAFT_SINGLE_MIN_RUNS=2, and a pass-2 failure
+    drops the query entirely (flakiness surfaces, never averages away)."""
+    import types
+
+    import bench
+
+    calls = []
+
+    def fake_run(cmd, **kw):
+        name = cmd[-1]
+        p = len([c for c in calls if c[0] == name])  # 0-based pass idx
+        calls.append((name, kw.get("env", {}).get("SPARK_GRAFT_SINGLE_MIN_RUNS")))
+        if name == "q_flaky" and p == 1:
+            raise RuntimeError("jvm died")
+        runs = {"q_a": [[10.0, 4.0, 3.5], [9.0, 2.5]],     # pass 2 wins
+                "q_b": [[8.0, 2.0], [7.0, 2.9]],           # pass 1 wins
+                "q_flaky": [[5.0, 1.0], None]}[name][p]
+        return types.SimpleNamespace(
+            stdout=json.dumps({"name": name, "runs": runs}) + "\n",
+            stderr="", returncode=0,
+        )
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ISOPASS", "2")
+    plog = bench._ProbeLog()
+    runs, errors = bench._run_isolated(["q_a", "q_b", "q_flaky"], plog)
+
+    assert runs["q_a"] == [10.0, 4.0, 3.5, 9.0, 2.5] and min(runs["q_a"]) == 2.5
+    assert runs["q_b"] == [8.0, 2.0, 7.0, 2.9]
+    # flaky: pass-1 success + pass-2 failure -> error recorded, runs dropped
+    assert "q_flaky" not in runs and "isolated p2" in errors["q_flaky"]
+    # pass-2 subprocesses ran with the lowered min-runs floor
+    by_pass = {}
+    for name, minruns in calls:
+        by_pass.setdefault(name, []).append(minruns)
+    assert by_pass["q_a"][0] is None and by_pass["q_a"][1] == "2"
+    # the calibration midpoint tracks the winning pass: q_a's mark was
+    # re-anchored in pass 2 (later than q_b's pass-1 mark would allow
+    # if it had been left at pass 1)
+    assert plog.query_mid["q_a"] > plog.query_mid["q_b"]
+    # single-pass mode: no pass-2 subprocess, no lowered floor
+    calls.clear()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ISOPASS", "1")
+    runs1, errors1 = bench._run_isolated(["q_a"], bench._ProbeLog())
+    assert runs1["q_a"] == [10.0, 4.0, 3.5] and not errors1
+    assert [c[1] for c in calls] == [None]
