@@ -276,3 +276,40 @@ def test_isolated_two_pass_merges_runs_and_marks_winning_pass(monkeypatch):
     runs1, errors1 = bench._run_isolated(["q_a"], bench._ProbeLog())
     assert runs1["q_a"] == [10.0, 4.0, 3.5] and not errors1
     assert [c[1] for c in calls] == [None]
+
+
+def test_probe_align_verdicts():
+    """tools/probe_align.py: the three attribution verdicts over a
+    synthetic probe series — a wide slow phase covering all 5 nearest
+    probes reads 'calibrated'; elevated BRACKETING probes with a fast
+    probe inside the estimator window read 'UNCORRECTED' (the r11 q100
+    signature); steady brackets read 'steady'."""
+    import importlib.util
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "probe_align", os.path.join(here, "tools", "probe_align.py")
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    F = 0.01  # floor gemm
+    probes = (
+        [{"t": float(t), "numpy_gemm_1024_sec": 6 * F, "label": f"p{t}"}
+         for t in (0, 10, 20, 30, 40)]          # wide slow phase
+        + [{"t": 200.0, "numpy_gemm_1024_sec": F, "label": "fast"},
+           {"t": 240.0, "numpy_gemm_1024_sec": 5 * F, "label": "pre:x"},
+           {"t": 260.0, "numpy_gemm_1024_sec": 4 * F, "label": "post:x"},
+           {"t": 400.0, "numpy_gemm_1024_sec": F, "label": "steady1"},
+           {"t": 420.0, "numpy_gemm_1024_sec": 1.1 * F, "label": "steady2"}]
+    )
+    full = {
+        "probes": probes,
+        "query_mid": {"q_wide": 20.0, "q_uncorrected": 250.0, "q_steady": 410.0},
+        "queries": {}, "queries_calibrated": {}, "reruns": {},
+    }
+    assert pa.align(full, "q_wide")["verdict"] == "slow phase (calibrated)"
+    assert pa.align(full, "q_uncorrected")["verdict"] == "slow phase (UNCORRECTED)"
+    assert pa.align(full, "q_steady")["verdict"] == "steady"
+    assert pa.align(full, "q_unmarked")["verdict"] == "no mark/probes recorded"
