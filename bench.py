@@ -157,6 +157,20 @@ class _ProbeLog:
     def __init__(self) -> None:
         self.probes: list[dict] = []
         self.query_mid: dict[str, float] = {}
+        # VERDICT r12 #2: every sample the multi-pass schemes produce,
+        # not just the min — [pass_label, sec, t_mid] per execution,
+        # BENCH_FULL-only. Within-run spread is the cheapest attribution
+        # signal there is (r12's q125/q32_ngram residual movers needed
+        # four extra fresh-JVM runs to classify because the record threw
+        # it away); t_mid is time.monotonic() (CLOCK_MONOTONIC is
+        # system-wide on Linux, so isolated-subprocess sample times are
+        # directly comparable with this process's probe timestamps).
+        self.samples: dict[str, list[list]] = {}
+
+    def sample(self, name: str, label: str, sec: float, t_mid: float) -> None:
+        self.samples.setdefault(name, []).append(
+            [label, round(sec, 4), round(t_mid, 2)]
+        )
 
     def probe(self, label: str) -> dict:
         rec = dict(_box_calibration())
@@ -203,17 +217,21 @@ def run_single(name: str) -> None:
     spark = get_spark(f"bench-iso-{name}")
     q = REGISTRY[name]
     runs: list[float] = []
+    samples: list[list[float]] = []  # [sec, t_mid] per execution
     while True:
+        m0 = time.monotonic()
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).toPandas()
-        runs.append(round(time.perf_counter() - t0, 4))
+        dt = round(time.perf_counter() - t0, 4)
+        runs.append(dt)
+        samples.append([dt, round((m0 + time.monotonic()) / 2, 2)])
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         if len(runs) >= min_runs and (
             len(runs) >= 7 or runs[-1] > 0.85 * min(runs[:-1])
         ):
             break
-    print(json.dumps({"name": name, "runs": runs}), flush=True)
+    print(json.dumps({"name": name, "runs": runs, "samples": samples}), flush=True)
     spark.stop()
 
 
@@ -268,14 +286,22 @@ def _run_isolated(
                 rec = json.loads(line)
                 assert rec["name"] == name and rec["runs"]
                 runs.setdefault(name, []).extend(rec["runs"])
+                # per-execution sample vectors (VERDICT r12 #2); the
+                # subprocess stamps t_mid on the shared monotonic clock
+                for sec, t_mid in rec.get("samples") or []:
+                    plog.sample(name, f"iso{p + 1}", sec, t_mid)
                 if min(rec["runs"]) < best.get(name, float("inf")):
                     # calibration brackets whichever PASS produced the
                     # recorded min (same ADVICE-r11 rule as fast passes)
                     best[name] = min(rec["runs"])
                     plog.mark(name, t_start, time.monotonic())
                 print(
+                    # ADVICE r12: the pass line shows the PASS-LOCAL min
+                    # (a number this pass actually produced) and labels
+                    # the cross-pass min as best-so-far
                     f"[bench] {name} (fresh JVM pass {p + 1}): "
-                    f"{min(runs[name]):.2f}s runs={rec['runs']}",
+                    f"{min(rec['runs']):.2f}s (best so far "
+                    f"{min(runs[name]):.2f}s) runs={rec['runs']}",
                     file=sys.stderr,
                     flush=True,
                 )
@@ -285,6 +311,7 @@ def _run_isolated(
                 # policy as the fast passes): drop the query entirely
                 errors[name] = f"isolated p{p + 1}: {type(exc).__name__}: {exc}"[:300]
                 runs.pop(name, None)
+                plog.samples.pop(name, None)
                 print(f"[bench] {name}: ISOLATED FAILED {errors[name]}", file=sys.stderr, flush=True)
         if names:
             plog.probe(f"post:isolated:{p + 1}")
@@ -422,14 +449,18 @@ def main() -> None:
         # never a query's reported time.
         spark.sparkContext._jvm.System.gc()
 
-    def _run_once(q) -> float:
+    def _run_once(q) -> tuple[float, float]:
+        """One full execution; returns (wall sec, monotonic midpoint) —
+        the midpoint feeds the per-sample vector (VERDICT r12 #2)."""
+        m0 = time.monotonic()
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         # Arrow-batched materialization: same full execution + full result
         # on the driver as collect(), minus per-row Python object cost
         # (3-4x less harness overhead on wide outputs, measured on q22)
         df.toPandas()
-        return round(time.perf_counter() - t0, 4)
+        sec = round(time.perf_counter() - t0, 4)
+        return sec, round((m0 + time.monotonic()) / 2, 2)
 
     # Run-to-run noise on this box concentrates in the expensive tail
     # (r5 verdict: q126 measured 5 s by the builder, 49 s by the driver
@@ -478,16 +509,19 @@ def main() -> None:
         q = REGISTRY[name]
         t_started = time.monotonic()
         try:
-            t1 = _run_once(q)
+            t1, mid1 = _run_once(q)
+            plog.sample(name, "p1", t1, mid1)
             times[name] = t1
             if t1 >= rerun_sec:
                 _quiesce()
-                t2 = _run_once(q)
+                t2, mid2 = _run_once(q)
+                plog.sample(name, "rerun", t2, mid2)
                 reruns[name] = [t1, t2]
                 times[name] = min(t1, t2)
                 if name in iterative3:
                     _quiesce()
-                    t3 = _run_once(q)
+                    t3, mid3 = _run_once(q)
+                    plog.sample(name, "rerun", t3, mid3)
                     reruns[name].append(t3)
                     times[name] = min(times[name], t3)
                 if name not in streaming_names and times[name] < 2 * rerun_sec:
@@ -505,7 +539,9 @@ def main() -> None:
                 rs = [t1]
                 for _ in range(fastrep_n - 1):
                     spark.catalog.clearCache()
-                    rs.append(_run_once(q))
+                    tr, midr = _run_once(q)
+                    plog.sample(name, "rep", tr, midr)
+                    rs.append(tr)
                 reruns[name] = rs
                 times[name] = min(rs)
             else:
@@ -515,6 +551,13 @@ def main() -> None:
             print(f"[bench] {name}: {times[name]:.2f}s", file=sys.stderr, flush=True)
         except Exception as exc:  # one bad query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            # keep queries/errors disjoint even when the FIRST run
+            # succeeded and a rerun/rep failed (same invariant the
+            # fast-pass error path enforces): flakiness surfaces as an
+            # error, never as a half-measured number
+            times.pop(name, None)
+            reruns.pop(name, None)
+            plog.samples.pop(name, None)
             print(f"[bench] {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
         _quiesce()
 
@@ -531,7 +574,8 @@ def main() -> None:
                 plog.probe(f"fastpass:{p}:{j}")
             try:
                 t_started = time.monotonic()
-                t = _run_once(REGISTRY[name])
+                t, midp = _run_once(REGISTRY[name])
+                plog.sample(name, f"fast{p + 1}", t, midp)
                 reruns[name].append(t)
                 if t < times[name]:
                     # ADVICE r11: the calibration factor brackets the
@@ -550,6 +594,7 @@ def main() -> None:
                 errors[name] = f"fastpass: {type(exc).__name__}: {exc}"[:300]
                 times.pop(name, None)
                 reruns.pop(name, None)
+                plog.samples.pop(name, None)
             spark.catalog.clearCache()
         print(f"[bench] fast pass {p + 1}/{fastrep_n} done ({len(fast_batch)} queries)",
               file=sys.stderr, flush=True)
@@ -628,6 +673,14 @@ def build_artifact(
         # stdout summary line drops this key to stay inside the driver's
         # 2000-char tail capture)
         out["reruns"] = reruns
+    if plog.samples:
+        # VERDICT r12 #2: the full per-execution sample vectors —
+        # {name: [[pass_label, sec, t_mid], ...]} — BENCH_FULL only.
+        # Within-run spread classifies the next q125-style residual
+        # mover from ONE committed record (tools/probe_align.py and
+        # tools/bench_compare.py --ab both read it) instead of paired
+        # fresh-JVM reruns.
+        out["samples"] = plog.samples
     return out
 
 
@@ -645,6 +698,7 @@ def summary_line(out: dict, budget: int = 1700) -> str:
     line_out.pop("reruns", None)  # full record only — too wide for the line
     line_out.pop("probes", None)  # full record only — the series is long
     line_out.pop("query_mid", None)  # full record only
+    line_out.pop("samples", None)  # full record only — per-execution vectors
     times = out.get("queries", {})
     calibrated = out.get("queries_calibrated", {})
     errors = out.get("errors")

@@ -45,74 +45,17 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # on (1) entries with NO driver evidence yet, (2) entries whose code or
 # oracle changed since their last green row, then (3) the STALEST
 # recorded evidence first.
-# r12 WINDOW (exactly 50): no no-evidence entries and no r12 query-
-# operator code changes (r12 changes are bench/scaling tooling and
-# docs only), so the window is pure staleness: the ENTIRE 32-entry
-# r07-stale cohort (recomputed from CORRECTNESS_r01..r11; matches
-# VERDICT r11 #3 name-for-name) + the first 18 of the 48-entry r08
-# cohort (equal staleness — alphabetical tie-break). After r12 the
-# oldest evidence anywhere becomes r08 (30 entries). Whole-registry
+# r13 WINDOW (exactly 50): no no-evidence entries and no r13 query-
+# operator code changes (r13 changes are bench/scaling/explain tooling,
+# tests and docs only), so the window is pure staleness: the ENTIRE
+# 30-entry r08-stale cohort (recomputed from CORRECTNESS_r01..r12;
+# matches VERDICT r12 #1 name-for-name) + the first 20 of the 47-entry
+# r09 cohort (equal staleness — alphabetical tie-break). After r13 the
+# oldest evidence anywhere becomes r09 (27 entries). Whole-registry
 # re-check: tools/driver_sim.py, recorded in PARITY.md.
 # Every entry is always returned — ordering only, never selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (1) the 32-entry r07-stale cohort, alphabetical (q158/q159
-    # were displaced from the r11 window by the changed-operator
-    # entries; the rest is the r07 tail in its pinned order) ---
-    "q158_linear_interpolation",
-    "q159_bpe_merge_candidates",
-    "q160_lateral_topk_per_group",
-    "q161_recursive_cte_hierarchy",
-    "q162_stream_stream_left_outer",
-    "q163_except_all",
-    "q163_intersect_all",
-    "q164_auc_rank_sum",
-    "q165_chi_squared_independence",
-    "q167_ewma_bounded",
-    "q168_spatial_grid_join",
-    "q169_event_pattern_match",
-    "q170_calibration_bins",
-    "q171_stream_stream_full_outer",
-    "q173_threshold_sweep",
-    "q174_rolling_anomaly_flags",
-    "q175_lagged_cross_correlation",
-    "q176_bfs_levels",
-    "q177_ordered_listagg",
-    "q178_bitmap_distinct_rollup",
-    "q179_weighted_median",
-    "q180_ab_test_zscore",
-    "q181_filtered_aggregates",
-    "q182_null_safe_join",
-    "q183_union_by_name",
-    "q184_try_cast_hygiene",
-    "q185_bootstrap_ci",
-    "q186_curriculum_interleave",
-    "q187_reciprocal_rank_fusion",
-    "q188_seasonality_strength",
-    "q29_stream_tumbling_window",
-    "q32_simhash_pairs",
-    # --- (2) fills: first 18 of the 48-entry r08 cohort,
-    # alphabetical ---
-    "q02_filter",
-    "q04_global_aggregate",
-    "q05_distinct_aggregate",
-    "q10_left_outer_join",
-    "q11_left_semi_join",
-    "q12_left_anti_join",
-    "q13_theta_join",
-    "q140_processor_logic_batch",
-    "q15_cube",
-    "q15_grouping_sets",
-    "q166_pca_top_components",
-    "q172_stream_sliding_window",
-    "q17_window_frames",
-    "q189_stable_row_ids",
-    "q190_ohlc_bars",
-    "q191_benford_deviation",
-    "q192_fk_integrity_audit",
-    "q193_inverted_index_postings",
-    # --- below here falls outside the 50-entry window ---
-    # the remaining 30 r08 entries lead the r13 window unless
-    # displaced by r13 changes (alphabetical)
+    # --- (1) the 30-entry r08-stale cohort, alphabetical ---
     "q194_ks_two_sample",
     "q195_gini_concentration",
     "q196_running_distinct_users",
@@ -143,6 +86,58 @@ _DRIVER_ORDER_HEAD = [
     "q54_full_outer_join",
     "q55_window_navigation",
     "q61_grouping_id",
+    # --- (2) fills: first 20 of the 47-entry r09 cohort,
+    # alphabetical ---
+    "q115_stream_ingest_dedup",
+    "q134_stream_cdc_upsert",
+    "q15_sliding_window",
+    "q198_char_entropy",
+    "q204_array_fold_kernels",
+    "q205_regex_extraction",
+    "q206_bitwise_aggregates",
+    "q23_get_json",
+    "q30_stream_session_window",
+    "q33_bpe_token_count",
+    "q33_quality_score",
+    "q33_tfidf_top_terms",
+    "q33_token_stats",
+    "q36_ann_bruteforce_topk",
+    "q37_multimodal_frames",
+    "q37_multimodal_metadata",
+    "q39_stream_stateful_user_totals",
+    "q43_sessionize_batch",
+    "q44_pivot_profile",
+    "q47_fuzzy_brand_pairs",
+    # --- below here falls outside the 50-entry window ---
+    # the remaining 27 r09 entries lead the r14 window unless
+    # displaced by r14 changes (alphabetical)
+    "q48_decontamination",
+    "q50_repetition_quality",
+    "q51_range_join",
+    "q52_latest_by_key",
+    "q53_domain_mixture",
+    "q57_stream_static_enrich",
+    "q58_stream_stream_join",
+    "q60_embedding_centroids",
+    "q62_stats_moments",
+    "q64_tpch_q3",
+    "q65_tpch_q4",
+    "q66_tpch_q5",
+    "q67_tpch_q6",
+    "q68_tpch_q7",
+    "q70_tpch_q10",
+    "q71_tpch_q13",
+    "q72_tpch_q14",
+    "q73_tpch_q15",
+    "q75_tpch_q18",
+    "q76_tpch_q19",
+    "q77_tpch_q22",
+    "q78_pii_redaction",
+    "q79_sequence_chunking",
+    "q80_token_packing",
+    "q81_epoch_shuffle",
+    "q87_skyline",
+    "q90_stream_catalog_sink",
     "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 

@@ -175,6 +175,32 @@ def test_isolated_failure_artifact_shape():
     assert parsed["sum_succeeded_sec"] == out["sum_succeeded_sec"]
 
 
+def test_samples_ride_full_artifact_not_the_line():
+    """VERDICT r12 #2: build_artifact carries the per-execution sample
+    vectors ({name: [[pass_label, sec, t_mid], ...]}) so within-run
+    spread is attributable from ONE committed record; the stdout line
+    drops them (they would blow the 2000-char tail capture)."""
+    from bench import _ProbeLog, build_artifact, summary_line
+
+    plog = _ProbeLog()
+    plog.sample("q_x", "p1", 1.23, 100.0)
+    plog.sample("q_x", "fast2", 1.11, 300.5)
+    plog.sample("q_y", "iso1", 5.5, 50.0)
+    out = build_artifact(
+        {"q_x": 1.11, "q_y": 5.5}, {}, {}, {}, plog, "/root/testdata/sf0.1", {},
+    )
+    assert out["samples"] == {
+        "q_x": [["p1", 1.23, 100.0], ["fast2", 1.11, 300.5]],
+        "q_y": [["iso1", 5.5, 50.0]],
+    }
+    parsed = json.loads(summary_line(out))
+    assert "samples" not in parsed
+    # rounding discipline: sample() rounds sec to 4 and t_mid to 2
+    plog2 = _ProbeLog()
+    plog2.sample("q_z", "p1", 1.234567, 99.12345)
+    assert plog2.samples["q_z"] == [["p1", 1.2346, 99.12]]
+
+
 def test_clean_run_artifact_has_no_error_keys():
     from bench import _ProbeLog, build_artifact
 
@@ -245,8 +271,10 @@ def test_isolated_two_pass_merges_runs_and_marks_winning_pass(monkeypatch):
         runs = {"q_a": [[10.0, 4.0, 3.5], [9.0, 2.5]],     # pass 2 wins
                 "q_b": [[8.0, 2.0], [7.0, 2.9]],           # pass 1 wins
                 "q_flaky": [[5.0, 1.0], None]}[name][p]
+        # the subprocess stamps [sec, t_mid] per execution (r13)
+        samples = [[r, 1000.0 * (p + 1) + i] for i, r in enumerate(runs)]
         return types.SimpleNamespace(
-            stdout=json.dumps({"name": name, "runs": runs}) + "\n",
+            stdout=json.dumps({"name": name, "runs": runs, "samples": samples}) + "\n",
             stderr="", returncode=0,
         )
 
@@ -261,6 +289,15 @@ def test_isolated_two_pass_merges_runs_and_marks_winning_pass(monkeypatch):
     assert runs["q_b"] == [8.0, 2.0, 7.0, 2.9]
     # flaky: pass-1 success + pass-2 failure -> error recorded, runs dropped
     assert "q_flaky" not in runs and "isolated p2" in errors["q_flaky"]
+    # VERDICT r12 #2: every subprocess execution lands in the sample
+    # vector as [pass_label, sec, t_mid]; a dropped query drops its
+    # samples too (queries/errors stay disjoint in the artifact)
+    assert plog.samples["q_a"] == [
+        ["iso1", 10.0, 1000.0], ["iso1", 4.0, 1001.0], ["iso1", 3.5, 1002.0],
+        ["iso2", 9.0, 2000.0], ["iso2", 2.5, 2001.0],
+    ]
+    assert [s[0] for s in plog.samples["q_b"]] == ["iso1", "iso1", "iso2", "iso2"]
+    assert "q_flaky" not in plog.samples
     # pass-2 subprocesses ran with the lowered min-runs floor
     by_pass = {}
     for name, minruns in calls:
@@ -276,6 +313,156 @@ def test_isolated_two_pass_merges_runs_and_marks_winning_pass(monkeypatch):
     runs1, errors1 = bench._run_isolated(["q_a"], bench._ProbeLog())
     assert runs1["q_a"] == [10.0, 4.0, 3.5] and not errors1
     assert [c[1] for c in calls] == [None]
+
+
+def _load_tool(name):
+    import importlib.util
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(here, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_compare_all_fast_slow_share_is_none():
+    """ADVICE r12: an all-fast A/B has no slow cohort —
+    slow_within_10pct_share must read None (mirroring the fast-share
+    handling), not 0%."""
+    bc = _load_tool("bench_compare")
+    a = {"queries": {"f1": 0.5, "f2": 0.8}, "queries_calibrated": {"f1": 0.5, "f2": 0.8}}
+    b = {"queries": {"f1": 0.51, "f2": 0.82}, "queries_calibrated": {"f1": 0.51, "f2": 0.82}}
+    out = bc.compare_same_code(a, b)
+    assert out["raw"]["slow_within_10pct_share"] is None
+    assert out["raw"]["fast_within_10pct_share"] == 1.0
+    # and symmetrically: an all-slow A/B reads fast=None
+    a2 = {"queries": {"s1": 5.0}, "queries_calibrated": {"s1": 5.0}}
+    b2 = {"queries": {"s1": 5.2}, "queries_calibrated": {"s1": 5.2}}
+    out2 = bc.compare_same_code(a2, b2)
+    assert out2["raw"]["fast_within_10pct_share"] is None
+    assert out2["raw"]["slow_within_10pct_share"] == 1.0
+
+
+def test_bench_compare_spread_lens():
+    """r13: with per-execution sample vectors in the records, --ab
+    annotates each raw mover with both sides' within-run spreads and
+    whether the delta is COVERED (noise classified from the committed
+    records alone), plus the share of ±10% misses covered by spread."""
+    bc = _load_tool("bench_compare")
+    a = {
+        "queries": {"q_cov": 4.0, "q_real": 4.0, "q_ok": 1.0},
+        "queries_calibrated": {"q_cov": 4.0, "q_real": 4.0, "q_ok": 1.0},
+        "samples": {
+            # q_cov's own pass-to-pass spread (4.0..5.1) spans the +1s delta
+            "q_cov": [["iso1", 5.1, 10.0], ["iso2", 4.0, 500.0]],
+            "q_real": [["iso1", 4.05, 20.0], ["iso2", 4.0, 600.0]],
+            "q_ok": [["p1", 1.0, 30.0]],
+        },
+    }
+    b = {
+        "queries": {"q_cov": 5.0, "q_real": 5.0, "q_ok": 1.02},
+        "queries_calibrated": {"q_cov": 5.0, "q_real": 5.0, "q_ok": 1.02},
+        "samples": {
+            "q_cov": [["iso1", 5.0, 10.0], ["iso2", 5.05, 500.0]],
+            "q_real": [["iso1", 5.0, 20.0], ["iso2", 5.02, 600.0]],
+            "q_ok": [["p1", 1.02, 30.0]],
+        },
+    }
+    out = bc.compare_same_code(a, b)
+    ms = out["raw"]["movers_spread"]
+    assert ms["q_cov"]["covered"] is True and ms["q_cov"]["a_spread_sec"] == 1.1
+    assert ms["q_real"]["covered"] is False  # tight samples both sides: real
+    # misses = q_cov and q_real (+25%); exactly one is spread-covered
+    assert out["raw"]["miss_covered_by_spread"] == 0.5
+    # records without samples: no spread keys, no crash
+    out_nosamp = bc.compare_same_code(
+        {"queries": {"q": 4.0}, "queries_calibrated": {"q": 4.0}},
+        {"queries": {"q": 5.0}, "queries_calibrated": {"q": 5.0}},
+    )
+    assert "movers_spread" not in out_nosamp["raw"]
+
+
+def test_bench_compare_cli_contract(tmp_path):
+    """ADVICE r12 tool-UX: --help exits 0 (flags are not file paths),
+    --ab with fewer than two paths errors out, and a defaulted old
+    record is NAMED in the output instead of silently compared."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tool = os.path.join(here, "tools", "bench_compare.py")
+    r = subprocess.run([sys.executable, tool, "--help"], capture_output=True, text=True)
+    assert r.returncode == 0 and "usage" in r.stdout.lower()
+    r = subprocess.run([sys.executable, tool, "--ab"], capture_output=True, text=True)
+    assert r.returncode != 0 and "two record paths" in r.stderr
+    a = tmp_path / "a.json"
+    a.write_text(json.dumps({"queries": {"q": 1.0}, "queries_calibrated": {"q": 1.0}}))
+    r = subprocess.run([sys.executable, tool, "--ab", str(a)], capture_output=True, text=True)
+    assert r.returncode != 0 and "two record paths" in r.stderr
+    # one positional arg: defaults OLD to BENCH_r09.json and SAYS so
+    r = subprocess.run([sys.executable, tool, str(a)], capture_output=True, text=True, cwd=here)
+    assert r.returncode == 0
+    out = json.loads(r.stdout)
+    assert out["new_record"] == "a.json" and out["old_record"] == "BENCH_r09.json"
+
+
+def test_record_loaders_descend_committed_wrappers(tmp_path):
+    """Committed per-round records are wrappers ({n, rc, tail, parsed});
+    both tools must descend into `parsed` (ADVICE r12: probe_align
+    answered 'no mark/probes recorded' on BENCH_r11.json, and the
+    attribution replay had to dig the full record out of git)."""
+    bc = _load_tool("bench_compare")
+    pa = _load_tool("probe_align")
+    inner = {"queries": {"q": 1.5}, "value": 1.5}
+    p = tmp_path / "BENCH_rXX.json"
+    p.write_text(json.dumps({"n": 1, "rc": 0, "tail": "...", "parsed": inner}))
+    assert bc.load_record(str(p))["queries"] == {"q": 1.5}
+    assert pa.load_record(str(p))["queries"] == {"q": 1.5}
+    # a full record passes through untouched
+    f = tmp_path / "BENCH_FULL.json"
+    f.write_text(json.dumps({"queries": {"q": 2.0}, "probes": []}))
+    assert bc.load_record(str(f))["queries"] == {"q": 2.0}
+    # a trimmed summary line (no probes): probe_align names the shape
+    row = pa.align(inner, "q")
+    assert "BENCH_FULL" in row["verdict"]
+
+
+def test_probe_align_guards_and_spread():
+    """ADVICE r12: probe rows missing numpy_gemm_1024_sec are skipped
+    (no KeyError); when none remain the verdict says so. r13: the
+    within-run sample spread rides the alignment row."""
+    pa = _load_tool("probe_align")
+    F = 0.01
+    full = {
+        "probes": [
+            {"t": 0.0, "label": "legacy"},  # no gemm key: skipped
+            {"t": 10.0, "numpy_gemm_1024_sec": F, "label": "ok1"},
+            {"t": 30.0, "numpy_gemm_1024_sec": 1.1 * F, "label": "ok2"},
+        ],
+        "query_mid": {"q": 20.0},
+        "queries": {"q": 3.0},
+        "queries_calibrated": {"q": 3.0},
+        "reruns": {"q": [3.0, 3.4]},
+        "samples": {"q": [["iso1", 3.4, 15.0], ["iso2", 3.0, 400.0]]},
+    }
+    row = pa.align(full, "q")
+    assert row["verdict"] == "steady"
+    assert row["spread_sec"] == 0.4 and row["spread_x_min"] == 1.13
+    assert row["samples"][0] == ["iso1", 3.4, 15.0]
+    assert "loop_x_floor" not in row  # no loop probes in this record
+    # the single-core loop channel rides along when probes carry it
+    full["probes"][1]["python_loop_2m_sec"] = 0.10
+    full["probes"][2]["python_loop_2m_sec"] = 0.12
+    row = pa.align(full, "q")
+    assert row["loop_x_floor"] == [1.0, 1.2]
+    # every probe lacking the key -> explicit 'no usable probes'
+    row2 = pa.align({"probes": [{"t": 0.0, "label": "x"}],
+                     "query_mid": {"q": 1.0}, "queries": {"q": 1.0}}, "q")
+    assert "no usable probes" in row2["verdict"]
 
 
 def test_probe_align_verdicts():

@@ -8,19 +8,49 @@ r9 end-of-run probe, so BENCH_r09's raw seconds ARE its calibrated
 seconds and the comparison is one-sided by construction.
 
 Usage: python tools/bench_compare.py [NEW_JSON] [OLD_JSON]
-       (defaults: BENCH_FULL.json vs BENCH_r09.json)
+       (defaults: BENCH_FULL.json vs BENCH_r09.json — the output names
+       both records so a defaulted old side is never silent)
+       python tools/bench_compare.py --ab A_JSON B_JSON
+       (same-code A/B reproducibility; both paths are REQUIRED — a
+       defaulted B side would compare against non-same-code data)
+
 Prints one JSON line with per-decile calibrated deltas + the biggest
-movers, and a markdown table to stderr for PARITY.md.
+movers. With r13 records (per-execution `samples` vectors in
+BENCH_FULL), --ab also reports the within-run-spread lens: a mover
+whose A/B delta is covered by its own within-run spread is measurement
+noise classified from the committed records alone, no rerun needed.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
-import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_record(path: str) -> dict:
+    """Read a bench record; committed per-round files are wrappers
+    ({n, rc, tail, parsed}) whose `parsed` is the TRIMMED stdout line
+    (slowest-queries-only, no probes/samples) — descend so comparisons
+    against them work, but they carry less than a BENCH_FULL record."""
+    with open(path) as fh:
+        data = json.load(fh)
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        return data["parsed"]
+    return data
+
+
+def _spread_sec(rec: dict, name: str) -> float | None:
+    """Within-run spread (max-min over the per-execution samples) —
+    None when the record predates r13 sample vectors."""
+    ss = (rec.get("samples") or {}).get(name)
+    if not ss:
+        return None
+    secs = [s[1] for s in ss]
+    return round(max(secs) - min(secs), 4)
 
 
 def compare(new: dict, old: dict) -> dict:
@@ -59,7 +89,15 @@ def compare_same_code(a: dict, b: dict) -> dict:
     of per-query values agreeing within ±10%, raw and calibrated,
     split by the fast(<2 s)/slow boundary, plus the biggest movers.
     Unlike compare(), both sides use the same key (min-of-samples), so
-    this measures the MEASUREMENT's stability, not code deltas."""
+    this measures the MEASUREMENT's stability, not code deltas.
+
+    r13 spread lens: when either record carries per-execution `samples`
+    vectors, each raw mover is annotated with both sides' within-run
+    spreads and whether the A/B delta is COVERED by the larger one —
+    covered means the two records' own sampling already spans the
+    delta, i.e. noise classified without a rerun. The summary share
+    `miss_covered_by_spread` is computed over all queries OUTSIDE the
+    ±10% band (the misses are what need attributing)."""
     out: dict = {}
     for label, key in (("raw", "queries"), ("calibrated", "queries_calibrated")):
         qa, qb = a.get(key, {}), b.get(key, {})
@@ -72,6 +110,7 @@ def compare_same_code(a: dict, b: dict) -> dict:
             out[label] = {"compared": 0}
             continue
         fast = {n for n in rel if max(qa[n], qb[n]) < 2.0}
+        slow = [n for n in rel if n not in fast]
         vals = sorted(abs(v) for v in rel.values())
         movers = sorted(rel.items(), key=lambda kv: -abs(kv[1]))[:8]
         out[label] = {
@@ -93,13 +132,38 @@ def compare_same_code(a: dict, b: dict) -> dict:
             "fast_within_10pct_share": round(
                 sum(1 for n in fast if abs(rel[n]) <= 0.10) / len(fast), 3
             ) if fast else None,
+            # ADVICE r12: mirror the fast-share handling — an all-fast
+            # A/B has no slow cohort and must read None, not 0%
             "slow_within_10pct_share": round(
-                sum(1 for n in rel if n not in fast and abs(rel[n]) <= 0.10)
-                / max(len(rel) - len(fast), 1), 3,
-            ),
+                sum(1 for n in slow if abs(rel[n]) <= 0.10) / len(slow), 3
+            ) if slow else None,
             "median_abs_delta_pct": round(100 * statistics.median(vals), 1),
             "movers": {n: round(100 * v, 1) for n, v in movers},
         }
+        if label == "raw" and (a.get("samples") or b.get("samples")):
+            detail = {}
+            for n, v in movers:
+                sa, sb = _spread_sec(a, n), _spread_sec(b, n)
+                delta = abs(qb[n] - qa[n])
+                detail[n] = {
+                    "delta_sec": round(delta, 3),
+                    "a_spread_sec": sa,
+                    "b_spread_sec": sb,
+                    "covered": (
+                        None if sa is None and sb is None
+                        else delta <= max(sa or 0.0, sb or 0.0)
+                    ),
+                }
+            out[label]["movers_spread"] = detail
+            misses = [n for n, v in rel.items() if abs(v) > 0.10]
+            covered = [
+                n for n in misses
+                if (s := max(_spread_sec(a, n) or 0.0, _spread_sec(b, n) or 0.0))
+                and abs(qb[n] - qa[n]) <= s
+            ]
+            out[label]["miss_covered_by_spread"] = (
+                round(len(covered) / len(misses), 3) if misses else None
+            )
     out["totals"] = {
         "a": [a.get("value"), a.get("value_calibrated")],
         "b": [b.get("value"), b.get("value_calibrated")],
@@ -108,15 +172,39 @@ def compare_same_code(a: dict, b: dict) -> dict:
 
 
 def main() -> None:
-    argv = [x for x in sys.argv[1:] if x != "--ab"]
-    ab = "--ab" in sys.argv
-    new_path = argv[0] if argv else os.path.join(REPO, "BENCH_FULL.json")
-    old_path = argv[1] if len(argv) > 1 else os.path.join(REPO, "BENCH_r09.json")
-    with open(new_path) as fh:
-        new = json.load(fh)
-    with open(old_path) as fh:
-        old = json.load(fh)
-    print(json.dumps(compare_same_code(new, old) if ab else compare(new, old)))
+    ap = argparse.ArgumentParser(
+        description="Compare bench records (cross-round calibrated, or "
+        "--ab same-code A/B reproducibility)."
+    )
+    ap.add_argument(
+        "paths", nargs="*",
+        help="record paths; default NEW=BENCH_FULL.json OLD=BENCH_r09.json "
+        "(the output names both). --ab requires exactly two paths.",
+    )
+    ap.add_argument(
+        "--ab", action="store_true",
+        help="same-code A/B reproducibility between two records of "
+        "IDENTICAL code (both paths required)",
+    )
+    args = ap.parse_args()
+    if args.ab:
+        # ADVICE r12: a defaulted B side would silently compare against
+        # non-same-code data — --ab takes exactly two explicit paths
+        if len(args.paths) != 2:
+            ap.error("--ab requires exactly two record paths (same-code A/B)")
+        a, b = (load_record(p) for p in args.paths)
+        print(json.dumps(compare_same_code(a, b)))
+        return
+    if len(args.paths) > 2:
+        ap.error("at most two record paths (NEW OLD)")
+    new_path = args.paths[0] if args.paths else os.path.join(REPO, "BENCH_FULL.json")
+    old_path = args.paths[1] if len(args.paths) > 1 else os.path.join(REPO, "BENCH_r09.json")
+    out = compare(load_record(new_path), load_record(old_path))
+    # ADVICE r12: name both records in the output so a defaulted old
+    # side (BENCH_r09.json — a different-code baseline) is never silent
+    out["new_record"] = os.path.basename(new_path)
+    out["old_record"] = os.path.basename(old_path)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -5,9 +5,17 @@ one-off analysis.
 Usage: python tools/probe_align.py [BENCH_FULL.json] [query ...]
        (no queries -> the 10 largest raw entries)
 
+Accepts both a BENCH_FULL-shaped record and a committed per-round
+wrapper ({n, rc, tail, parsed}) — but a wrapper's `parsed` is the
+TRIMMED stdout line, which carries no probes/query_mid/samples, so the
+tool says exactly which shape it needs instead of a generic "no
+mark/probes recorded" (ADVICE r12: the r11 attribution replay required
+extracting the full record from git to discover this).
+
 For each query it prints the measurement midpoint, the 5 nearest probes
 (the calibration estimator's window) with their GEMM times as multiples
-of the steady floor, the factor actually applied, and a verdict:
+of the steady floor, the factor actually applied, the within-run sample
+spread (r13 records), and a verdict:
 
 - "slow phase (calibrated)"  — all 5 nearest probes elevated ≥2x: a
   genuine wide phase; the min-of-5 estimator saw it and corrected.
@@ -19,8 +27,9 @@ of the steady floor, the factor actually applied, and a verdict:
 - "steady"                   — probes around the run are within 1.5x of
   the floor. NOTE: probe-steady does NOT exclude hypervisor steal that
   slows JVM work while leaving the ~10 ms BLAS burst untouched (the r11
-  q32_simhash/q59 case) — only re-measurement settles those; see
-  bench_compare --ab.
+  q32_simhash/q59 case) — re-measurement (bench_compare --ab) or the
+  within-run spread settles those: a cross-round delta covered by the
+  record's own `spread_sec` is sampling noise, no rerun needed.
 """
 
 from __future__ import annotations
@@ -32,15 +41,40 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def load_record(path: str) -> dict:
+    """Read a record, descending into a committed per-round wrapper's
+    `parsed` line when the top level is not itself a bench record."""
+    with open(path) as fh:
+        data = json.load(fh)
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        return data["parsed"]
+    return data
+
+
 def align(full: dict, name: str) -> dict:
     """Pure analysis over one BENCH_FULL record; returns the alignment
     row for `name` (see module docstring for the verdict semantics)."""
     probes = full.get("probes") or []
     mid = (full.get("query_mid") or {}).get(name)
     if mid is None or not probes:
+        if not probes and "queries" in full:
+            # a trimmed summary line (committed wrapper's `parsed`):
+            # name the missing shape rather than shrugging (ADVICE r12)
+            return {
+                "query": name,
+                "verdict": "no mark/probes recorded — this record carries "
+                "no probe series/query_mid (trimmed summary line?); "
+                "probe alignment needs the full BENCH_FULL.json record",
+            }
         return {"query": name, "verdict": "no mark/probes recorded"}
-    floor = min(p["numpy_gemm_1024_sec"] for p in probes)
-    nearest = sorted(probes, key=lambda p: abs(p["t"] - mid))[:5]
+    # ADVICE r12: older/partial records may carry probe rows without the
+    # GEMM key — skip those instead of raising KeyError mid-analysis
+    usable = [p for p in probes if "numpy_gemm_1024_sec" in p and "t" in p]
+    if not usable:
+        return {"query": name, "verdict": "no usable probes (no probe "
+                "carries numpy_gemm_1024_sec)"}
+    floor = min(p["numpy_gemm_1024_sec"] for p in usable)
+    nearest = sorted(usable, key=lambda p: abs(p["t"] - mid))[:5]
     best = min(p["numpy_gemm_1024_sec"] for p in nearest)
     # the two probes actually bracketing the midpoint in time
     before = [p for p in nearest if p["t"] <= mid]
@@ -57,8 +91,8 @@ def align(full: dict, name: str) -> dict:
         verdict = "steady"
     else:
         verdict = "mixed"
-    t0 = probes[0]["t"]
-    return {
+    t0 = usable[0]["t"]
+    out = {
         "query": name,
         "mid_rel_sec": round(mid - t0, 1),
         "raw": (full.get("queries") or {}).get(name),
@@ -77,14 +111,39 @@ def align(full: dict, name: str) -> dict:
         "estimator_x_floor": round(best / floor, 2),
         "verdict": verdict,
     }
+    # diagnostic second channel (r13): the single-core python loop.
+    # Hypervisor steal can slow JVM/python work while leaving the ~10 ms
+    # 32-thread BLAS burst untouched (the r11 q32_simhash/q59 finding,
+    # observed RUN-WIDE in the r13 record: GEMM medians identical across
+    # two runs while the loop ran +10% and queries +18%) — an elevated
+    # loop_x_floor with a steady GEMM bracket is that signature.
+    loops = [p["python_loop_2m_sec"] for p in usable if p.get("python_loop_2m_sec")]
+    if loops:
+        lf = min(loops)
+        out["loop_x_floor"] = [
+            round(p["python_loop_2m_sec"] / lf, 2)
+            if p.get("python_loop_2m_sec") else None
+            for p in nearest
+        ]
+    samples = (full.get("samples") or {}).get(name)
+    if samples:
+        # r13 within-run spread: [pass_label, sec, t_mid] per execution.
+        # spread_sec is the cheapest attribution signal — a cross-round
+        # delta the record's own sampling already spans is noise.
+        secs = [s[1] for s in samples]
+        out["samples"] = samples
+        out["spread_sec"] = round(max(secs) - min(secs), 4)
+        out["spread_x_min"] = (
+            round(max(secs) / min(secs), 2) if min(secs) > 0 else None
+        )
+    return out
 
 
 def main() -> None:
     args = sys.argv[1:]
     path = args[0] if args and args[0].endswith(".json") else os.path.join(REPO, "BENCH_FULL.json")
     names = [a for a in args if not a.endswith(".json")]
-    with open(path) as fh:
-        full = json.load(fh)
+    full = load_record(path)
     if not names:
         names = sorted(full.get("queries", {}), key=lambda n: -full["queries"][n])[:10]
     for name in names:

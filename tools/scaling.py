@@ -254,17 +254,44 @@ def generate(scales: list[int] | None = None, base_sf: str | None = None,
 
 # ------------------------------------------------------------- measure
 
-def _shuffle_write_bytes(port: int) -> int:
-    """Total shuffle-write bytes across all completed stages, via the
-    public monitoring REST API (the only JVM-metrics surface PySpark
-    exposes without py4j internals). Deltas around a run isolate that
-    run's shuffle volume."""
+def _completed_stages(port: int) -> dict[str, dict]:
+    """All COMPLETE stages keyed by stageId.attemptId, via the public
+    monitoring REST API (the only JVM-metrics surface PySpark exposes
+    without py4j internals). Deltas around a run isolate that run's
+    stages."""
     base = f"http://127.0.0.1:{port}/api/v1"
     with urllib.request.urlopen(f"{base}/applications") as r:
         app = json.load(r)[0]["id"]
     with urllib.request.urlopen(f"{base}/applications/{app}/stages?status=COMPLETE") as r:
         stages = json.load(r)
-    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return {f"{s['stageId']}.{s.get('attemptId', 0)}": s for s in stages}
+
+
+def _shuffle_write_bytes(port: int) -> int:
+    """Total shuffle-write bytes across all completed stages."""
+    return sum(
+        s.get("shuffleWriteBytes", 0) for s in _completed_stages(port).values()
+    )
+
+
+def _top_stages(before: dict[str, dict], after: dict[str, dict], n: int = 6) -> list[dict]:
+    """The run's heaviest stages (by total executor run time) — the
+    attribution channel VERDICT r12 #5 asked for: a super-linear rung
+    jump names WHICH stage grew instead of leaving the wall number
+    unexplained. Names are the stage's first line (the operator +
+    callsite), truncated."""
+    new = [s for k, s in after.items() if k not in before]
+    top = sorted(new, key=lambda s: -s.get("executorRunTime", 0))[:n]
+    return [
+        {
+            "name": " ".join(str(s.get("name", "")).split())[:90],
+            "run_ms": s.get("executorRunTime", 0),
+            "tasks": s.get("numCompleteTasks", s.get("numTasks", 0)),
+            "shuffle_w_mb": round(s.get("shuffleWriteBytes", 0) / 2**20, 1),
+            "input_mb": round(s.get("inputBytes", 0) / 2**20, 1),
+        }
+        for s in top
+    ]
 
 
 def measure(name: str) -> None:
@@ -319,15 +346,20 @@ def measure(name: str) -> None:
     for k in scales:
         # control rows ride the embeddings-only ctl corpora
         sf_dir = os.path.join(ROOT, f"ctl_x{k}" if is_control else f"x{k}")
-        s0 = _shuffle_write_bytes(UI_PORT)
+        before = _completed_stages(UI_PORT)
+        s0 = sum(s.get("shuffleWriteBytes", 0) for s in before.values())
         t1 = run(sf_dir)
-        shuffle = _shuffle_write_bytes(UI_PORT) - s0
+        after = _completed_stages(UI_PORT)
+        shuffle = sum(s.get("shuffleWriteBytes", 0) for s in after.values()) - s0
         # second timed run at the two cheap scales; by x16 the JVM is
         # fully warm and one run suffices
         wall = min(t1, run(sf_dir)) if k < max(scales) else t1
         rec["scales"][str(k)] = {
             "wall_sec": round(wall, 3),
             "shuffle_write_bytes": shuffle,
+            # per-rung stage attribution (VERDICT r12 #5) — from the
+            # FIRST timed run (the same window as the shuffle delta)
+            "top_stages": _top_stages(before, after),
         }
         print(f"[scaling] {name} x{k}: {wall:.2f}s shuffle={shuffle}", file=sys.stderr, flush=True)
     print(json.dumps(rec), flush=True)
@@ -475,6 +507,12 @@ def orchestrate(only: list[str] | None = None) -> int:
 
 
 def _table(rows: list[dict], scales: list[int]) -> list[str]:
+    # r13: columns come from the rungs the rows actually carry (union),
+    # so an extra rung measured on one query (e.g. the q32_minhash x8
+    # probe) shows up instead of being silently dropped; `scales` is the
+    # fallback for empty rows. Missing cells print "—".
+    measured = sorted({int(k) for r in rows for k in r.get("scales", {})})
+    scales = measured or scales
     lines = [
         "| query | " + " | ".join(
             f"x{k} wall s / shuffle MiB" for k in scales
@@ -585,6 +623,35 @@ def write_report(results: list[dict], failures: list[str]) -> None:
             "",
         ]
         lines += _table(control, CONTROL_SCALES)
+    attributed = [
+        r for r in results
+        if any(s.get("top_stages") for s in r.get("scales", {}).values())
+    ]
+    if attributed:
+        lines += [
+            "",
+            "## Stage-level attribution (per-rung top stages)",
+            "",
+            "Rows measured with the r13 stage capture record each rung's",
+            "heaviest stages (total executor run time across tasks, from",
+            "the monitoring REST API, same window as the shuffle delta) —",
+            "a super-linear rung jump names WHICH stage grew instead of",
+            "leaving the wall number unexplained. `run s` is CPU-seconds",
+            "summed over tasks (32 threads), not wall.",
+            "",
+        ]
+        for rec in attributed:
+            lines.append(f"### {rec['name']}")
+            lines.append("")
+            lines.append("| rung | stage | run s | tasks | shuffle W MiB | input MiB |")
+            lines.append("|---|---|---|---|---|---|")
+            for k in sorted(rec["scales"], key=int):
+                for s in rec["scales"][k].get("top_stages", [])[:4]:
+                    lines.append(
+                        f"| x{k} | {s['name']} | {s['run_ms'] / 1000:.1f} "
+                        f"| {s['tasks']} | {s['shuffle_w_mb']} | {s['input_mb']} |"
+                    )
+            lines.append("")
     if failures:
         lines += ["", "## Failures", ""] + [f"- {f}" for f in failures]
     lines.append("")
