@@ -377,6 +377,28 @@ def test_bench_compare_spread_lens():
     assert ms["q_real"]["covered"] is False  # tight samples both sides: real
     # misses = q_cov and q_real (+25%); exactly one is spread-covered
     assert out["raw"]["miss_covered_by_spread"] == 0.5
+    # the spread is STEADY-state: a fresh-JVM pass's first sample (the
+    # cold warm-up run, routinely 2-4x steady) must not make a delta
+    # read `covered` — with it excluded, q_warm's tight steady samples
+    # (4.0..4.1 vs 5.0..5.1) leave the +1s delta uncovered
+    aw = {
+        "queries": {"q_warm": 4.0}, "queries_calibrated": {"q_warm": 4.0},
+        "samples": {"q_warm": [
+            ["iso1", 16.0, 10.0], ["iso1", 4.1, 20.0], ["iso1", 4.0, 30.0],
+            ["iso2", 15.0, 500.0], ["iso2", 4.05, 510.0],
+        ]},
+    }
+    bw = {
+        "queries": {"q_warm": 5.0}, "queries_calibrated": {"q_warm": 5.0},
+        "samples": {"q_warm": [
+            ["iso1", 17.0, 10.0], ["iso1", 5.1, 20.0], ["iso2", 5.0, 500.0]
+        ]},
+    }
+    outw = bc.compare_same_code(aw, bw)
+    msw = outw["raw"]["movers_spread"]["q_warm"]
+    assert msw["a_spread_sec"] == 0.1 and msw["covered"] is False
+    # _steady_secs keeps singleton warm-JVM labels (p1/rerun/fast*) as-is
+    assert bc._steady_secs([["p1", 3.0, 1.0], ["fast2", 2.8, 2.0]]) == [3.0, 2.8]
     # records without samples: no spread keys, no crash
     out_nosamp = bc.compare_same_code(
         {"queries": {"q": 4.0}, "queries_calibrated": {"q": 4.0}},
@@ -452,7 +474,19 @@ def test_probe_align_guards_and_spread():
     row = pa.align(full, "q")
     assert row["verdict"] == "steady"
     assert row["spread_sec"] == 0.4 and row["spread_x_min"] == 1.13
+    assert row["steady_spread_sec"] == 0.4  # singleton passes: no warm-up
     assert row["samples"][0] == ["iso1", 3.4, 15.0]
+    # a multi-sample iso pass drops its cold first run from the steady
+    # spread (raw spread keeps it, labeled as warm-up cost)
+    full_w = dict(full)
+    full_w["samples"] = {"q": [
+        ["iso1", 12.0, 10.0], ["iso1", 3.1, 15.0],
+        ["iso2", 11.0, 400.0], ["iso2", 3.0, 405.0],
+    ]}
+    row_w = pa.align(full_w, "q")
+    assert row_w["spread_sec"] == 9.0
+    assert row_w["steady_spread_sec"] == 0.1
+    assert row_w["spread_x_min"] == 1.03
     assert "loop_x_floor" not in row  # no loop probes in this record
     # the single-core loop channel rides along when probes carry it
     full["probes"][1]["python_loop_2m_sec"] = 0.10

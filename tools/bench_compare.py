@@ -43,13 +43,33 @@ def load_record(path: str) -> dict:
     return data
 
 
-def _spread_sec(rec: dict, name: str) -> float | None:
-    """Within-run spread (max-min over the per-execution samples) —
-    None when the record predates r13 sample vectors."""
+def _steady_secs(samples: list[list]) -> list[float]:
+    """Per-execution seconds with each fresh-JVM pass's FIRST sample
+    (label `iso*` — the cold-JVM warm-up run, routinely 2-4x steady
+    state) dropped when that pass produced more samples. The recorded
+    per-query value is a min and mins land in steady state, so a
+    cross-round delta must be judged against the STEADY spread — the
+    raw max-min is warm-up-dominated for every isolated-family query
+    and would read `covered` trivially."""
+    by_label: dict[str, list[float]] = {}
+    for label, sec, _mid in samples:
+        by_label.setdefault(label, []).append(sec)
+    out: list[float] = []
+    for label, secs in by_label.items():
+        if label.startswith("iso") and len(secs) > 1:
+            secs = secs[1:]
+        out.extend(secs)
+    return out
+
+
+def _spread_sec(rec: dict, name: str, steady: bool = True) -> float | None:
+    """Within-run spread (max-min over the per-execution samples;
+    steady=True excludes cold-JVM warm-up runs) — None when the record
+    predates r13 sample vectors."""
     ss = (rec.get("samples") or {}).get(name)
     if not ss:
         return None
-    secs = [s[1] for s in ss]
+    secs = _steady_secs(ss) if steady else [s[1] for s in ss]
     return round(max(secs) - min(secs), 4)
 
 
@@ -92,10 +112,12 @@ def compare_same_code(a: dict, b: dict) -> dict:
     this measures the MEASUREMENT's stability, not code deltas.
 
     r13 spread lens: when either record carries per-execution `samples`
-    vectors, each raw mover is annotated with both sides' within-run
-    spreads and whether the A/B delta is COVERED by the larger one —
-    covered means the two records' own sampling already spans the
-    delta, i.e. noise classified without a rerun. The summary share
+    vectors, each raw mover is annotated with both sides' STEADY
+    within-run spreads (cold-JVM warm-up samples excluded — see
+    _steady_secs; the compared values are mins, which land in steady
+    state) and whether the A/B delta is COVERED by the larger one —
+    covered means the two records' own steady sampling already spans
+    the delta, i.e. noise classified without a rerun. The summary share
     `miss_covered_by_spread` is computed over all queries OUTSIDE the
     ±10% band (the misses are what need attributing)."""
     out: dict = {}

@@ -128,13 +128,26 @@ def align(full: dict, name: str) -> dict:
     samples = (full.get("samples") or {}).get(name)
     if samples:
         # r13 within-run spread: [pass_label, sec, t_mid] per execution.
-        # spread_sec is the cheapest attribution signal — a cross-round
-        # delta the record's own sampling already spans is noise.
+        # steady_spread_sec is the attribution signal — a cross-round
+        # delta of recorded MINS (which land in steady state) that the
+        # record's own steady sampling already spans is noise. spread_sec
+        # keeps the raw max-min: for isolated-family queries it is
+        # dominated by each fresh JVM's cold first run (2-4x steady) and
+        # must NOT be used to judge deltas, only to see warm-up cost.
         secs = [s[1] for s in samples]
+        by_label: dict[str, list[float]] = {}
+        for label, sec, _mid in samples:
+            by_label.setdefault(label, []).append(sec)
+        steady = [
+            s
+            for label, ss in by_label.items()
+            for s in (ss[1:] if label.startswith("iso") and len(ss) > 1 else ss)
+        ]
         out["samples"] = samples
         out["spread_sec"] = round(max(secs) - min(secs), 4)
+        out["steady_spread_sec"] = round(max(steady) - min(steady), 4)
         out["spread_x_min"] = (
-            round(max(secs) / min(secs), 2) if min(secs) > 0 else None
+            round(max(steady) / min(steady), 2) if min(steady) > 0 else None
         )
     return out
 
