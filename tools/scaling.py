@@ -585,6 +585,19 @@ def write_report(results: list[dict], failures: list[str]) -> None:
         "_BITMAP_MAX_GRAMS; the registry corpora measure 377 grams, so",
         "the bitmap path runs at every registry sf).",
         "",
+        "q32_minhash's steep x2->x4 middle (VERDICT r12 #5) is settled",
+        "by the x8 rung as a STEP, not a growing exponent: the 5-rung",
+        "ladder is monotone with x4->x8 FLAT (60.4 -> 61.0 s) and the",
+        "fit reads a(time)=1.00. Stage attribution (below) shows the",
+        "dominant candidate-join/verify stage's CPU-seconds growing",
+        "linearly per copy (~650 -> ~1385 -> ~2256 at x2/x4/x8) and",
+        "shuffle identical across re-runs — the jump is where the",
+        "fixed floors (JVM/plan/localCheckpoint rounds, x1-x2",
+        "wall-dominant) stop amortizing and 32-thread compute becomes",
+        "wall-dominant, after which wall tracks data linearly. At",
+        "1000-executor scale the floor shrinks relative to work, so",
+        "the linear regime is the one that matters.",
+        "",
     ]
     bucketed = [r for r in results if r["name"] not in CONTROL]
     control = [r for r in results if r["name"] in CONTROL]
