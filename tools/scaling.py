@@ -649,8 +649,15 @@ def write_report(results: list[dict], failures: list[str]) -> None:
             "heaviest stages (total executor run time across tasks, from",
             "the monitoring REST API, same window as the shuffle delta) —",
             "a super-linear rung jump names WHICH stage grew instead of",
-            "leaving the wall number unexplained. `run s` is CPU-seconds",
-            "summed over tasks (32 threads), not wall.",
+            "leaving the wall number unexplained. `run s` is task-seconds",
+            "summed over 32 threads, not wall — and executorRunTime is",
+            "task WALL time, so a hypervisor-steal burst inflates it",
+            "coherently with the rung's wall (measured during this",
+            "capture: q96's x4 count stage read 5399 task-s in a burst,",
+            "1878 on re-measure — judge rung-over-rung ratios on a",
+            "re-measured-clean ladder, not absolute values). The x1 rung",
+            "additionally carries the fresh JVM's JIT warm-up in its",
+            "stage numbers even though its WALL is min-of-two runs.",
             "",
         ]
         for rec in attributed:
