@@ -168,14 +168,22 @@ def exact_jaccard_pairs(
     df_freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     # one metadata-scale job to pick the verify strategy
     n_distinct_grams = df_freq.count()
-    w = Window.partitionBy("id").orderBy("df", "gram")
-    ranked = (
-        exploded.join(df_freq, "gram")
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn("prefix_len", F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .filter(F.col("pos") <= F.col("prefix_len"))
-        .select("id", "gram", "pos", "sz")
-    )
+
+    def _ranked():
+        # global prefix ranking via a window over the exploded rows —
+        # used by the array path (and the legacy wide-bitmap build),
+        # where per-doc gram arrays are too wide to sort array-side
+        w = Window.partitionBy("id").orderBy("df", "gram")
+        return (
+            exploded.join(df_freq, "gram")
+            .withColumn("pos", F.row_number().over(w))
+            .withColumn(
+                "prefix_len", F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .filter(F.col("pos") <= F.col("prefix_len"))
+            .select("id", "gram", "pos", "sz")
+        )
+
     # PPJoin filters: size compatibility (j≥t bounds |A|/|B| within t) and
     # the positional upper bound on achievable overlap — both prune
     # candidates without affecting exactness.
@@ -214,35 +222,89 @@ def exact_jaccard_pairs(
         # at sf0.1 (5k docs, 377 grams, 7.2M raw candidates):
         # 15.8 s → ~7 s.
         n_words = (n_distinct_grams + 63) // 64
-        # dictionary: gram -> dense bit index (tiny; single-partition
-        # window is fine at <= 8192 rows, then broadcast everywhere)
+        # dictionary: gram -> (df, dense bit index) (tiny; single-
+        # partition window is fine at <= 8192 rows, then broadcast
+        # everywhere)
         idx_map = df_freq.select(
             "gram",
+            "df",
             (F.row_number().over(Window.orderBy("gram")) - 1).alias("idx"),
         )
-        words = (
-            exploded.join(F.broadcast(idx_map), "gram")
-            .select(
-                "id",
-                F.shiftright("idx", 6).alias("w"),
-                F.expr("shiftleft(1L, idx & 63)").alias("b"),
-            )
-            .groupBy("id", "w")
-            .agg(F.bit_or("b").alias("word"))
-        )
-        bm = (
-            words.groupBy("id")
-            .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("m"))
-            .select(
-                "id",
+        if n_words <= _BITMAP_MAX_GRAMS // 64:
+            # Fused build (r13, guide §2.3/§2.4): prefix selection,
+            # prefix position AND the bitmap words are all functions of
+            # a doc's own gram set plus the broadcast dictionary, so ONE
+            # id-partitioned aggregate (exchange-free: hashed_shingles
+            # already repartitioned on the id) computes the (df, gram)
+            # sort source and every bitmap word together, and the
+            # prefix comes from an array_sort + slice instead of a
+            # corpus-wide row_number window. Replaces three passes over
+            # the exploded rows (window sort, words bit_or, bm
+            # assembly) and the ranked×bm join with one aggregate +
+            # array-local expressions. Gated on the auto-bitmap regime
+            # (n_words ≤ 16): the per-row n_words-way bit_or would cost
+            # O(n_words) per gram occurrence on a forced wide-vocab
+            # bitmap run, where the legacy two-stage build stays.
+            agg = exploded.join(F.broadcast(idx_map), "gram").groupBy("id").agg(
+                F.first("sz").alias("sz"),
+                F.collect_list(F.struct("df", "gram")).alias("pairs"),
                 *[
-                    F.coalesce(F.col("m")[i], F.lit(0).cast("long")).alias(f"w{i}")
+                    F.bit_or(
+                        F.when(
+                            F.shiftright("idx", 6) == i,
+                            F.expr("shiftleft(1L, idx & 63)"),
+                        ).otherwise(F.lit(0).cast("long"))
+                    ).alias(f"w{i}")
                     for i in range(n_words)
                 ],
             )
-        )
-        # persisted: the self-join consumes rp on both sides
-        rp = ranked.join(bm, "id").persist()
+            prefix_len = (
+                F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            ).cast("int")
+            # persisted: the self-join consumes rp on both sides
+            rp = (
+                agg.select(
+                    "id",
+                    "sz",
+                    F.posexplode(
+                        F.slice(F.array_sort("pairs"), F.lit(1), prefix_len)
+                    ).alias("pos0", "pg"),
+                    *[F.col(f"w{i}") for i in range(n_words)],
+                )
+                .select(
+                    "id",
+                    F.col("pg.gram").alias("gram"),
+                    (F.col("pos0") + 1).alias("pos"),
+                    "sz",
+                    *[F.col(f"w{i}") for i in range(n_words)],
+                )
+                .persist()
+            )
+        else:
+            # legacy two-stage bitmap assembly for forced wide-vocab runs
+            words = (
+                exploded.join(F.broadcast(idx_map.drop("df")), "gram")
+                .select(
+                    "id",
+                    F.shiftright("idx", 6).alias("w"),
+                    F.expr("shiftleft(1L, idx & 63)").alias("b"),
+                )
+                .groupBy("id", "w")
+                .agg(F.bit_or("b").alias("word"))
+            )
+            bm = (
+                words.groupBy("id")
+                .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("m"))
+                .select(
+                    "id",
+                    *[
+                        F.coalesce(F.col("m")[i], F.lit(0).cast("long")).alias(f"w{i}")
+                        for i in range(n_words)
+                    ],
+                )
+            )
+            # persisted: the self-join consumes rp on both sides
+            rp = _ranked().join(bm, "id").persist()
         inter = sum(
             [
                 F.bit_count(F.col(f"a.w{i}").bitwiseAND(F.col(f"b.w{i}")))
@@ -270,7 +332,7 @@ def exact_jaccard_pairs(
     # Large-vocabulary path: gram arrays are too wide to ride the prefix
     # rows, so candidates ARE deduped first and the array_intersect
     # verify runs once per pair after two id joins.
-    ranked = ranked.persist()  # consumed by both sides of the self-join
+    ranked = _ranked().persist()  # consumed by both sides of the self-join
     cands = (
         ranked.alias("a")
         .join(ranked.alias("b"), "gram")
@@ -393,30 +455,34 @@ def minhash_lsh_pairs(
             start = end
         return pd.Series(list(out.astype(np.int64)))
 
+    # sz rides the bucket rows (one extra long per row) so the size-
+    # compatibility prune runs straight off the banding aggregate — the
+    # two sizes equi-joins the old shape paid are gone (r13, guide §2.4:
+    # two operations keyed the same way share one exchange; here the
+    # size attribute is functionally dependent on the id key and simply
+    # travels with it).
     buckets = (
-        g.select("id", band_buckets("hgrams").alias("bb"))
-        .select("id", F.posexplode("bb").alias("band", "bucket"))
+        g.select("id", F.size("hgrams").alias("sz"), band_buckets("hgrams").alias("bb"))
+        .select("id", "sz", F.posexplode("bb").alias("band", "bucket"))
         .persist()
     )
     # count-based banding: the groupBy replaces the dedup-distinct (same
     # shuffle) and the count filter prunes the template-similarity mass
-    # before any gram array is fetched.
+    # before any gram array is fetched. Size-compatibility prune before
+    # fetching gram arrays: j ≥ t bounds |A|/|B| within [t, 1/t] — most
+    # low-j LSH candidates die here without touching an array.
     cands = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .groupBy(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
         .agg(F.count(F.lit(1)).alias("band_matches"))
         .filter(F.col("band_matches") >= min_band_matches)
-        .select("id1", "id2")
-    )
-    # size-compatibility prune before fetching gram arrays: j ≥ t bounds
-    # |A|/|B| within [t, 1/t], and the size join is two cheap int columns
-    # vs. the wide array join — most low-j LSH candidates die here.
-    sizes = g.select("id", F.size("hgrams").alias("sz"))
-    cands = (
-        cands.join(sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1")), "id1")
-        .join(sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2")), "id2")
         .filter(
             (F.col("sz1") >= threshold * F.col("sz2"))
             & (F.col("sz2") >= threshold * F.col("sz1"))
@@ -579,6 +645,11 @@ def connected_components(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).persist()
     n_edges = e0.count()
+    # r13 measured finding (guide §2.4): pre-partitioning sym on u is a
+    # NO-OP here — the DAG scheduler already reuses the symmetrized edge
+    # shuffle across rounds (skipped stages; verified identical stage
+    # counts and shuffle bytes on a deep chain graph), so an explicit
+    # repartition only adds one upfront exchange. Left as-is.
     sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     ckpt_ids: set[int] = set()
     try:

@@ -726,14 +726,41 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.select("l_orderkey").distinct().count()
-    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    # r13 (guide §2.4): ONE exchange builds the per-order basket sets —
+    # collect_set dedups, folding the old distinct's (orderkey, partkey)
+    # exchange into the same shuffle — and the n_orders count, the item
+    # counts and the co-occurrence pairs all derive from the cached sets
+    # ARRAY-SIDE, so the o-keyed basket self-join and its exchanges are
+    # gone; only the final (p1, p2) support count still shuffles.
+    # Baskets are lineitems-per-order-bounded (≤7 at any TPC-H scale).
+    # persisted: three consumers (count action, item counts, pairs).
+    sets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .persist()
+    )
+    n_orders = sets.count()
+    item = (
+        sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     pair = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
+        sets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice("ps", i + F.lit(2), F.size("ps")),
+                            lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.p1", "p.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .filter(F.col("c12") >= 3)

@@ -60,10 +60,16 @@ from ._registry import register
     "oracle recomputes the same expected counts from the raw table.",
 )
 def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted (r13, guide §5): the modulo slice feeds five appends and
+    # two count probes across the flow — without the cache each one
+    # re-scans lineitem and re-filters; the slice is 4% of the table and
+    # projected to 4 columns, so the cache is small and released at the
+    # end of the flow.
     sample = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
         .filter(F.col("l_orderkey") % 25 == 7)
+        .persist()
     )
     with ServerThread() as server, tempfile.TemporaryDirectory() as warehouse_dir:
         client = RestCatalogClient(server.base_url)
@@ -76,7 +82,12 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         first = sample.filter(F.col("l_orderkey") % 2 == 0)
         second = sample.filter(F.col("l_orderkey") % 2 == 1)
-        n_first, n_second = first.count(), second.count()
+        # one job for both halves' counts instead of two (r13)
+        both = sample.agg(
+            F.count_if(F.col("l_orderkey") % 2 == 0).alias("a"),
+            F.count_if(F.col("l_orderkey") % 2 == 1).alias("b"),
+        ).collect()[0]
+        n_first, n_second = both["a"], both["b"]
 
         table.append(first)
         snap1 = table.metadata()["current-snapshot-id"]
@@ -137,6 +148,7 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("refs", n_refs),
             ("partition_specs_live", len({r["spec_id"] for r in parts_after})),
         ]
+        sample.unpersist()
         return spark.createDataFrame(rows, "metric string, value long")
 
 

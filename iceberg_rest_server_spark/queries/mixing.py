@@ -245,6 +245,13 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    # r13 (guide §2.3, narrower types): the gram only ever feeds set
+    # membership (bench-set semi join + distincts), so hash it to int64
+    # INSIDE the transform — array_distinct, the explodes, the distinct
+    # shuffle and the broadcast-set probe all run on longs instead of
+    # ~25-char strings (same hashed-shingle discipline as
+    # operators/dedup.py; collisions ~1e-9 for this corpus). Output
+    # counts unchanged, same oracle.
     grams = toks.select(
         "doc_id",
         F.when(
@@ -252,11 +259,11 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size("w") - 3),
-                    lambda i: F.concat_ws(" ", F.slice("w", i, 4)),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i, 4))),
                 )
             ),
         )
-        .otherwise(F.array().cast("array<string>"))
+        .otherwise(F.array().cast("array<long>"))
         .alias("g"),
     )
     is_bench = F.col("doc_id") % 20 == 0
@@ -772,7 +779,15 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("g"),
     )
     is_bench = F.col("doc_id") % 10 == 1
-    bench_grams = grams.filter(is_bench).select(F.explode("g").alias("gram")).distinct()
+    # persisted (r13, guide §2.4/§5): the benchmark gram set has TWO
+    # consumers — the bloom build and the exact FP-killing semi join —
+    # and without the persist each one re-runs the benchmark slice's
+    # split+3-gram+distinct pipeline from the scan. The set is
+    # benchmark-sized (bounded by the eval suite, not the corpus), so
+    # caching it is metadata-scale at any corpus size.
+    bench_grams = (
+        grams.filter(is_bench).select(F.explode("g").alias("gram")).distinct().persist()
+    )
     bloom = bloom_filter_words(bench_grams, "gram")
     corpus_grams = grams.filter(~is_bench).select("doc_id", F.explode("g").alias("gram"))
     prefiltered = corpus_grams.crossJoin(F.broadcast(bloom)).filter(

@@ -1228,14 +1228,32 @@ _Q185_W = (
 def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     b = spark.range(_Q185_B).select(F.col("id").cast("int").alias("b"))
-    w = (
-        F.expr(_Q185_W.replace("strpos", "instr").replace("AS VARCHAR", "AS STRING"))
+    # r13 (guide §4.1-adjacent, JVM-side): bind the md5-derived hex
+    # digit ONCE per (row, replica) in its own projection and run the
+    # weight CASE over the bound column — the single-expression CASE
+    # form repeats the md5 subtree in every WHEN arm and leaves
+    # elimination to conditional-subexpression CSE; the bound column
+    # guarantees exactly one md5 per fan-out row. Same integers, same
+    # oracle.
+    hexd = F.expr(
+        "instr('0123456789abcdef', substr(md5("
+        "CAST(event_id AS STRING) || '_' || CAST(b AS STRING)), 1, 1)) - 1"
     )
-    reps = ev.crossJoin(F.broadcast(b)).select(
-        "event_type",
-        "b",
-        w.alias("w"),
-        F.col("value").cast("decimal(18,6)").alias("v"),
+    w = (
+        F.when(F.col("hd") < 6, 0)
+        .when(F.col("hd") < 12, 1)
+        .when(F.col("hd") < 15, 2)
+        .otherwise(3)
+    )
+    reps = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            "b",
+            hexd.alias("hd"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .select("event_type", "b", w.alias("w"), "v")
     )
     rep_means = reps.groupBy("event_type", "b").agg(
         F.round(

@@ -46,6 +46,8 @@ fan-out.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -226,6 +228,46 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q157_SUPPORT = 25  # minimum co-occurrence count for a co-supply edge
 
 
+def _cosupply_edges(li: DataFrame) -> DataFrame:
+    """Co-supply edges (u < v suppliers sharing ≥ _Q157_SUPPORT orders).
+
+    r13 (guide §2.4): ONE exchange instead of three. The old shape —
+    distinct (Exchange on (o, s)) feeding an o-keyed self-join (Exchange
+    on o) whose pair mass then shuffles to groupBy(u, v) — is replaced
+    by groupBy(o).collect_set(s) (collect_set dedups, so the distinct's
+    exchange folds into this one; partial map-side collection applies)
+    with the u<v pairs generated ARRAY-SIDE from the sorted supplier
+    set, so only the final (u, v) support count shuffles. Per-order
+    supplier sets are lineitems-per-order-bounded (≤7 at any TPC-H
+    scale), so the array fan-out is constant-bounded per row.
+    """
+    sets = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("s")).alias("ss"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda x, i: F.transform(
+                        F.slice("ss", i + F.lit(2), F.size("ss")),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _Q157_SUPPORT)
+        .select("u", "v")
+    )
+
+
 @register(
     "q157_triangle_count",
     oracle=f"""
@@ -262,16 +304,7 @@ _Q157_SUPPORT = 25  # minimum co-occurrence count for a co-supply edge
 )
 def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")).distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _Q157_SUPPORT)
-        .select("u", "v")
-    )
-    edges = edges.persist()
+    edges = _cosupply_edges(li).persist()
 
     # Degree orientation: orient each undirected edge from the endpoint
     # with the smaller (degree, id) pair. Wedge fan-out is then bounded
@@ -529,7 +562,9 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q96, triangles q157). Spark side is the production shape: one "
     "frontier equi-join + LEFT ANTI visited-dedup per level, frontier "
     "localCheckpoint'ed each round (the q49/q96 bounded-round "
-    "discipline — lineage stays flat, one isEmpty action per level, "
+    "discipline — lineage stays flat, ONE count action per level that "
+    "also materializes the lazy checkpoint; the visited set is the "
+    "union of the cached per-level frontiers, never re-materialized; "
     "early exit on an exhausted frontier). The oracle re-derives the "
     "same levels with a UNION-distinct recursive CTE. 100 TB: frontier "
     "and visited set are distributed DataFrames, the per-level cost is "
@@ -537,15 +572,7 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")).distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    e0 = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _Q157_SUPPORT)
-        .select("u", "v")
-    )
+    e0 = _cosupply_edges(li)
     edges = e0.unionByName(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
@@ -557,26 +584,35 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
             F.sum("node").cast("long").alias("sum_keys"),
         )
-    visited = spark.createDataFrame([(int(src), 0)], schema).localCheckpoint(
-        eager=True
-    )
-    frontier = visited.select("node")
+    # r13 (guide §1.2/§5): ONE action per level instead of three. The
+    # new frontier is checkpointed lazily and materialized by the same
+    # count() that drives the exit test (previously: eager checkpoint
+    # job + isEmpty job), and the visited set is kept as the list of
+    # per-level checkpointed frontiers — the anti-join unions the cached
+    # pieces instead of re-materializing a growing visited table every
+    # level (previously: one more full pass over visited per level).
+    levels = [
+        spark.createDataFrame([(int(src), 0)], schema).localCheckpoint(eager=True)
+    ]
+    frontier = levels[0].select("node")
     for level in range(1, 9):
+        visited_nodes = reduce(DataFrame.unionByName, levels).select("node")
         nxt = (
             frontier.join(edges, frontier["node"] == edges["u"])
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .withColumn("dist", F.lit(level))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
         frontier = nxt.select("node")
     edges.unpersist()
     return (
-        visited.groupBy("dist")
+        reduce(DataFrame.unionByName, levels)
+        .groupBy("dist")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
             F.sum("node").cast("long").alias("sum_keys"),
