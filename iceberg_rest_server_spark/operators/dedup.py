@@ -663,19 +663,31 @@ def connected_components(
                 .localCheckpoint(eager=False)
             )
             for _ in range(max_iter):
-                # neighbor min: candidate label for v = min label among
-                # v's neighbors; the node's OLD label rides along so the
-                # round's ONE action (the changed-count below) both
-                # materializes the checkpoint and decides convergence
-                neigh = (
+                # neighbor min, fused (r13, guide §2.4): the node's own
+                # label joins the round as |V| extra UNION rows riding
+                # the same groupBy exchange — carrying its OLD label in
+                # a side column — instead of the previous separate
+                # labels⋈neigh left join (one join + its label-table
+                # exchange per round, gone). min(comp) over the group =
+                # least(own, min neighbors) exactly as before; max(own)
+                # recovers the old label (each node contributes exactly
+                # one self row). The round's ONE action (the changed-
+                # count below) still both materializes the checkpoint
+                # and decides convergence.
+                contribs = (
                     sym.join(labels.withColumnRenamed("id", "u"), "u")
-                    .groupBy(F.col("v").alias("id"))
-                    .agg(F.min("comp").alias("ncomp"))
+                    .select(
+                        F.col("v").alias("id"),
+                        "comp",
+                        F.lit(None).cast("long").alias("own"),
+                    )
                 )
-                stepped = labels.join(neigh, "id", "left").select(
-                    "id",
-                    F.col("comp").alias("old"),
-                    F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
+                stepped = (
+                    contribs.unionByName(
+                        labels.select("id", "comp", F.col("comp").alias("own"))
+                    )
+                    .groupBy("id")
+                    .agg(F.min("comp").alias("comp"), F.max("own").alias("old"))
                 )
                 # pointer jump: follow comp one hop (comp of my comp)
                 hop = labels.select(

@@ -94,11 +94,18 @@ def pagerank(
     ranks = None
     ckpt_ids: set[int] = set()
     try:
-        n = nodes.count()
-        # dangling count is pure arithmetic at t=0 (uniform ranks), so the
-        # loop needs no warm-up join/action at all
-        n_src = outdeg.count()
-        adj.count()  # materialize before the loop so e is scanned once more at most
+        # ONE setup action instead of three (r13, guide §1.2): the self
+        # rows carry exactly one row per node with its true out-degree
+        # (0 for dangling), so n and n_src fall out of the same
+        # aggregate that materializes the adj persist (and, upstream,
+        # the nodes/outdeg persists it consumes). Dangling mass at t=0
+        # is then pure arithmetic — the loop still needs no warm-up
+        # join/action.
+        counts = adj.agg(
+            F.count_if(F.col("is_self")).alias("n"),
+            F.count_if(F.col("is_self") & (F.col("deg") > 0)).alias("n_src"),
+        ).collect()[0]
+        n, n_src = counts["n"], counts["n_src"]
         ranks = _power_iterate(spark, nodes, adj, n, n_src, damping, max_iter, tol)
     finally:
         nodes.unpersist()

@@ -763,6 +763,13 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    # r13 (guide §2.3, narrower types — the q48/dedup hashed-shingle
+    # discipline): the gram only ever feeds set membership (bloom build,
+    # bloom probe, exact semi join, distincts), so hash it to int64
+    # INSIDE the transform — array_distinct, both explodes, the 5
+    # per-probe xxhash64 calls, the distinct shuffle and the semi join
+    # all run on longs instead of ~25-char strings (collisions ~1e-9
+    # for this corpus). Output counts unchanged, same oracle.
     grams = toks.select(
         "doc_id",
         "lang",
@@ -771,11 +778,11 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size("w") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("w", i, 3))),
                 )
             ),
         )
-        .otherwise(F.array().cast("array<string>"))
+        .otherwise(F.array().cast("array<long>"))
         .alias("g"),
     )
     is_bench = F.col("doc_id") % 10 == 1
