@@ -125,9 +125,29 @@ def _box_calibration() -> dict:
         for i in range(2_000_000):
             s += i * i
         loops.append(time.perf_counter() - t0)
+    # VERDICT r13 #3: first-touch memory-fault probe. This VM's
+    # hypervisor lazily backs guest pages; in its cold phase, faulting
+    # fresh anonymous memory runs at ~37-60 MB/s (measured r13) and
+    # every new JVM heap page stalls — while GEMM (hot CPU, resident
+    # buffers) reads the box as FAST, so the calibrated numbers can't
+    # correct it. Recording the fault rate per probe row lets
+    # probe_align flag fault-bound windows the way it flags GEMM-slow
+    # ones. 256 MB: big enough to dominate loop overhead, small enough
+    # (~25 ms healthy, ~0.7 s at 380 MB/s, ~7 s in the r13 pathology)
+    # not to distort the probe cadence. The buffer is fresh (calloc'd)
+    # each call and freed immediately; one rep — fault service has no
+    # warm-up to strip, and min-of-N would just re-pay the cost.
+    n = 256 << 20
+    t0 = time.perf_counter()
+    buf = bytearray(n)
+    for i in range(0, n, 4096):
+        buf[i] = 1
+    fault_sec = time.perf_counter() - t0
+    del buf
     return {
         "numpy_gemm_1024_sec": round(gemm, 4),
         "python_loop_2m_sec": round(min(loops), 4),
+        "memfault_256m_mb_s": round(256 / fault_sec, 1),
     }
 
 

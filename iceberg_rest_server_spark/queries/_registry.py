@@ -45,73 +45,42 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # on (1) entries with NO driver evidence yet, (2) entries whose code or
 # oracle changed since their last green row, then (3) the STALEST
 # recorded evidence first.
-# r13 WINDOW (exactly 50): no no-evidence entries and no r13 query-
-# operator code changes (r13 changes are bench/scaling/explain tooling,
-# tests and docs only), so the window is pure staleness: the ENTIRE
-# 30-entry r08-stale cohort (recomputed from CORRECTNESS_r01..r12;
-# matches VERDICT r12 #1 name-for-name) + the first 20 of the 47-entry
-# r09 cohort (equal staleness — alphabetical tie-break). After r13 the
-# oldest evidence anywhere becomes r09 (27 entries). Whole-registry
-# re-check: tools/driver_sim.py, recorded in PARITY.md.
+# r14 WINDOW (exactly 50), per the policy above and VERDICT r13 #1
+# (which found the r13 window violated it: the r13 operator changes
+# landed AFTER the window was set, so none of the 15 plan-changed
+# entries had driver coverage): (2) CHANGED-CODE ENTRIES LEAD — the 15
+# query paths whose physical plans changed in r13 commits
+# 1a467cd/2bcd5d5 (fused jaccard prefix build, minhash sz-carry,
+# connected-components fusion, pagerank setup fusion, q34/q100
+# persists, q48/q100 int64 grams, q143/q157 array-side pairs, q176 BFS
+# loop, q185 bound digit), plus every entry whose code changes in r14
+# (inserted as the work lands, alphabetical); then (3) staleness: the
+# remaining 26 entries of the r09 cohort (q48 is already in the
+# changed set), then the alphabetically-first entries of the 50-entry
+# r10 cohort to fill to exactly 50. Whole-registry re-check:
+# tools/driver_sim.py at HEAD, recorded in PARITY.md.
 # Every entry is always returned — ordering only, never selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (1) the 30-entry r08-stale cohort, alphabetical ---
-    "q194_ks_two_sample",
-    "q195_gini_concentration",
-    "q196_running_distinct_users",
-    "q197_activity_streaks",
-    "q199_multitouch_attribution",
-    "q19_except",
-    "q19_intersect",
-    "q19_union_all",
-    "q19_union_distinct",
-    "q200_percentile_rank_transform",
-    "q201_priority_sample",
-    "q202_ngram_novelty",
-    "q203_sliding_distinct_users",
-    "q20_string_functions",
-    "q21_date_functions",
-    "q22_math_functions",
-    "q23_array_map_json",
-    "q23_explode_json",
-    "q24_conditional_null",
-    "q25_correlated_subquery",
-    "q25_subqueries",
-    "q26_cte",
-    "q27_udf_parity",
-    "q28_grouped_pandas_udaf",
-    "q33_fingerprint",
-    "q33_lang_id",
-    "q33_top_terms",
-    "q54_full_outer_join",
-    "q55_window_navigation",
-    "q61_grouping_id",
-    # --- (2) fills: first 20 of the 47-entry r09 cohort,
-    # alphabetical ---
-    "q115_stream_ingest_dedup",
+    # --- (2a) r14 changed-code entries, alphabetical ---
     "q134_stream_cdc_upsert",
-    "q15_sliding_window",
-    "q198_char_entropy",
-    "q204_array_fold_kernels",
-    "q205_regex_extraction",
-    "q206_bitwise_aggregates",
-    "q23_get_json",
-    "q30_stream_session_window",
-    "q33_bpe_token_count",
-    "q33_quality_score",
-    "q33_tfidf_top_terms",
-    "q33_token_stats",
-    "q36_ann_bruteforce_topk",
-    "q37_multimodal_frames",
-    "q37_multimodal_metadata",
-    "q39_stream_stateful_user_totals",
-    "q43_sessionize_batch",
-    "q44_pivot_profile",
-    "q47_fuzzy_brand_pairs",
-    # --- below here falls outside the 50-entry window ---
-    # the remaining 27 r09 entries lead the r14 window unless
-    # displaced by r14 changes (alphabetical)
+    # --- (2b) the 15 r13 plan-changed entries, alphabetical ---
+    "q100_bloom_decontaminate",
+    "q125_quality_canonical",
+    "q143_basket_affinity",
+    "q152_cluster_safe_split",
+    "q157_triangle_count",
+    "q176_bfs_levels",
+    "q185_bootstrap_ci",
+    "q32_minhash_lsh_pairs",
+    "q32_ngram_jaccard_pairs",
+    "q34_catalog_end_to_end",
+    "q40_curation_pipeline",
     "q48_decontamination",
+    "q49_dedup_clusters",
+    "q59_semantic_dedup",
+    "q96_pagerank_canonical",
+    # --- (3) staleness: the 26 remaining r09-cohort entries,
+    # alphabetical ---
     "q50_repetition_quality",
     "q51_range_join",
     "q52_latest_by_key",
@@ -138,6 +107,21 @@ _DRIVER_ORDER_HEAD = [
     "q81_epoch_shuffle",
     "q87_skyline",
     "q90_stream_catalog_sink",
+    # --- (3) fills from the r10 cohort (alphabetical, minus entries
+    # already above) to reach exactly 50 ---
+    "q01_scan_projection",
+    "q03_hash_aggregate",
+    "q06_approx_distinct",
+    "q101_incremental_mv",
+    "q102_tpch_q2",
+    "q103_tpch_q9",
+    "q104_tpch_q11",
+    "q105_tpch_q16",
+    # --- below here falls outside the 50-entry window ---
+    # next-stalest r10 entries continue the r15 window unless
+    # displaced by changes (alphabetical)
+    "q106_tpch_q20",
+    "q107_tpch_q21",
     "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 

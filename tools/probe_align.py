@@ -125,6 +125,26 @@ def align(full: dict, name: str) -> dict:
             if p.get("python_loop_2m_sec") else None
             for p in nearest
         ]
+    # third channel (r14, VERDICT r13 #3): first-touch fault service.
+    # A lazily-faulted VM phase stalls JVM allocation at ~37-60 MB/s
+    # while GEMM and the python loop read the box as healthy; the fault
+    # probe is the only one of the three that sees it. Absolute
+    # threshold, not relative: healthy fault service is GB/s-scale, and
+    # a record whose whole series is slow must still flag (a relative
+    # floor would normalize the pathology away).
+    faults = [p.get("memfault_256m_mb_s") for p in nearest]
+    if any(f is not None for f in faults):
+        out["fault_mb_s"] = faults
+        bracket_fault = [
+            p["memfault_256m_mb_s"]
+            for p in bracket
+            if p.get("memfault_256m_mb_s") is not None
+        ]
+        if bracket_fault and min(bracket_fault) < 200:
+            out["verdict"] = verdict + " + FAULT-BOUND window (first-touch "
+            out["verdict"] += f"{min(bracket_fault):.0f} MB/s; raw seconds "
+            out["verdict"] += "inflated for allocation-heavy work and the "
+            out["verdict"] += "GEMM calibration cannot correct it)"
     samples = (full.get("samples") or {}).get(name)
     if samples:
         # r13 within-run spread: [pass_label, sec, t_mid] per execution.
