@@ -68,6 +68,34 @@ def stream_to_table(
     return committed_count[0]
 
 
+def latest_per_key(
+    df: DataFrame, keys: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Latest row per `keys`, ordered by `order_cols` (which must end in
+    a unique tie-breaker so the argmax is well-defined).
+
+    r14 (guide §2.3, aggregate before you shuffle): max_by over the
+    (order_cols) struct — a hash aggregate with MAP-SIDE partial
+    aggregation, so each shuffle carries at most one row per (key, map
+    partition) instead of every change row into a sort-based Window
+    (row_number) that buffered and sorted whole partitions. Equivalent
+    by construction: struct comparison is lexicographic over
+    order_cols, so argmax == the window's rank-1 row. Column
+    order/names/types preserved.
+    """
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    payload = [c for c in cols if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), F.struct(*order_cols)).alias("__p")
+    )
+    return agg.select(
+        *[F.col(c) for c in keys],
+        *[F.col("__p").getField(c).alias(c) for c in payload],
+    ).select(*cols)
+
+
 def stream_upsert_to_table(
     stream_df: DataFrame,
     table: SparkCatalogTable,
@@ -81,38 +109,36 @@ def stream_upsert_to_table(
     foreachBatch mirror of SQL ``MERGE INTO ... WHEN MATCHED AND
     source.newer THEN UPDATE``.
 
-    Each micro-batch first collapses ITSELF to its latest row per key
-    (a batch can carry many changes for one key), then merges against
-    the table with the same latest-wins rule, committing ONE overwrite
-    snapshot stamped with (query-id, epoch-id). Already-committed epochs
-    are skipped on replay, so redelivery can't regress a key to an older
-    value — and because latest-wins is idempotent and commutative over
-    the change set, the final table state is independent of how the feed
-    was batched. Returns the number of batches actually committed.
+    Each micro-batch merges (table ∪ batch) down to the latest row per
+    key in ONE max_by hash aggregate (r14; previously: a pre-collapse
+    Window over the batch plus a second Window over the union — two
+    sort-based shuffles per batch; latest(table ∪ batch) ==
+    latest(table ∪ latest(batch)), so the pre-collapse pass was
+    redundant work, and max_by's map-side partial aggregation performs
+    the same per-key reduction DURING the single shuffle anyway),
+    committing ONE overwrite snapshot stamped with (query-id,
+    epoch-id). Already-committed epochs are skipped on replay, so
+    redelivery can't regress a key to an older value — and because
+    latest-wins is idempotent and commutative over the change set, the
+    final table state is independent of how the feed was batched.
+    Returns the number of batches actually committed.
 
     At 100 TB the per-batch merge is the standard CDC-apply shape: one
-    key-shuffle of (table ∪ batch) sized by the TABLE, with the batch
-    side map-side reduced first. For huge tables a real deployment would
-    partition the table and rewrite only touched partitions; the commit
-    protocol here is identical either way.
+    key-shuffle of (table ∪ batch) sized by the TABLE, every map task
+    pre-reducing its rows to one per key before the wire. For huge
+    tables a real deployment would partition the table and rewrite only
+    touched partitions; the commit protocol here is identical either
+    way.
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
     committed_count = [0]
 
     def _latest(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        return latest_per_key(df, keys, order_cols)
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id in committed_epochs(table, query_id):
             return
-        merged = _latest(table.read().unionByName(_latest(batch_df)))
+        merged = _latest(table.read().unionByName(batch_df))
         table.overwrite(
             merged,
             summary_extra={

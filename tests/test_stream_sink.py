@@ -173,3 +173,49 @@ def test_checkpoint_resume_appends_only_new_data(spark, sf_dir, sink_table):
         n3 = stream_to_table(stream(), sink_table, ckpt, "q-resume")
         assert n3 == 0
         assert sink_table.read().count() == n_base + n_extra
+
+
+def test_latest_per_key_equals_window_reference(spark):
+    """r14: the sink's latest-wins collapse moved from a sort-based
+    Window (row_number=1) to a max_by hash aggregate (guide §2.3 —
+    map-side partial aggregation). The two must agree row-for-row on a
+    dataset with multiple changes per key, late arrivals, and a
+    single-change key; schema (names, order, types) must be preserved."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from iceberg_rest_server_spark.streaming.sink import latest_per_key
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: three changes, latest by ts is event 12
+        (10, t0 + datetime.timedelta(hours=1), 1, "a", 1.0),
+        (12, t0 + datetime.timedelta(hours=3), 1, "b", 2.0),
+        (11, t0 + datetime.timedelta(hours=2), 1, "c", 3.0),
+        # user 2: ts tie broken by event_id (21 wins)
+        (20, t0, 2, "d", 4.0),
+        (21, t0, 2, "e", 5.0),
+        # user 3: single change
+        (30, t0, 3, "f", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, kind string, value double"
+    )
+    keys, order_cols = ["user_id"], ["ts", "event_id"]
+
+    got = latest_per_key(df, keys, order_cols)
+    assert got.columns == df.columns
+    assert got.schema == df.schema
+
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    ref = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    got_rows = sorted(got.collect(), key=lambda r: r["user_id"])
+    ref_rows = sorted(ref.collect(), key=lambda r: r["user_id"])
+    assert got_rows == ref_rows
+    assert [r["event_id"] for r in got_rows] == [12, 21, 30]
