@@ -89,9 +89,15 @@ def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) ->
     batch default: each shuffle partition owns a state store whose
     per-batch fixed cost (provider init, commit log, snapshot) dominates
     a single-batch replay — measured 8.8 s → 2.9 s on the stream-stream
-    join at sf0.1 going 32 → 8 partitions. A production stream sizes
-    this to sustained throughput instead (state partitions are fixed at
-    the first checkpoint); the knob is env-tunable for that reason.
+    join at sf0.1 going 32 → 8 partitions (r8), and a further 8-23%
+    across q171/q30/q115 going 8 → 2 in r14 interleaved fresh-JVM pairs
+    (q171 3.82→3.36 s, q30 4.11/4.89→3.77/3.77 s, q115
+    2.85/3.00→2.41/2.35 s; a stream-stream join commits 4 state-store
+    instances per partition per batch, so 8 partitions = 32 store
+    commits each batch while the whole replay holds ~40k state rows).
+    A production stream sizes this to sustained throughput instead
+    (state partitions are fixed at the first checkpoint); the knob is
+    env-tunable for that reason.
 
     NOTE: the override mutates the session-global shuffle-partition conf
     for the duration of the drain (restored in ``finally``). Callers are
@@ -100,7 +106,7 @@ def run_to_table(stream_df: DataFrame, spark: SparkSession, output_mode: str) ->
     multi-tenant session, plan the stream on a cloned session
     (``spark.newSession()``) instead.
     """
-    parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "2")
     before = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_result_{uuid.uuid4().hex}"
     spark.conf.set("spark.sql.shuffle.partitions", parts)
