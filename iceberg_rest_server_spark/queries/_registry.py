@@ -61,8 +61,18 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tools/driver_sim.py at HEAD, recorded in PARITY.md.
 # Every entry is always returned — ordering only, never selection.
 _DRIVER_ORDER_HEAD = [
-    # --- (2a) r14 changed-code entries, alphabetical ---
+    # --- (2a) r14 changed-code entries, alphabetical: q134's sink
+    # merge (max_by, one exchange) plus the eight run_to_table replay
+    # drains whose state partitioning changed (8 -> 2) ---
+    "q115_stream_ingest_dedup",
     "q134_stream_cdc_upsert",
+    "q162_stream_stream_left_outer",
+    "q171_stream_stream_full_outer",
+    "q29_stream_tumbling_window",
+    "q30_stream_session_window",
+    "q39_stream_stateful_user_totals",
+    "q57_stream_static_enrich",
+    "q58_stream_stream_join",
     # --- (2b) the 15 r13 plan-changed entries, alphabetical ---
     "q100_bloom_decontaminate",
     "q125_quality_canonical",
@@ -79,14 +89,13 @@ _DRIVER_ORDER_HEAD = [
     "q49_dedup_clusters",
     "q59_semantic_dedup",
     "q96_pagerank_canonical",
-    # --- (3) staleness: the 26 remaining r09-cohort entries,
+    # --- (3) staleness: the remaining r09-cohort entries (q48 is in
+    # the r13 changed set; q57/q58 moved to the r14 changed set),
     # alphabetical ---
     "q50_repetition_quality",
     "q51_range_join",
     "q52_latest_by_key",
     "q53_domain_mixture",
-    "q57_stream_static_enrich",
-    "q58_stream_stream_join",
     "q60_embedding_centroids",
     "q62_stats_moments",
     "q64_tpch_q3",
@@ -111,17 +120,13 @@ _DRIVER_ORDER_HEAD = [
     # already above) to reach exactly 50 ---
     "q01_scan_projection",
     "q03_hash_aggregate",
+    # --- below here falls outside the 50-entry window ---
+    # next-stalest r10 entries continue the r15 window unless
+    # displaced by changes (alphabetical)
     "q06_approx_distinct",
     "q101_incremental_mv",
     "q102_tpch_q2",
     "q103_tpch_q9",
-    "q104_tpch_q11",
-    "q105_tpch_q16",
-    # --- below here falls outside the 50-entry window ---
-    # next-stalest r10 entries continue the r15 window unless
-    # displaced by changes (alphabetical)
-    "q106_tpch_q20",
-    "q107_tpch_q21",
     "q140_stream_transform_with_state",  # registers only where protobuf exists
 ]
 

@@ -15,7 +15,17 @@ from iceberg_rest_server_spark.queries._registry import _DRIVER_ORDER_HEAD
 # (2a) entries whose code changes in r14 and that are not already in the
 # r13-changed set below — extended as r14 work lands.
 CHANGED_R14 = [
-    "q134_stream_cdc_upsert",  # sink latest-wins window → max_by aggregate
+    # sink latest-wins: 2 windows → 1 max_by aggregate per micro-batch
+    "q134_stream_cdc_upsert",
+    # the eight run_to_table replay drains: state partitions 8 → 2
+    "q115_stream_ingest_dedup",
+    "q162_stream_stream_left_outer",
+    "q171_stream_stream_full_outer",
+    "q29_stream_tumbling_window",
+    "q30_stream_session_window",
+    "q39_stream_stateful_user_totals",
+    "q57_stream_static_enrich",
+    "q58_stream_stream_join",
 ]
 
 # (2b) the 15 query paths whose physical plans changed in r13 commits
