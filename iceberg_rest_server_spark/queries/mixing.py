@@ -240,7 +240,11 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the corpus side explodes grams and LEFT SEMI joins against the "
     "broadcast with NO shuffle of corpus data, then collapses to distinct "
     "doc ids. Word n-grams, not char n-grams, to match how eval-overlap "
-    "filtering is actually done.",
+    "filtering is actually done. Since r13 membership compares xxhash64 "
+    "gram keys (8-byte longs, not ~25-char strings): collision odds "
+    "~1e-9 here; at ~1e12 distinct grams a birthday collision only adds "
+    "a spurious flagged doc — acceptable for contamination flagging, "
+    "and the string oracle still hash-matches at every registry SF.",
 )
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -751,8 +755,16 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is folded into a 16 KiB bloom (distributed bit_or build, no driver "
     "funnel) that prefilters the corpus gram stream BEFORE the exact "
     "semi join — only bloom-positive grams (true matches + the tiny FP "
-    "rate) reach the shuffle. Output is exact (the semi join removes "
-    "false positives), so the oracle is the plain exact formulation. "
+    "rate) reach the shuffle. The semi join removes the bloom's false "
+    "positives, so the output is exact modulo xxhash64 gram-key "
+    "collisions (since r13 both sides compare 64-bit gram hashes, not "
+    "strings: odds ~1e-9 at this corpus's vocabulary; at a literal "
+    "100 TB / ~1e12 distinct grams, birthday collisions become "
+    "expected-nonzero — acceptable for a contamination FLAG, which "
+    "only gains a spurious member, and the same discipline "
+    "operators/dedup.py has used for membership pruning since r10). "
+    "The DuckDB oracle is the plain exact string formulation and "
+    "hash-matches at every registry SF. "
     "This is the 100 TB shape of q48: there the benchmark set broadcast "
     "raw (fine while it fits); here the broadcast is O(bits) no matter "
     "how large the benchmark grows, and the shuffle carries only the "
