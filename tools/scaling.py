@@ -132,8 +132,11 @@ EXACT_TIER = {
 }
 # r11 (VERDICT r10 #2): third rung at x2 — x16 stays beyond the disk
 # ceiling, but [1, 2, 4] makes the exponent a 3-point least-squares
-# fit instead of a 2-point anecdote.
-EXACT_SCALES = [1, 2, 4]
+# fit instead of a 2-point anecdote. r14 (VERDICT r13 #5): fourth rung
+# at x8 — ~40-50 GB of array-verify traffic, inside this box's disk,
+# and the rung that shows whether the x2→x4 step keeps growing or
+# flattens into the fixed-floor amortization the LSH tier showed.
+EXACT_SCALES = [1, 2, 4, 8]
 
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
